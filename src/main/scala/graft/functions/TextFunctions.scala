@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, fingerprinting.
+  * All pure Column compositions (codegen'd, executor-side, no shuffle) so
+  * they stream over a 100 TB documents table as a narrow map stage.
+  */
+object TextFunctions {
+  /** Whitespace tokenization (single-space convention of the corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: alphabetic runs + digit runs + any other
+    * non-space symbol each count as one unit.
+    */
+  def wordUnitCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Tiny per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and deterministic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo")
+  )
+
+  /** Count of tokens that appear in the marker set. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Argmax language by marker hits; zero-hit rows -> "und"
+    * (undetermined). Ties resolve by declared order (first match wins) —
+    * a plain CASE chain, so the exact same logic is expressible as the
+    * SQL oracle.
+    */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = greatest(hits.map(_._2): _*)
+    hits
+      .foldLeft(when(best === 0, "und")) { case (acc, (lang, h)) =>
+        acc.when(h === best, lang)
+      }
+      .otherwise("und")
+  }
+
+  /** Quality score in [0, 100]: rewards mid-length docs, lexical
+    * diversity, and low symbol noise. Integer output (engine-portable —
+    * positive round only, see oracle parity notes).
+    *   score = round( 40 * min(1, n_tokens/100)
+    *                + 40 * distinct_tokens/n_tokens
+    *                + 20 * alpha_chars/n_chars )
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok   = tokenCount(text).cast("double")
+    val lenTerm = lit(40.0) * least(lit(1.0), nTok / 100.0)
+    val divTerm = lit(40.0) * distinctTokenCount(text).cast("double") / nTok
+    val alpha   = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val noiseTerm = lit(20.0) * alpha / length(text).cast("double")
+    round(lenTerm + divTerm + noiseTerm).cast(IntegerType)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized, lowercased text.
+    * Robust to case/spacing-only edits; the near-dup operators in
+    * graft.operators.ApproxDedup handle real edits.
+    */
+  def docFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Stopword ratio ×1000 as integer (portable): round(1000*hits/tokens). */
+  def stopwordRatioMil(text: Column, stopwords: Seq[String]): Column =
+    round(lit(1000.0) * markerHits(text, stopwords).cast("double") /
+      tokenCount(text).cast("double")).cast(IntegerType)
+}

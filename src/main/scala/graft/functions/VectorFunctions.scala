@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns.
+  * Pure `Column` compositions (`zip_with`/`aggregate`/`transform`) —
+  * codegen'd, executor-side, no UDF serialization — accumulation is done
+  * in double, left-to-right in index order, so results are deterministic.
+  */
+object VectorFunctions {
+  /** Elementwise cast to double (accumulate in double, not float). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Sign bit (1/0) of the projection of `v` onto a constant hyperplane.
+    * Hyperplanes come from a seeded RNG on the driver — data-independent
+    * and reproducible across runs/clusters.
+    */
+  def hyperplaneSignBit(v: Column, plane: Array[Double]): Column = {
+    val proj = aggregate(
+      zip_with(toDouble(v), lit(plane), (x, h) => x * h),
+      lit(0.0d),
+      (acc, x) => acc + x
+    )
+    when(proj >= 0, 1).otherwise(0)
+  }
+
+  /** Random-hyperplane LSH bucket id: `nBits` sign bits packed into an int.
+    * cos-similar vectors collide with high probability; used by
+    * `Similarity.lshCosineTopK` to cut the candidate space from O(n^2) to
+    * per-bucket blocks.
+    */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) => hyperplaneSignBit(v, p) * (1 << i) }
+      .reduce(_ + _)
+
+  /** Deterministic hyperplanes: dim values from java.util.Random(seed). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

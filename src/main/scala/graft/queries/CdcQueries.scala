@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Fingerprint
+import graft.operators.{CdcRouter, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core CDC/SCD2 algorithm (SURVEY §2.11) exercised
+  * end-to-end over the `orders` table.
+  *
+  * Deterministic scenario (same on both engines):
+  *   - "historic" active mart rows: orders with even o_orderkey,
+  *     fingerprinted over (status, priority)
+  *   - incoming feed: ALL orders, fingerprinted the same way except rows
+  *     with o_orderkey % 4 == 0 have priority mutated to 'X'
+  * so the router must emit: odd keys -> INSERT, keys % 4 == 0 -> UPDATE,
+  * remaining even keys -> DUPLICATE.
+  */
+object CdcQueries {
+  private val LoadTs    = "2024-06-01 00:00:00"
+  private val InitialTs = "2024-01-01 00:00:00"
+  private val EndOfTime = "2099-12-31 00:00:00"
+
+  private def historic(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .where(col("o_orderkey") % 2 === 0)
+      .select(
+        concat(lit("ORD - "), col("o_orderkey").cast("string")).as("hssi"),
+        Fingerprint.rowHash(Seq(col("o_orderstatus"), col("o_orderpriority"))).as("hhash")
+      )
+
+  private def feed(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .select(
+        concat(lit("ORD - "), col("o_orderkey").cast("string")).as("ssi"),
+        Fingerprint
+          .rowHash(
+            Seq(
+              col("o_orderstatus"),
+              when(col("o_orderkey") % 4 === 0, "X").otherwise(col("o_orderpriority"))
+            )
+          )
+          .as("src_hash")
+      )
+
+  private def routed(s: SparkSession, dir: String): DataFrame =
+    CdcRouter
+      .route(feed(s, dir), historic(s, dir), "ssi", "src_hash", "hssi", "hhash")
+      .select(col("ssi"), col("src_hash"), col(CdcRouter.RouterCol).as("router_group"))
+
+  /** Shared SQL CTE prefix building the same hist/feed/routed frames. */
+  private val RoutedSql =
+    """WITH hist AS (
+      |  SELECT 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS hssi,
+      |    md5(concat_ws('||', coalesce(o_orderstatus, 'NULL'), coalesce(o_orderpriority, 'NULL'))) AS hhash
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |feed AS (
+      |  SELECT 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS ssi,
+      |    md5(concat_ws('||', coalesce(o_orderstatus, 'NULL'),
+      |      coalesce(CASE WHEN o_orderkey % 4 = 0 THEN 'X' ELSE o_orderpriority END, 'NULL'))) AS src_hash
+      |  FROM orders),
+      |routed AS (
+      |  SELECT ssi, src_hash,
+      |    CASE WHEN hssi IS NULL THEN 'INSERT'
+      |         WHEN src_hash = hhash THEN 'DUPLICATE'
+      |         ELSE 'UPDATE' END AS router_group
+      |  FROM feed LEFT JOIN hist ON ssi = hssi)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // ---- §2.11 steps 1-4: probe + route ----
+    Q(
+      "cdc_router",
+      (s, dir) => routed(s, dir),
+      Some(s"$RoutedSql\nSELECT ssi, src_hash, router_group FROM routed")
+    ),
+
+    // ---- K1/§2.11 step 5: SCD2 merge -> full post-merge snapshot ----
+    Q(
+      "scd2_merge_snapshot",
+      (s, dir) => {
+        val snapshot = historic(s, dir).select(
+          col("hssi").as("ssi"),
+          col("hhash").as("src_hash"),
+          lit(1).as(Scd2.ActiveFlag),
+          lit(InitialTs).as(Scd2.StartDate),
+          lit(EndOfTime).as(Scd2.EndDate)
+        )
+        val merged = Scd2.merge(
+          snapshot,
+          routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol),
+          key = "ssi",
+          loadTs = lit(LoadTs),
+          endOfTime = lit(EndOfTime)
+        )
+        merged.select(
+          col("ssi"),
+          col("src_hash"),
+          col(Scd2.ActiveFlag).as("active_flag"),
+          col(Scd2.StartDate).as("start_date"),
+          col(Scd2.EndDate).as("end_date")
+        )
+      },
+      Some(s"""$RoutedSql,
+              |incoming AS (
+              |  SELECT ssi, src_hash, 1 AS active_flag,
+              |    '$LoadTs' AS start_date, '$EndOfTime' AS end_date
+              |  FROM routed WHERE router_group <> 'DUPLICATE'),
+              |upd AS (SELECT DISTINCT ssi FROM routed WHERE router_group = 'UPDATE'),
+              |snap AS (
+              |  SELECT hssi AS ssi, hhash AS src_hash, 1 AS active_flag,
+              |    '$InitialTs' AS start_date, '$EndOfTime' AS end_date FROM hist),
+              |closed AS (
+              |  SELECT s.ssi, s.src_hash,
+              |    CASE WHEN u.ssi IS NOT NULL THEN 0 ELSE s.active_flag END AS active_flag,
+              |    s.start_date,
+              |    CASE WHEN u.ssi IS NOT NULL THEN '$LoadTs' ELSE s.end_date END AS end_date
+              |  FROM snap s LEFT JOIN upd u ON s.ssi = u.ssi AND s.active_flag = 1)
+              |SELECT * FROM closed UNION ALL SELECT * FROM incoming""".stripMargin)
+    ),
+
+    // ---- K3: per-load audit over the routed batch ----
+    Q(
+      "k1_audit_counts",
+      (s, dir) => {
+        val r = CdcRouter.dropDuplicates(
+          routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol)
+        )
+        r.agg(
+          count(lit(1)).as("total_upsert_count"),
+          sum(when(col(CdcRouter.RouterCol) === CdcRouter.Insert, 1).otherwise(0))
+            .cast("long")
+            .as("insert_count"),
+          sum(when(col(CdcRouter.RouterCol) === CdcRouter.Update, 1).otherwise(0))
+            .cast("long")
+            .as("update_count")
+        )
+      },
+      Some(s"""$RoutedSql
+              |SELECT count(*) AS total_upsert_count,
+              |CAST(sum(CASE WHEN router_group = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS insert_count,
+              |CAST(sum(CASE WHEN router_group = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS update_count
+              |FROM routed WHERE router_group <> 'DUPLICATE'""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,370 @@
+package graft.queries
+
+import graft.Tables
+import graft.conform.{Decode, Durations, Validity}
+import graft.functions.Fingerprint
+import graft.operators.{CdcRouter, Dedup, Lookup, Scd2}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One verifiable query per operator family of SURVEY.md §2.
+  *
+  * Each entry is a Spark DataFrame program plus a semantically identical
+  * ANSI-SQL oracle (run by the driver in DuckDB over the same parquet).
+  * Engine-portability rules used throughout (see round-1 notes):
+  *   - money doubles are cast to DECIMAL(18,2) before arithmetic (exact,
+  *     identical in both engines); derived money keeps scale 4;
+  *   - integer outputs are explicit BIGINT/INT on both sides;
+  *   - timestamps are compared as 'yyyy-MM-dd HH:mm:ss' strings or DATEs;
+  *   - never cast double->int (Spark truncates, DuckDB rounds);
+  *   - md5 fingerprints follow graft.functions.Fingerprint's canon.
+  */
+object RelationalQueries {
+  private val D2 = "decimal(18,2)"
+  private def dec(c: Column): Column = c.cast(D2)
+
+  val qs: Seq[Q] = Seq(
+    // ---- S/P: scan + projection + derived columns (SURVEY P1/P3) ----
+    Q(
+      "p1_project_derive",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("decimal(18,4)")
+            .as("revenue"),
+          to_date(col("l_shipdate")).as("ship_date")
+        )
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+             |CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""".stripMargin)
+    ),
+
+    // ---- P5/P7: filters, inequality + null predicates ----
+    Q(
+      "p5_filter_predicates",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.where(
+          col("l_returnflag") =!= "N" &&
+            col("l_quantity") >= 30 &&
+            to_date(col("l_shipdate")) < lit("1997-01-01")
+        ).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag <> 'N' AND l_quantity >= 30
+             |AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'""".stripMargin)
+    ),
+
+    // ---- A4: grouped aggregation (pricing-summary style) ----
+    Q(
+      "a4_agg_pricing_summary",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.where(to_date(col("l_shipdate")) <= lit("2000-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast(D2).as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("decimal(18,4)")
+              .as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          )
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |count(*) AS count_order
+             |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // ---- J1: left outer equi-join probe with null misses (CDC probe shape) ----
+    Q(
+      "j1_left_join_probe",
+      (s, dir) => {
+        val probe = Tables
+          .customer(s, dir)
+          .where(col("c_custkey") % 10 =!= 0)
+          .select(col("c_custkey"), col("c_name"))
+        Tables
+          .orders(s, dir)
+          .join(probe, col("o_custkey") === col("c_custkey"), "left")
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("c_name"),
+            when(col("c_custkey").isNull, 1).otherwise(0).as("is_miss")
+          )
+      },
+      Some("""WITH probe AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 0)
+             |SELECT o_orderkey, o_custkey, c_name,
+             |CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END AS is_miss
+             |FROM orders LEFT JOIN probe ON o_custkey = c_custkey""".stripMargin)
+    ),
+
+    // ---- J2/S6: broadcast dimension-lookup enrichment ----
+    Q(
+      "j2_broadcast_dim_enrich",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val enriched = Lookup.enrich(
+          Lookup.enrich(li, Tables.part(s, dir), "l_partkey", "p_partkey", "p_brand", "brand"),
+          Tables.supplier(s, dir),
+          "l_suppkey",
+          "s_suppkey",
+          "s_name",
+          "supp_name"
+        )
+        enriched.select(col("l_orderkey"), col("l_linenumber"), col("brand"), col("supp_name"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_brand AS brand, s_name AS supp_name
+             |FROM lineitem
+             |LEFT JOIN part ON l_partkey = p_partkey
+             |LEFT JOIN supplier ON l_suppkey = s_suppkey""".stripMargin)
+    ),
+
+    // ---- W1/P4/P6: window dedup, latest-wins with deterministic tiebreak ----
+    Q(
+      "w1_window_dedup_latest",
+      (s, dir) => {
+        val latest = Dedup.latestPerKey(
+          Tables.orders(s, dir),
+          keys = Seq("o_custkey"),
+          tiebreak = Seq(col("o_orderdate").desc, col("o_orderkey").desc)
+        )
+        latest.select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("order_date")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) t WHERE rn = 1""".stripMargin)
+    ),
+
+    // ---- A2/J3/T3: latest version per key (max-join formulation) ----
+    Q(
+      "a2_latest_per_key",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        Dedup
+          .latestByVersion(ev, "user_id", "event_id")
+          .select(col("user_id"), col("event_id"), col("event_type"))
+      },
+      Some("""WITH m AS (SELECT user_id, max(event_id) AS event_id FROM events GROUP BY user_id)
+             |SELECT e.user_id, e.event_id, e.event_type
+             |FROM events e JOIN m USING (user_id, event_id)""".stripMargin)
+    ),
+
+    // ---- A1: scalar max (watermark recovery) ----
+    Q(
+      "a1_max_watermark",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .agg(max(col("event_id")).as("max_id"), count(lit(1)).as("n")),
+      Some("SELECT max(event_id) AS max_id, count(*) AS n FROM events")
+    ),
+
+    // ---- A3: distinct ----
+    Q(
+      "a3_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+    ),
+
+    // ---- O1/O2: global sort + top-k ----
+    Q(
+      "o2_topk_orders",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10)
+          .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // ---- F6: CASE decode chains (rating / yes-no / rescale) ----
+    Q(
+      "f6_case_decodes",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rating = when(col("event_type") === "error", "WORST")
+          .when(col("event_type") === "click", "NEUTRAL")
+          .when(col("event_type") === "view", "GOOD")
+          .when(col("event_type") === "signup", "BEST")
+          .otherwise("BAD")
+        ev.select(
+          col("event_id"),
+          Decode.rating5(rating).as("rating_code"),
+          Decode.yesNo(when(col("value") >= 50, "yes").otherwise("NO")).as("hi_value"),
+          Decode.trueFalse(when(col("event_type") === "error", "true").otherwise("FALSE")).as("is_err"),
+          Decode.rescale10to5((col("event_id") % 10 + 1).cast("int")).as("rescaled")
+        )
+      },
+      Some("""SELECT event_id,
+             |CASE CASE event_type WHEN 'error' THEN 'WORST' WHEN 'click' THEN 'NEUTRAL'
+             |     WHEN 'view' THEN 'GOOD' WHEN 'signup' THEN 'BEST' ELSE 'BAD' END
+             |  WHEN 'WORST' THEN 1 WHEN 'BAD' THEN 2 WHEN 'NEUTRAL' THEN 3
+             |  WHEN 'GOOD' THEN 4 WHEN 'BEST' THEN 5 END AS rating_code,
+             |CASE upper(CASE WHEN value >= 50 THEN 'yes' ELSE 'NO' END)
+             |  WHEN 'YES' THEN 1 WHEN 'NO' THEN 0 END AS hi_value,
+             |CASE upper(CASE WHEN event_type = 'error' THEN 'true' ELSE 'FALSE' END)
+             |  WHEN 'TRUE' THEN 1 WHEN 'FALSE' THEN 0 END AS is_err,
+             |CAST(floor(CAST((event_id % 10 + 1) AS INT) / 2) AS INT) AS rescaled
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- F7/F13: the three source timestamp formats, round-tripped ----
+    Q(
+      "f7_timestamp_formats",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val csvStr  = date_format(col("ts"), "MMddyyyyHHmmss")
+        val jsonStr = date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")
+        val xmlStr  = date_format(col("ts"), "yyyyMMddHHmmss")
+        ev.select(
+          col("event_id"),
+          date_format(to_timestamp(csvStr, "MMddyyyyHHmmss"), "yyyy-MM-dd HH:mm:ss").as("from_csv_fmt"),
+          date_format(to_timestamp(jsonStr, "dd/MM/yyyy HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").as("from_json_fmt"),
+          date_format(to_timestamp(xmlStr, "yyyyMMddHHmmss"), "yyyy-MM-dd HH:mm:ss").as("from_xml_fmt")
+        )
+      },
+      Some("""SELECT event_id,
+             |strftime(strptime(strftime(ts, '%m%d%Y%H%M%S'), '%m%d%Y%H%M%S'), '%Y-%m-%d %H:%M:%S') AS from_csv_fmt,
+             |strftime(strptime(strftime(ts, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS from_json_fmt,
+             |strftime(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'), '%Y-%m-%d %H:%M:%S') AS from_xml_fmt
+             |FROM events""".stripMargin)
+    ),
+
+    // ---- U1: duration "H:MM:SS" -> seconds via built-ins (round-trip) ----
+    Q(
+      "u1_duration_parse",
+      (s, dir) => {
+        val ev   = Tables.events(s, dir)
+        val secs = (col("event_id") * 37) % 86400
+        val dur  = Durations.secondsToHms(secs)
+        ev.select(
+          col("event_id"),
+          secs.as("secs"),
+          dur.as("dur"),
+          Durations.hmsToSeconds(dur).as("parsed_secs")
+        )
+      },
+      Some("""WITH t AS (SELECT event_id, (event_id * 37) % 86400 AS secs FROM events),
+             |d AS (SELECT event_id, secs,
+             |  CAST(secs // 3600 AS VARCHAR) || ':' ||
+             |  lpad(CAST((secs % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+             |  lpad(CAST(secs % 60 AS VARCHAR), 2, '0') AS dur FROM t)
+             |SELECT event_id, secs, dur,
+             |  CAST(split_part(dur, ':', 1) AS INT) * 3600 +
+             |  CAST(split_part(dur, ':', 2) AS INT) * 60 +
+             |  CAST(split_part(dur, ':', 3) AS INT) AS parsed_secs FROM d""".stripMargin)
+    ),
+
+    // ---- P2: nested/JSON flatten ----
+    Q(
+      "p2_json_flatten",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")
+          ),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""")
+    ),
+
+    // ---- F1-F3: row fingerprint canon ----
+    Q(
+      "f1_row_fingerprint",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(
+          col("doc_id"),
+          Fingerprint
+            .rowHash(Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+            .as("row_hash")
+        )
+      },
+      Some("""SELECT doc_id, md5(concat_ws('||',
+             |coalesce(CAST(doc_id AS VARCHAR), 'NULL'), coalesce(text, 'NULL'),
+             |coalesce(lang, 'NULL'), coalesce(source, 'NULL'),
+             |coalesce(CAST(n_chars AS VARCHAR), 'NULL'))) AS row_hash FROM documents""".stripMargin)
+    ),
+
+    // ---- F6/K3: validity flagging + audit counts ----
+    Q(
+      "k3_validity_audit",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        // inject nulls deterministically (the corpus has none), then flag
+        val flagged = d.select(
+          Validity
+            .flag(Seq(nullif(col("lang"), lit("fr")), nullif(col("source"), lit("src3"))))
+            .as("is_valid")
+        )
+        flagged.agg(
+          count(lit(1)).as("total"),
+          sum(col("is_valid")).cast("long").as("valid"),
+          (count(lit(1)) - sum(col("is_valid"))).cast("long").as("invalid")
+        )
+      },
+      Some("""WITH v AS (SELECT CASE WHEN nullif(lang, 'fr') IS NULL
+             |  OR nullif(source, 'src3') IS NULL THEN 0 ELSE 1 END AS is_valid FROM documents)
+             |SELECT count(*) AS total, CAST(sum(is_valid) AS BIGINT) AS valid,
+             |CAST(count(*) - sum(is_valid) AS BIGINT) AS invalid FROM v""".stripMargin)
+    ),
+
+    // ---- §2.7: union of per-source conformed feeds ----
+    Q(
+      "set_union_sources",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def feed(sid: Int, prefix: String, status: String): DataFrame =
+          o.where(col("o_orderstatus") === status)
+            .select(
+              lit(sid).as("source_id"),
+              concat(lit(prefix), col("o_orderkey").cast("string")).as("ssi"),
+              col("o_orderstatus").as("status")
+            )
+        feed(1, "ORD - ", "F")
+          .unionByName(feed(2, "AMZ - ", "O"))
+          .unionByName(feed(3, "UBR - ", "P"))
+      },
+      Some("""SELECT 1 AS source_id, 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS ssi, o_orderstatus AS status FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT 2, 'AMZ - ' || CAST(o_orderkey AS VARCHAR), o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+             |UNION ALL
+             |SELECT 3, 'UBR - ' || CAST(o_orderkey AS VARCHAR), o_orderstatus FROM orders WHERE o_orderstatus = 'P'""".stripMargin)
+    ),
+
+    // ---- T-window: event-time tumbling aggregation (batch-equivalent) ----
+    Q(
+      "t_event_hourly_window",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast(D2).as("sum_value")
+          ),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |FROM events GROUP BY 1""".stripMargin)
+    )
+  )
+}

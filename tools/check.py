@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Runs after `graft.Verify` has dumped query results: for each query result
+parquet in OUTDIR, runs the matching oracle SQL (oracle_sql.json) in DuckDB
+over the same sf tables, and compares row multisets (columns sorted by
+name, rows sorted) exactly.
+
+Usage: tools/check.py SFDIR OUTDIR [query ...]
+"""
+import json, math, os, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return str(v)
+
+
+def frame_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        res_dir = os.path.join(outdir, name)
+        if not os.path.isdir(res_dir):
+            print(f"MISSING  {name} (no result parquet)")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+        gcols, grows = frame_rows([d[0] for d in got.description], got.fetchall())
+        try:
+            exp = con.sql(sql)
+            ecols, erows = frame_rows([d[0] for d in exp.description], exp.fetchall())
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_fail += 1
+            continue
+        if [c.lower() for c in gcols] != [c.lower() for c in ecols]:
+            print(f"SCHEMA   {name}: spark={gcols} oracle={ecols}")
+            n_fail += 1
+            continue
+        if grows == erows:
+            print(f"PASS     {name} ({len(grows)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL     {name}: spark {len(grows)} rows vs oracle {len(erows)} rows")
+            sg, se = set(grows), set(erows)
+            for r in list(sg - se)[:3]:
+                print(f"  spark-only:  {r}")
+            for r in list(se - sg)[:3]:
+                print(f"  oracle-only: {r}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
