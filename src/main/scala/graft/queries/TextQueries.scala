@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
+import graft.operators.{ApproxDedup, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * text analysis, exact + approximate dedup, similarity search,
+  * multimodal binary plumbing. Every oracle is generated from the SAME
+  * Scala constants (marker vocabularies, seeds, hyperplanes) that the
+  * Spark programs use, so the two sides cannot drift.
+  */
+object TextQueries {
+  /** DuckDB twin of Fingerprint.seededLongHash. */
+  private def sqlHash(seed: Int, expr: String): String =
+    s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
+
+  /** Shared CTE: distinct word-trigram shingles per doc (>=3 tokens). */
+  private val ShinglesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i))""".stripMargin
+
+  private val NumHashes   = 8
+  private val RowsPerBand = 2
+  private val SimhashBits = 16
+  private val JaccardMin  = 0.05
+  private val KnnK        = 5
+
+  val qs: Seq[Q] = Seq(
+    // ---- token counting: whitespace + BPE-ish regex units ----
+    Q(
+      "text_token_stats",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"),
+            TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+            TextFunctions.wordUnitCount(col("text")).as("n_units"),
+            length(col("text")).as("n_chars_calc")
+          ),
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+             |CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_units,
+             |CAST(length(text) AS INT) AS n_chars_calc
+             |FROM documents""".stripMargin)
+    ),
+
+    // ---- language-ID heuristic (marker-vocabulary argmax) ----
+    Q(
+      "text_lang_id",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("lang_guess")),
+      Some {
+        val hitExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+          s"CAST(len(list_filter(string_split(text, ' '), x -> $cond)) AS INT) AS h_$lang"
+        }
+        val langs = TextFunctions.LangMarkers.map(_._1)
+        val best  = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH h AS (SELECT doc_id, lang, ${hitExprs.mkString(",\n")} FROM documents),
+           |b AS (SELECT *, $best AS best FROM h)
+           |SELECT doc_id, lang,
+           |CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+           |FROM b""".stripMargin
+      }
+    ),
+
+    // ---- quality scoring + content fingerprint ----
+    Q(
+      "text_quality_score",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.docFingerprint(col("text")).as("fp")
+          ),
+      Some("""SELECT doc_id,
+             |CAST(round(
+             |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+             |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |        / CAST(len(string_split(text,' ')) AS DOUBLE)
+             |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |        / CAST(length(text) AS DOUBLE)) AS INT) AS quality,
+             |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+             |FROM documents""".stripMargin)
+    ),
+
+    // ---- exact dedup groups (hash-groupBy) ----
+    Q(
+      "dedup_exact_groups",
+      (s, dir) =>
+        Dedup.exactGroups(Tables.documents(s, dir), Seq("text"), "doc_id"),
+      Some("""SELECT md5(coalesce(text, 'NULL')) AS content_hash,
+             |min(doc_id) AS keep_id, count(*) AS dup_count
+             |FROM documents GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- n-gram Jaccard near-dup pairs (exact verify over shared-shingle candidates) ----
+    Q(
+      "dedup_ngram_jaccard",
+      (s, dir) =>
+        ApproxDedup.ngramJaccardPairs(
+          Tables.documents(s, dir).where(size(TextFunctions.tokens(col("text"))) >= 3),
+          "doc_id",
+          col("text"),
+          n = 3,
+          threshold = JaccardMin
+        ),
+      Some(s"""$ShinglesSql,
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = id_a
+              |JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardMin""".stripMargin)
+    ),
+
+    // ---- MinHash signatures (engine-portable seeded hashes) ----
+    Q(
+      "dedup_minhash_signature",
+      (s, dir) =>
+        ApproxDedup.withMinhashSignature(
+          Tables
+            .documents(s, dir)
+            .where(size(TextFunctions.tokens(col("text"))) >= 3)
+            .select(col("doc_id"), col("text")),
+          col("text"),
+          n = 3,
+          nHashes = NumHashes
+        ).drop("text"),
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"min(${sqlHash(i, "s")}) AS mh$i")
+          .mkString(",\n")
+        s"$ShinglesSql\nSELECT doc_id, $mins FROM sh GROUP BY doc_id"
+      }
+    ),
+
+    // ---- MinHash LSH banding -> candidate pairs ----
+    Q(
+      "dedup_minhash_lsh_pairs",
+      (s, dir) => {
+        val sigs = ApproxDedup.withMinhashSignature(
+          Tables
+            .documents(s, dir)
+            .where(size(TextFunctions.tokens(col("text"))) >= 3)
+            .select(col("doc_id"), col("text")),
+          col("text"),
+          n = 3,
+          nHashes = NumHashes
+        )
+        ApproxDedup.lshCandidatePairs(sigs, "doc_id", NumHashes, RowsPerBand)
+      },
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"min(${sqlHash(i, "s")}) AS mh$i")
+          .mkString(",\n")
+        val nBands = NumHashes / RowsPerBand
+        val bands = (0 until nBands)
+          .map { b =>
+            val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => s"coalesce(CAST(mh$i AS VARCHAR), 'NULL')")
+              .mkString(", ")
+            s"SELECT doc_id, $b AS band, md5(concat_ws('||', $cols)) AS sig FROM sigs"
+          }
+          .mkString("\nUNION ALL\n")
+        s"""$ShinglesSql,
+           |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |buckets AS ($bands)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+           |WHERE a.doc_id < b.doc_id""".stripMargin
+      }
+    ),
+
+    // ---- SimHash (16-bit, token multiset) ----
+    Q(
+      "dedup_simhash",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), ApproxDedup.simhash(col("text"), SimhashBits).as("simhash")),
+      Some {
+        val sums = (0 until SimhashBits)
+          .map(b =>
+            s"CAST(sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+          )
+          .mkString(",\n")
+        val assemble = (0 until SimhashBits)
+          .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
+           |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+           |SELECT doc_id, $assemble AS simhash FROM bits""".stripMargin
+      }
+    ),
+
+    // ---- brute-force cosine top-k (ANN baseline) ----
+    Q(
+      "ann_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity
+          .bruteForceTopK(
+            corpus = emb.select(col("vec_id"), col("embedding")),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              |          FROM embeddings WHERE vec_id % 100 = 0),
+              |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+              |s AS (SELECT query_id, neighbor_id,
+              |    list_dot_product(qv, cv) /
+              |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+              |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+              |r AS (SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              |  FROM s)
+              |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $KnnK""".stripMargin)
+    ),
+
+    // ---- multimodal: opaque binary payload + typed metadata ----
+    Q(
+      "multimodal_binary_meta",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            octet_length(col("text")).as("n_bytes"),
+            md5(col("text")).as("content_md5"),
+            lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("head_hex")
+          ),
+      Some("""SELECT doc_id,
+             |CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             |md5(text) AS content_md5,
+             |lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex
+             |FROM documents""".stripMargin)
+    )
+  )
+}
