@@ -47,13 +47,17 @@ object Durations {
       parts.getItem(2).cast(IntegerType))
   }
 
-  /** Inverse: seconds -> "H:MM:SS" (for fixtures / round-trip tests). */
+  /** Inverse: seconds -> "H:MM:SS" (for fixtures / round-trip tests).
+    * concat_ws silently drops nulls (yielding ""), so null input must be
+    * short-circuited to keep the round trip null-preserving. */
   def secondsToHms(c: Column): Column =
-    concat_ws(
-      ":",
-      (c / 3600).cast(IntegerType),
-      lpad(((c % 3600) / 60).cast(IntegerType).cast("string"), 2, "0"),
-      lpad((c % 60).cast(IntegerType).cast("string"), 2, "0")
+    when(c.isNull, lit(null).cast("string")).otherwise(
+      concat_ws(
+        ":",
+        (c / 3600).cast(IntegerType),
+        lpad(((c % 3600) / 60).cast(IntegerType).cast("string"), 2, "0"),
+        lpad((c % 60).cast(IntegerType).cast("string"), 2, "0")
+      )
     )
 }
 

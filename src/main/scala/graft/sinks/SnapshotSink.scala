@@ -1,0 +1,79 @@
+package graft.sinks
+
+import graft.operators.{CdcRouter, Scd2}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCD2 snapshot persistence (K1) + load audit (K3).
+  *
+  * The reference upserts row-at-a-time into SQLite from the driver
+  * (ETL/CSV_Batch_Processing.py:247-334). At 100 TB the mart must live in
+  * a distributed table; this sink maintains it as a parquet snapshot
+  * directory with atomic swap semantics (write new snapshot to a temp
+  * path, then move). On a lakehouse this maps 1:1 to `MERGE INTO`
+  * (deactivate-match + insert-all) on Delta/Iceberg; the merge logic
+  * itself (graft.operators.Scd2.merge) is shared and set-based.
+  */
+object SnapshotSink {
+  /** Read the current snapshot, or an empty frame with `schema` when the
+    * mart does not exist yet (mirrors database_df_maker's empty-path,
+    * ETL/CSV_Batch_Processing.py:36-43).
+    */
+  def readSnapshot(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Merge the routed batch into the snapshot at `path` and swap it in.
+    * Returns the audit counts for the load (K3).
+    */
+  def upsert(
+      spark: SparkSession,
+      path: String,
+      routed: DataFrame,
+      key: String,
+      loadTs: Column,
+      endOfTime: Column,
+      validCol: Option[String] = None
+  ): AuditCounts = {
+    val current = readSnapshot(spark, path, routed.drop(CdcRouter.RouterCol).schema)
+    val merged  = Scd2.merge(current, routed, key, loadTs, endOfTime)
+
+    val tmp = path + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+
+    audit(CdcRouter.dropDuplicates(routed), validCol)
+  }
+
+  /** One aggregation pass over the loaded batch (replaces the reference's
+    * driver-side per-row counters, ETL/CSV_Batch_Processing.py:258-329).
+    */
+  def audit(loaded: DataFrame, validCol: Option[String]): AuditCounts = {
+    val validExpr = validCol.map(c => sum(col(c)).cast("long")).getOrElse(count(lit(1)))
+    val row = loaded
+      .agg(count(lit(1)).as("total"), validExpr.as("valid"))
+      .head()
+    val total = row.getLong(0)
+    val valid = row.getLong(1)
+    AuditCounts(total, valid, total - valid)
+  }
+}
+
+/** Load-audit result row (reference CSD_DATA_LOADS,
+  * Setup/SQL_DDL_Script.sql:92-104).
+  */
+final case class AuditCounts(total: Long, valid: Long, invalid: Long) {
+  def validPercentage: Double = if (total == 0) 0.0 else valid.toDouble / total * 100.0
+}
