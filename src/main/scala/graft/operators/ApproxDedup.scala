@@ -10,9 +10,18 @@ import org.apache.spark.sql.functions._
   * Design for 100 TB:
   *   - signatures are computed as a narrow map stage (no shuffle) from
   *     engine-portable seeded md5 hashes (Fingerprint.seededLongHash);
-  *   - candidate generation is a self-join on LSH band/bucket keys —
-  *     shuffle is proportional to the number of (bucket, doc) pairs, not
-  *     to |docs|^2;
+  *   - the shingle array is materialized into its own projection before
+  *     fan-out into per-seed minhashes, so Catalyst's CollapseProject
+  *     keeps it evaluated ONCE per row (it refuses to inline non-cheap
+  *     expressions referenced more than once) instead of once per seed;
+  *   - candidate generation is groupBy(bucket) + in-bucket pair
+  *     expansion, NOT a bucket self-join: one shuffle of narrow
+  *     (bucket, id) rows, a single evaluation of the signature pipeline,
+  *     and shuffle volume proportional to the number of (bucket, doc)
+  *     pairs, never |docs|^2. Skew caveat: a degenerate bucket holding B
+  *     ids emits B^2/2 pairs from one task — same output size as any
+  *     formulation, but concentrated; at scale, cap bucket width or salt
+  *     the band key if a corpus has massive exact-dup families;
   *   - exact verification (Jaccard / cosine) runs only on candidates.
   */
 object ApproxDedup {
@@ -29,20 +38,66 @@ object ApproxDedup {
     }
   }
 
-  /** One MinHash value: min over distinct shingles of seeded 60-bit hash. */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(array_distinct(shingleArr), s => Fingerprint.seededLongHash(s, seed)))
+  /** All unordered pairs (a, b) with a < b from a sorted-ascending,
+    * duplicate-free id array — pure array expressions, evaluated inside
+    * the bucket's own task (no join).
+    */
+  private def pairsWithin(ids: Column): Column =
+    flatten(
+      transform(
+        ids,
+        (x, i) => transform(slice(ids, i + 2, size(ids)), y => struct(x.as("id_a"), y.as("id_b")))
+      )
+    )
 
-  /** MinHash signature as `nHashes` columns named mh0..mh{n-1}. */
+  /** Affine re-hash family for MinHash over one md5 base hash:
+    * mh_i = min over shingles of (A_i * h + B_i) mod P, with
+    * h = md5-derived base hash reduced mod P and P = 2^31 - 1 (Mersenne
+    * prime). One md5 per shingle TOTAL — the classic k-permutations
+    * construction costs one cryptographic hash per (shingle, seed).
+    * Products stay < 2^62, so the arithmetic is overflow-free in both
+    * Spark Longs and ANSI BIGINT (the oracle mirrors it verbatim).
+    */
+  val MinhashMod = 2147483647L
+  def affineA(i: Int): Long = 2L * i + 3L
+  def affineB(i: Int): Long = 7919L * i + 1L
+
+  /** Base hash of one shingle: 60-bit md5 prefix reduced mod P. */
+  def baseHash(s: Column): Column =
+    Fingerprint.hexToLong(md5(s)) % MinhashMod
+
+  /** One MinHash value: min over distinct shingles of the i-th affine
+    * re-hash of the md5 base hash.
+    */
+  def minhash(shingleArr: Column, i: Int): Column =
+    array_min(
+      transform(array_distinct(shingleArr), s => (baseHash(s) * affineA(i) + affineB(i)) % MinhashMod)
+    )
+
+  /** MinHash signature as `nHashes` columns named mh0..mh{n-1}.
+    * The base-hash array (one md5 per distinct shingle) is staged in its
+    * own projection so all `nHashes` re-hashes read one materialized
+    * array instead of each re-deriving shingles + md5 from raw text.
+    */
   def withMinhashSignature(df: DataFrame, text: Column, n: Int, nHashes: Int): DataFrame = {
-    val sh = shingles(text, n)
-    (0 until nHashes).foldLeft(df)((d, i) => d.withColumn(s"mh$i", minhash(sh, i)))
+    val staged = df.withColumn(
+      "__baseHashes",
+      transform(array_distinct(shingles(text, n)), s => baseHash(s))
+    )
+    val sigCols = (0 until nHashes).map { i =>
+      array_min(transform(col("__baseHashes"), h => (h * affineA(i) + affineB(i)) % MinhashMod))
+        .as(s"mh$i")
+    }
+    staged
+      .select(df.columns.map(col) ++ sigCols: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
     * consecutive minhashes. Returns (id_a, id_b) with id_a < id_b,
     * distinct across bands. The band fingerprint is md5 of the band's
-    * minhash values, so the join key is narrow.
+    * minhash values, so the grouping key is narrow; pairs are generated
+    * inside each bucket after a single groupBy shuffle (no self-join,
+    * no second evaluation of the signature pipeline).
     */
   def lshCandidatePairs(
       sigs: DataFrame,
@@ -55,14 +110,13 @@ object ApproxDedup {
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), Fingerprint.rowHash(bandCols).as("sig"))
     }
-    val buckets = sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val a = buckets.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("sig"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "sig"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    sigs
+      .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -74,9 +128,14 @@ object ApproxDedup {
   }
 
   /** n-gram Jaccard near-dup pairs above `threshold`, verified exactly.
-    * Candidates come from a shared-shingle join (every colliding pair
-    * shares >= 1 shingle, so recall is exact for threshold > 0); at scale
-    * swap the candidate stage for `lshCandidatePairs`.
+    * Candidates and intersection sizes come from one pass: explode
+    * distinct shingles, group by shingle, expand in-group pairs, count
+    * co-occurrences — |intersection| directly, with recall exact for any
+    * threshold > 0 (every qualifying pair shares >= 1 shingle). Set
+    * sizes are a separate narrow map stage over the docs (no shuffle),
+    * and |union| = |a| + |b| - |intersection|, so the shingle arrays
+    * themselves never travel through a shuffle. At extreme scale swap
+    * the candidate stage for `lshCandidatePairs`.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -85,28 +144,32 @@ object ApproxDedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    val withSets = docs.select(col(idCol), array_distinct(shingles(text, n)).as("sh"))
-    val exploded = withSets.select(col(idCol), explode(col("sh")).as("s"))
-    val cand = exploded
-      .select(col("s"), col(idCol).as("id_a"))
-      .join(exploded.select(col("s"), col(idCol).as("id_b")), Seq("s"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val aSets = withSets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val bSets = withSets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cand
-      .join(aSets, "id_a")
-      .join(bSets, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(array_distinct(shingles(text, n))).as("s"))
+    val interCounts = exploded
+      .groupBy("s")
+      .agg(array_sort(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = docs.select(col(idCol).as("id"), size(array_distinct(shingles(text, n))).as("n"))
+    interCounts
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("i").cast("double") / (col("n_a") + col("n_b") - col("i")).cast("double")
+      )
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash of a token multiset over the low `nBits` bits of the seeded
     * token hash: bit b is set iff sum over tokens of (+1 if hash bit b
-    * set else -1) > 0. Computed per row with array expressions — a pure
-    * map stage, no explode/shuffle.
+    * set else -1) > 0. The per-token hash array is staged in its own
+    * projection (one md5 per token), then every bit's signed sum reads
+    * the materialized array — a pure map stage, no explode/shuffle.
     */
   def simhash(text: Column, nBits: Int): Column = {
     val hashes = transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))
@@ -122,6 +185,25 @@ object ApproxDedup {
       .reduce(_ + _)
   }
 
+  /** DataFrame-level simhash that stages the token-hash array once
+    * (one md5 per token total, not per bit). Adds `outCol` to `df`.
+    */
+  def withSimhash(df: DataFrame, text: Column, nBits: Int, outCol: String): DataFrame = {
+    val staged = df.withColumn(
+      "__tokHashes",
+      transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))
+    )
+    val bits = (0 until nBits).map { b =>
+      val contrib = aggregate(
+        col("__tokHashes"),
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      )
+      when(contrib > 0, lit(1L) * (1L << b)).otherwise(0L)
+    }
+    staged.select(df.columns.map(col) :+ bits.reduce(_ + _).as(outCol): _*)
+  }
+
   /** Hamming distance between two simhash values (over nBits). */
   def hammingDistance(a: Column, b: Column, nBits: Int): Column =
     (0 until nBits)
@@ -129,9 +211,10 @@ object ApproxDedup {
       .reduce(_ + _)
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.
-    * Candidate stage: random-hyperplane LSH buckets (collision-based);
-    * verification: exact cosine. At 100 TB the bucket join replaces the
-    * quadratic cross-join.
+    * Candidate stage: random-hyperplane LSH buckets; verification: exact
+    * cosine on the candidate pairs only. Vectors DO travel through the
+    * bucket groupBy here (unlike the text path) because the verifier
+    * needs them; bucket fan-out replaces the quadratic cross-join.
     */
   def cosineNearDupPairs(
       emb: DataFrame,
@@ -143,14 +226,22 @@ object ApproxDedup {
   ): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
     val bucketed = emb.select(
-      col(idCol),
-      col(vecCol),
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket")
     )
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    val paired = bucketed
+      .groupBy("bucket")
+      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("v"))).as("m"))
+      .where(size(col("m")) > 1)
+      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))))).as("p"))
+      .select(
+        col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"),
+        element_at(col("m"), col("p.id_a")).as("v_a"),
+        element_at(col("m"), col("p.id_b")).as("v_b")
+      )
+    paired
       .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

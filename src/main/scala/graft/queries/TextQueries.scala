@@ -16,6 +16,12 @@ object TextQueries {
   private def sqlHash(seed: Int, expr: String): String =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
+  /** DuckDB twin of ApproxDedup.baseHash / the affine MinHash family. */
+  private def sqlBaseHash(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT) % ${ApproxDedup.MinhashMod}"
+  private def sqlMinhash(i: Int): String =
+    s"min((hm * ${ApproxDedup.affineA(i)} + ${ApproxDedup.affineB(i)}) % ${ApproxDedup.MinhashMod}) AS mh$i"
+
   /** Shared CTE: distinct word-trigram shingles per doc (>=3 tokens). */
   private val ShinglesSql =
     """WITH toks AS (
@@ -30,6 +36,9 @@ object TextQueries {
   private val SimhashBits = 16
   private val JaccardMin  = 0.05
   private val KnnK        = 5
+  private val CosPlanes   = 8
+  private val EmbeddingDim = 64
+  private val CosMin      = 0.3
 
   val qs: Seq[Q] = Seq(
     // ---- token counting: whitespace + BPE-ish regex units ----
@@ -113,7 +122,8 @@ object TextQueries {
       "dedup_ngram_jaccard",
       (s, dir) =>
         ApproxDedup.ngramJaccardPairs(
-          Tables.documents(s, dir).where(size(TextFunctions.tokens(col("text"))) >= 3),
+          Tables.documents(s, dir).where(size(TextFunctions.tokens(col("text"))) >= 3)
+            .repartition(s.sparkContext.defaultParallelism),
           "doc_id",
           col("text"),
           n = 3,
@@ -133,7 +143,7 @@ object TextQueries {
               |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardMin""".stripMargin)
     ),
 
-    // ---- MinHash signatures (engine-portable seeded hashes) ----
+    // ---- MinHash signatures (one md5 per shingle + affine re-hash) ----
     Q(
       "dedup_minhash_signature",
       (s, dir) =>
@@ -141,16 +151,19 @@ object TextQueries {
           Tables
             .documents(s, dir)
             .where(size(TextFunctions.tokens(col("text"))) >= 3)
-            .select(col("doc_id"), col("text")),
+            .select(col("doc_id"), col("text"))
+            // testdata parquet is one row group -> one input split; spread
+            // the hash-heavy map stage across cores (narrow rows, cheap)
+            .repartition(s.sparkContext.defaultParallelism),
           col("text"),
           n = 3,
           nHashes = NumHashes
         ).drop("text"),
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"min(${sqlHash(i, "s")}) AS mh$i")
-          .mkString(",\n")
-        s"$ShinglesSql\nSELECT doc_id, $mins FROM sh GROUP BY doc_id"
+        val mins = (0 until NumHashes).map(sqlMinhash).mkString(",\n")
+        s"""$ShinglesSql,
+           |h AS (SELECT doc_id, ${sqlBaseHash("s")} AS hm FROM sh)
+           |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
       }
     ),
 
@@ -162,7 +175,8 @@ object TextQueries {
           Tables
             .documents(s, dir)
             .where(size(TextFunctions.tokens(col("text"))) >= 3)
-            .select(col("doc_id"), col("text")),
+            .select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
           col("text"),
           n = 3,
           nHashes = NumHashes
@@ -170,9 +184,7 @@ object TextQueries {
         ApproxDedup.lshCandidatePairs(sigs, "doc_id", NumHashes, RowsPerBand)
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"min(${sqlHash(i, "s")}) AS mh$i")
-          .mkString(",\n")
+        val mins = (0 until NumHashes).map(sqlMinhash).mkString(",\n")
         val nBands = NumHashes / RowsPerBand
         val bands = (0 until nBands)
           .map { b =>
@@ -183,7 +195,8 @@ object TextQueries {
           }
           .mkString("\nUNION ALL\n")
         s"""$ShinglesSql,
-           |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+           |h AS (SELECT doc_id, ${sqlBaseHash("s")} AS hm FROM sh),
+           |sigs AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
            |buckets AS ($bands)
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
@@ -195,9 +208,13 @@ object TextQueries {
     Q(
       "dedup_simhash",
       (s, dir) =>
-        Tables
-          .documents(s, dir)
-          .select(col("doc_id"), ApproxDedup.simhash(col("text"), SimhashBits).as("simhash")),
+        ApproxDedup.withSimhash(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          col("text"),
+          SimhashBits,
+          "simhash"
+        ).drop("text"),
       Some {
         val sums = (0 until SimhashBits)
           .map(b =>
@@ -214,6 +231,38 @@ object TextQueries {
       }
     ),
 
+    // ---- embedding-cosine near-dup (random-hyperplane LSH + exact verify) ----
+    Q(
+      "dedup_embedding_cosine",
+      (s, dir) =>
+        ApproxDedup.cosineNearDupPairs(
+          Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "vec_id",
+          vecCol = "embedding",
+          nPlanes = CosPlanes,
+          dim = EmbeddingDim,
+          threshold = CosMin
+        ),
+      Some {
+        // the SAME driver-side hyperplane constants, inlined as SQL array
+        // literals, so Spark and DuckDB bucket identically by construction
+        val planes = VectorFunctions.randomPlanes(CosPlanes, EmbeddingDim)
+        val bucket = planes.zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+           |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |    list_dot_product(a.v, b2.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos >= $CosMin""".stripMargin
+      }
+    ),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     Q(
       "ann_knn_bruteforce",
@@ -221,7 +270,8 @@ object TextQueries {
         val emb = Tables.embeddings(s, dir)
         Similarity
           .bruteForceTopK(
-            corpus = emb.select(col("vec_id"), col("embedding")),
+            corpus = emb.select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
             queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
             idCol = "vec_id",
             vecCol = "embedding",
