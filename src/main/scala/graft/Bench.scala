@@ -11,12 +11,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink forces full evaluation of every column — count() would let
-    // Catalyst prune the projections of map-only queries and under-measure
+    // Catalyst prune the projections of map-only queries and under-measure.
+    // Each query runs `Reps` times and reports the MINIMUM: the host shows
+    // bursty CPU steal (identical plans vary 10-30x run-to-run), and min-of-N
+    // is the standard steady-state estimator under asymmetric noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

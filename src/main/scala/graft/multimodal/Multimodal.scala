@@ -58,7 +58,10 @@ object Multimodal {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
     Array.tabulate(dim) { i =>
       val b = digest(i % digest.length)
-      (b.toInt & 0xff) / 255.0f - 0.5f
+      // double math then one float rounding — bit-reproducible in ANSI
+      // SQL as CAST(b/255.0 - 0.5 AS FLOAT) (float-native division would
+      // double-round differently in rare cases)
+      ((b.toInt & 0xff) / 255.0 - 0.5).toFloat
     }
   }
 

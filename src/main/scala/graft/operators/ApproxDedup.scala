@@ -32,9 +32,14 @@ object ApproxDedup {
     val toks = TextFunctions.tokens(text)
     if (n == 1) toks
     else {
-      // positions 0 .. size-n; shingle_i = tokens[i] .. tokens[i+n-1]
+      // positions 0 .. size-n; shingle_i = tokens[i] .. tokens[i+n-1].
+      // Guarded: sequence(0, negative) counts DOWNWARD, which would send
+      // element_at out of bounds for docs shorter than n tokens — those
+      // yield an empty array instead.
       val idx = sequence(lit(0), size(toks) - n)
-      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      when(size(toks) >= n,
+        transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(slice(toks, 1, 0))
     }
   }
 
@@ -209,6 +214,7 @@ object ApproxDedup {
     (0 until nBits)
       .map(bit => shiftright(a.bitwiseXOR(b), bit).bitwiseAND(1))
       .reduce(_ + _)
+      .cast("int")
 
   /** Embedding-cosine near-duplicate pairs above `threshold`.
     * Candidate stage: random-hyperplane LSH buckets; verification: exact

@@ -195,6 +195,19 @@ object RelationalQueries {
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
     ),
 
+    // ---- O1: global sort (order itself is exercised by o2's limit;
+    //      the hash compare is order-insensitive, so this verifies the
+    //      sorted projection's content and that the sort plan executes) ----
+    Q(
+      "o1_global_sort",
+      (s, dir) =>
+        Tables
+          .supplier(s, dir)
+          .orderBy(col("s_nationkey").asc, col("s_suppkey").desc)
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_name")),
+      Some("SELECT s_suppkey, s_nationkey, s_name FROM supplier")
+    ),
+
     // ---- F6: CASE decode chains (rating / yes-no / rescale) ----
     Q(
       "f6_case_decodes",

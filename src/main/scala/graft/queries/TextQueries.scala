@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
 import graft.operators.{ApproxDedup, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
@@ -290,6 +291,72 @@ object TextQueries {
               |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
               |  FROM s)
               |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $KnnK""".stripMargin)
+    ),
+
+    // ---- ANN scale path: LSH-bucketed top-k with multi-probe ----
+    Q(
+      "ann_knn_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity
+          .lshTopK(
+            corpus = emb.select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK,
+            nPlanes = CosPlanes,
+            dim = EmbeddingDim
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some {
+        val planes = VectorFunctions.randomPlanes(CosPlanes, EmbeddingDim)
+        val bucket = planes.zipWithIndex
+          .map { case (p, i) =>
+            val arr = p.map(_.toString).mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }
+          .mkString(" + ")
+        val probeList = ("b0" +: (0 until CosPlanes).map(i => s"xor(b0, ${1 << i})")).mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM b WHERE vec_id % 100 = 0),
+           |probes AS (SELECT query_id, qv, u.p AS bucket
+           |  FROM q, unnest([$probeList]) AS u(p)),
+           |cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id, p.qv, c.v AS cv
+           |  FROM probes p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id),
+           |sc AS (SELECT query_id, neighbor_id,
+           |    list_dot_product(qv, cv) /
+           |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+           |  FROM cand),
+           |r AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
+    // ---- multimodal: batched decode/feature-extract plumbing ----
+    Q(
+      "multimodal_feature_extract",
+      (s, dir) => {
+        val packed = Multimodal.pack(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "doc_id",
+          dataCol = "text",
+          modality = "text",
+          mime = "text/plain"
+        )
+        Multimodal.extractFeatures(packed, dim = 16, batchSize = 64)
+      },
+      // the oracle mirrors decodeStub: feature i = byte i of md5(payload)
+      // as unsigned / 255 - 0.5, rounded once to float
+      Some("""SELECT doc_id AS media_id,
+             |list_transform(generate_series(0, 15),
+             |  i -> CAST(CAST('0x' || substr(md5(text), CAST(2*(i%16)+1 AS INT), 2) AS INT) / 255.0 - 0.5 AS FLOAT)) AS features,
+             |16 AS feat_dim FROM documents""".stripMargin)
     ),
 
     // ---- multimodal: opaque binary payload + typed metadata ----

@@ -17,9 +17,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     at-least-once incremental cursor (T2); replays are tolerated
   *     because consumers dedup by latest archive_id (T3)
   *   - sink: append-only parquet archive via foreachBatch, each row
-  *     stamped with a monotonically increasing archive_id
-  *     (batchId * 2^32 + partition-local id — unique and ordered across
-  *     batches without any driver-side counter or global coordination)
+  *     stamped with a monotonically increasing archive_id laid out as
+  *     [batchId:20 | partitionId:20 | rowInPartition:24] — unique and
+  *     batch-ordered without any driver-side counter, global
+  *     coordination, or shuffle (bounds: 1M batches, 1M partitions,
+  *     16M rows per partition per batch)
   *
   * Offsets/exactly-once bookkeeping come from the checkpoint dir; the
   * `recoverWatermark` bootstrap (MAX(archive_id) on restart) is kept for
@@ -52,10 +54,18 @@ object ArchiveStream {
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // monotonically_increasing_id packs partitionId at bit 33, so
+        // naively adding batchId*2^32 collides across batches (batch 2,
+        // partition 0 == batch 0, partition 1). Explicit bit fields:
+        // [batchId:20 | partitionId:20 | rowInPartition:24].
+        val rowInPartition =
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
         batch
           .withColumn(
             ArchiveIdCol,
-            lit(batchId * (1L << 32)) + monotonically_increasing_id()
+            lit(batchId << 44) +
+              shiftleft(spark_partition_id().cast("long"), 24) +
+              rowInPartition
           )
           .write
           .mode("append")

@@ -1,0 +1,135 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{ApproxDedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class ApproxDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: sliding word trigrams, too-short docs yield empty") {
+    val df  = Seq("a b c d", "x y").toDF("text")
+    val got = df.select(ApproxDedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty) // negative sequence bound -> empty via where-guard upstream
+  }
+
+  test("affine minhash: deterministic, equal sets -> equal signatures, disjoint differ") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),          // identical
+      (3L, "entirely different words here now")   // disjoint
+    ).toDF("id", "text")
+    val sigs = ApproxDedup
+      .withMinhashSignature(df, col("text"), n = 3, nHashes = 8)
+      .orderBy("id")
+      .collect()
+    val s1 = (0 until 8).map(i => sigs(0).getAs[Long](s"mh$i"))
+    val s2 = (0 until 8).map(i => sigs(1).getAs[Long](s"mh$i"))
+    val s3 = (0 until 8).map(i => sigs(2).getAs[Long](s"mh$i"))
+    assert(s1 == s2)
+    assert(s1 != s3)
+    assert(s1.forall(v => v >= 0 && v < ApproxDedup.MinhashMod))
+  }
+
+  test("lshCandidatePairs: identical docs collide, pairs are ordered + distinct") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "h i j k l m n")
+    ).toDF("id", "text")
+    val sigs  = ApproxDedup.withMinhashSignature(df, col("text"), 3, 8)
+    val pairs = ApproxDedup.lshCandidatePairs(sigs, "id", 8, 2).as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L))) // every band collides for 1-2; 3 joins nothing
+  }
+
+  test("ngramJaccardPairs: exact jaccard on shared-shingle candidates") {
+    val df = Seq(
+      (1L, "a b c d"), // shingles {abc, bcd}
+      (2L, "a b c e"), // shingles {abc, bce} -> jaccard 1/3 with doc 1
+      (3L, "x y z w")  // no overlap
+    ).toDF("id", "text")
+    val got = ApproxDedup
+      .ngramJaccardPairs(df, "id", col("text"), n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)]
+      .collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("cosineNearDupPairs: identical vectors pair up, orthogonal do not") {
+    val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val v3 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq((1L, v1.toSeq), (2L, v1.toSeq), (3L, v3.toSeq)).toDF("id", "v")
+    val got = ApproxDedup
+      .cosineNearDupPairs(df, "id", "v", nPlanes = 4, dim = 4, threshold = 0.99)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: withSimhash matches the column formulation; near-dup Hamming small") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val staged = ApproxDedup
+      .withSimhash(df, col("text"), 16, "sh")
+      .orderBy("id")
+      .select("sh")
+      .as[Long]
+      .collect()
+    val direct = df
+      .orderBy("id")
+      .select(ApproxDedup.simhash(col("text"), 16))
+      .as[Long]
+      .collect()
+    assert(staged.toSeq == direct.toSeq)
+    assert(staged(0) == staged(1))
+    val dist = spark
+      .range(1)
+      .select(
+        ApproxDedup.hammingDistance(lit(staged(0)), lit(staged(2)), 16)
+      )
+      .as[Int]
+      .head()
+    assert(dist > 0)
+  }
+
+  test("lshTopK: self-similar corpus returns the identical vector at rank 1") {
+    val base = Array(0.5f, -0.25f, 0.75f, 0.1f)
+    val corpus = Seq(
+      (1L, base.toSeq),
+      (2L, base.map(_ * 2.0f).toSeq),           // same direction -> cos 1
+      (3L, Seq(-0.5f, 0.25f, -0.75f, -0.1f))    // opposite
+    ).toDF("id", "v")
+    val queries = Seq((1L, base.toSeq)).toDF("id", "v")
+    val got = Similarity
+      .lshTopK(corpus, queries, "id", "v", k = 2, nPlanes = 4, dim = 4)
+      .select("neighbor_id", "rank")
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(got.get(2L).contains(1)) // cos=1 neighbor first
+  }
+
+  test("multimodal: pack schema + deterministic stubbed feature extraction") {
+    val df     = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val packed = Multimodal.pack(df, "doc_id", "text", "text", "text/plain")
+    // same names + types; nullability may tighten when inputs are non-null
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
+    assert(shape(packed.schema) == shape(Multimodal.PayloadSchema))
+    val feats = Multimodal.extractFeatures(packed, dim = 16, batchSize = 4).collect()
+    assert(feats.length == 1)
+    val arr = feats(0).getSeq[Float](feats(0).fieldIndex("features"))
+    assert(arr.length == 16)
+    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3 -> first byte 0x5e
+    assert(math.abs(arr.head - (0x5e / 255.0 - 0.5)) < 1e-7)
+    // null payloads are skipped
+    val withNull = packed.unionByName(
+      Seq((8L, "text", null.asInstanceOf[Array[Byte]]))
+        .toDF("media_id", "modality", "payload")
+        .withColumn("meta", lit(null).cast(Multimodal.PayloadSchema("meta").dataType))
+    )
+    assert(Multimodal.extractFeatures(withNull, 16, 4).count() == 1)
+  }
+}
