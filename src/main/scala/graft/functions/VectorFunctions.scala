@@ -15,9 +15,22 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
+  /** Dot product over ALREADY-double arrays (skips the per-evaluation
+    * float->double transform — for hot paths that pre-cast once).
+    */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine from pre-cast double vectors and precomputed norms. Same
+    * operation order as `cosine`, so results are bit-identical — but each
+    * side's norm is computed once per ROW instead of once per PAIR.
+    */
+  def cosinePre(aD: Column, bD: Column, aNorm: Column, bNorm: Column): Column =
+    dotD(aD, bD) / (aNorm * bNorm)
 
   /** Sign bit (1/0) of the projection of `v` onto a constant hyperplane.
     * Hyperplanes come from a seeded RNG on the driver — data-independent

@@ -231,24 +231,34 @@ object ApproxDedup {
       threshold: Double
   ): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
+    // double-cast vectors + norms are computed once per row here, then
+    // ride through the bucket groupBy as (vec, norm) structs so the
+    // per-pair verify is just a dot product and one divide
     val bucketed = emb.select(
       col(idCol).as("id"),
-      col(vecCol).as("v"),
+      struct(
+        VectorFunctions.toDouble(col(vecCol)).as("v"),
+        VectorFunctions.norm2(col(vecCol)).as("n")
+      ).as("vn"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket")
     )
     val paired = bucketed
       .groupBy("bucket")
-      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("v"))).as("m"))
+      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("vn"))).as("m"))
       .where(size(col("m")) > 1)
       .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))))).as("p"))
       .select(
         col("p.id_a").as("id_a"),
         col("p.id_b").as("id_b"),
-        element_at(col("m"), col("p.id_a")).as("v_a"),
-        element_at(col("m"), col("p.id_b")).as("v_b")
+        element_at(col("m"), col("p.id_a")).as("vn_a"),
+        element_at(col("m"), col("p.id_b")).as("vn_b")
       )
     paired
-      .withColumn("cos", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .withColumn(
+        "cos",
+        VectorFunctions.cosinePre(
+          col("vn_a.v"), col("vn_b.v"), col("vn_a.n"), col("vn_b.n"))
+      )
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()

@@ -28,11 +28,24 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // pre-cast to double and precompute norms ONCE PER ROW — the join
+    // would otherwise re-derive both norms for every (query, corpus) pair
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("q_norm")
+    )
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("c_norm")
+    )
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .withColumn(
+        "cos",
+        VectorFunctions.cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+      )
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -56,12 +69,14 @@ object Similarity {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec"),
+      VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("c_norm"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket")
     )
     val qBase = queries.select(
       col(idCol).as("query_id"),
-      col(vecCol).as("q_vec"),
+      VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("q_norm"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket0")
     )
     // multi-probe: own bucket + all buckets at Hamming distance 1
@@ -69,11 +84,14 @@ object Similarity {
       case 0 => col("bucket0")
       case i => col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
     }: _*)
-    val q = qBase.select(col("query_id"), col("q_vec"), explode(probes).as("bucket"))
+    val q = qBase.select(col("query_id"), col("q_vec"), col("q_norm"), explode(probes).as("bucket"))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+      .withColumn(
+        "cos",
+        VectorFunctions.cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+      )
       // a (query, neighbor) pair can collide via several probes
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
