@@ -99,4 +99,87 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, FeatureSchema)
   }
+
+  /** STUB image resize: real implementation decodes, scales to w×h, and
+    * re-encodes; the stub derives a deterministic wid×hei-byte payload
+    * from the source bytes so the distributed contract (binary->binary,
+    * same partitioning, metadata refresh) is real and testable.
+    */
+  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(w * h)(i => (digest(i % digest.length) ^ (i & 0x7f)).toByte)
+  }
+
+  /** Resize every payload to `w`×`h` (stubbed decode, see resizeStub) and
+    * refresh the typed metadata — a pure map stage over the packed frame.
+    */
+  def resize(packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = packed.sparkSession
+    val rdd = packed
+      .select(col("media_id"), col("modality"), col("payload"), col("meta.mime"))
+      .rdd
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.collect {
+            case r: Row if !r.isNullAt(2) =>
+              val out = resizeStub(r.getAs[Array[Byte]](2), w, h)
+              Row(r.getLong(0), r.getString(1), out, r.getString(3))
+          }
+        }
+      }
+    val schema = StructType(
+      Seq(
+        StructField("media_id", LongType),
+        StructField("modality", StringType),
+        StructField("payload", BinaryType),
+        StructField("mime", StringType)
+      )
+    )
+    spark
+      .createDataFrame(rdd, schema)
+      .select(
+        col("media_id"),
+        col("modality"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          col("mime"),
+          md5(col("payload")).as("checksum")
+        ).as("meta")
+      )
+  }
+
+  /** STUB video frame sampling: real implementation demuxes and decodes
+    * every `stride`-th frame; the stub cuts the payload into fixed-size
+    * chunks and keeps every `stride`-th one. Emits one row per sampled
+    * frame — the fan-out shape (explode semantics, frame_no ordering,
+    * per-frame payloads) is the real contract.
+    */
+  def sampleFrames(packed: DataFrame, stride: Int, frameBytes: Int = 32): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val spark = packed.sparkSession
+    val rdd = packed
+      .select(col("media_id"), col("payload"))
+      .rdd
+      .mapPartitions { it =>
+        it.flatMap {
+          case r: Row if !r.isNullAt(1) =>
+            val bytes = r.getAs[Array[Byte]](1)
+            bytes
+              .grouped(frameBytes)
+              .zipWithIndex
+              .filter(_._2 % stride == 0)
+              .map { case (chunk, i) => Row(r.getLong(0), i, chunk) }
+          case _ => Iterator.empty
+        }
+      }
+    val schema = StructType(
+      Seq(
+        StructField("media_id", LongType),
+        StructField("frame_no", IntegerType),
+        StructField("frame", BinaryType)
+      )
+    )
+    spark.createDataFrame(rdd, schema)
+  }
 }

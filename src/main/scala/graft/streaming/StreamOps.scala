@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators beyond the reference's poll loop: the
+  * Structured-Streaming-native capabilities a scaled deployment of this
+  * pipeline needs (the reference has no event-time semantics at all —
+  * SURVEY §2.10: "late" data just becomes a new SCD2 version).
+  *
+  *   - `windowedCounts`: watermarked tumbling-window aggregation. State
+  *     is bounded by the watermark: windows older than `delayThreshold`
+  *     are finalized and evicted, so the job runs forever at constant
+  *     memory per key-window.
+  *   - `dedupFirstSeen`: cross-batch exactly-once dedup via
+  *     flatMapGroupsWithState — emits the FIRST occurrence of each key
+  *     and drops replays (the at-least-once archive's consumer-side
+  *     guarantee, T3, upgraded to streaming state). State per key is one
+  *     boolean + timeout timestamp, evicted by processing-time timeout.
+  */
+object StreamOps {
+  /** Tumbling event-time window counts with a watermark.
+    *
+    * @param events   streaming frame with an event-time column
+    * @param tsCol    event-time column (TimestampType)
+    * @param windowDuration  e.g. "1 hour"
+    * @param delayThreshold  watermark lateness bound, e.g. "10 minutes"
+    */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      delayThreshold: String,
+      aggCols: Seq[org.apache.spark.sql.Column] = Seq(count(lit(1)).as("n"))
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, delayThreshold)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("*")
+      )
+      .drop("window")
+
+  /** Cross-batch first-seen dedup. With `stateTtl` set, keys expire from
+    * state after that much processing-time inactivity (bounded state — an
+    * expired key seen again is re-emitted, which callers accept for
+    * TTL >> replay horizon; same contract as any TTL'd dedup cache).
+    * TTL requires a real trigger interval: under the default
+    * as-fast-as-possible trigger, timeout evaluation schedules continuous
+    * empty micro-batches (and `processAllAvailable` never settles), so
+    * pass None for unbounded state in tests/short-lived jobs.
+    */
+  def dedupFirstSeen[K: Encoder, V: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      stateTtl: Option[String] = Some("1 hour")
+  ): Dataset[V] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(),
+        timeoutConf
+      ) { (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else if (state.exists) {
+          // key already emitted in an earlier batch -> drop replays
+          stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.empty
+        } else if (rows.hasNext) {
+          state.update(true)
+          stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.single(rows.next()) // first occurrence only
+        } else Iterator.empty
+      }
+  }
+}

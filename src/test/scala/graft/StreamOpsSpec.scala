@@ -1,0 +1,91 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts: tumbling event-time windows with watermark") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.windowedCounts(
+      stream.toDF().toDF("ts", "v"),
+      "ts",
+      windowDuration = "1 hour",
+      delayThreshold = "30 minutes",
+      aggCols = Seq(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+    )
+    val q = out.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("update")
+      .start()
+    stream.addData(
+      (ts("2024-01-01 10:05:00"), 1L),
+      (ts("2024-01-01 10:40:00"), 2L),
+      (ts("2024-01-01 11:10:00"), 10L)
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("win_counts")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n", $"sum_v")
+      .as[(String, Long, Long)]
+      .collect()
+      .map { case (w, n, s) => w -> ((n, s)) }
+      .toMap
+    assert(got("10:00") == (2L, 3L))
+    assert(got("11:00") == (1L, 10L))
+  }
+
+  test("dedupFirstSeen: replays across batches are dropped") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val deduped =
+      StreamOps.dedupFirstSeen[Long, (Long, String)](stream.toDS(), _._1, stateTtl = None)
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("first_seen")
+      .outputMode("append")
+      .start()
+    stream.addData((1L, "a1"), (2L, "b1"))
+    q.processAllAvailable()
+    stream.addData((1L, "a2-replay"), (3L, "c1")) // 1 replays in a later batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("first_seen").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+  }
+
+  test("multimodal resize: deterministic payloads, refreshed metadata") {
+    val packed  = Multimodal.pack(Seq((1L, "payload-one")).toDF("id", "data"), "id", "data", "image", "img/fake")
+    val resized = Multimodal.resize(packed, w = 8, h = 4)
+    val row = resized.head()
+    val payload = row.getAs[Array[Byte]]("payload")
+    assert(payload.length == 32)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(meta.getAs[Int]("n_bytes") == 32)
+    assert(meta.getAs[String]("mime") == "img/fake")
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(packed, 8, 4).head().getAs[Array[Byte]]("payload")
+    assert(payload.sameElements(again))
+  }
+
+  test("multimodal sampleFrames: every stride-th fixed-size chunk, ordered") {
+    val data   = ("x" * 100) // 100 bytes -> 13 chunks of 8
+    val packed = Multimodal.pack(Seq((5L, data)).toDF("id", "data"), "id", "data", "video", "vid/fake")
+    val frames = Multimodal
+      .sampleFrames(packed, stride = 3, frameBytes = 8)
+      .orderBy("frame_no")
+      .collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9, 12))
+    assert(frames.take(4).forall(_.getAs[Array[Byte]]("frame").length == 8))
+    assert(frames.last.getAs[Array[Byte]]("frame").length == 4) // tail chunk
+  }
+}
