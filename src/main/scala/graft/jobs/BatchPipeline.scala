@@ -1,0 +1,99 @@
+package graft.jobs
+
+import graft.conform.Validity
+import graft.functions.Fingerprint
+import graft.operators.{CdcRouter, Dedup, Scd2}
+import graft.sinks.{AuditCounts, SnapshotSink}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One incremental-feed load, end to end — the reference's
+  * CSV/JSON/XML `main()` lifecycle (SURVEY §3, §2.11) as a library call:
+  *
+  *   dedup (W1) -> fingerprint (F1-F3) -> key-prefix (F4) -> validity
+  *   flag (F6) -> probe actives (S2/J1) -> route (§2.11 step 4) ->
+  *   SCD2 merge + audit (K1/K3)
+  *
+  * Per-source conform (timestamp formats, decoders) happens in the feed
+  * frame BEFORE this call, exactly as each reference pipeline conforms
+  * before hashing — so hashes cover post-conform values for JSON/XML and
+  * raw strings for CSV, matching the per-pipeline hash canon (SURVEY
+  * §7.4 risk 1).
+  *
+  * Scale: every step is a distributed set operation — one window shuffle
+  * for dedup, a broadcast probe join, a broadcast close-out join in the
+  * merge. No collect, no driver loops; the snapshot is parquet (Delta /
+  * Iceberg MERGE INTO at deployment).
+  */
+final case class FeedSpec(
+    keyCol: String,             // business id column in the feed
+    sourcePrefix: String,       // SSI prefix, e.g. "AT&T - " (F4)
+    tiebreak: Seq[Column],      // deterministic latest-wins order (W1)
+    mandatoryCols: Seq[String]  // validity-checked columns (F6)
+)
+
+object BatchPipeline {
+  val SsiCol   = "SOURCE_SYSTEM_IDENTIFIER"
+  val HashCol  = "SOURCE_HASH_KEY"
+  val ValidCol = "IS_VALID_DATA"
+
+  /** Steps 1-2 + flags: dedup, fingerprint over ALL feed columns in feed
+    * order (before prefixing — §2.11 step 2), source-qualified key,
+    * validity flag. Invalid rows are kept and flagged, never dropped
+    * (reference loads them with IS_VALID_DATA=0).
+    */
+  def conformFeed(feed: DataFrame, spec: FeedSpec): DataFrame = {
+    val payloadCols = feed.columns.toSeq
+    Dedup
+      .latestPerKey(feed, Seq(spec.keyCol), spec.tiebreak)
+      .withColumn(HashCol, Fingerprint.rowHash(payloadCols.map(col)))
+      .withColumn(SsiCol, concat(lit(spec.sourcePrefix), col(spec.keyCol).cast("string")))
+      .withColumn(ValidCol, Validity.flag(spec.mandatoryCols.map(col)))
+  }
+
+  /** Probe the snapshot's active rows and attach ROUTER_GROUP. */
+  def route(conformed: DataFrame, snapshot: DataFrame): DataFrame = {
+    val probe = snapshot
+      .where(col(Scd2.ActiveFlag) === 1)
+      .select(col(SsiCol).as("__hssi"), col(HashCol).as("__hhash"))
+    CdcRouter
+      .route(conformed, broadcast(probe), SsiCol, HashCol, "__hssi", "__hhash")
+      .drop("__hssi", "__hhash")
+  }
+
+  /** Run one increment against the SCD2 snapshot at `snapshotPath`.
+    * `loadTs` is a frozen per-batch timestamp string (reference's
+    * datetime.now() captured once — SURVEY §7.4 risk 5).
+    */
+  def runIncrement(
+      spark: SparkSession,
+      snapshotPath: String,
+      feed: DataFrame,
+      spec: FeedSpec,
+      loadTs: String,
+      endOfTime: String = "2099-12-31 00:00:00"
+  ): AuditCounts = {
+    val conformed = conformFeed(feed, spec)
+    val snapshot = SnapshotSink.readSnapshot(
+      spark,
+      snapshotPath,
+      org.apache.spark.sql.types.StructType(
+        conformed.schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(Scd2.ActiveFlag, org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField(Scd2.StartDate, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(Scd2.EndDate, org.apache.spark.sql.types.StringType)
+        )
+      )
+    )
+    val routed = route(conformed, snapshot)
+    SnapshotSink.upsert(
+      spark,
+      snapshotPath,
+      routed,
+      SsiCol,
+      lit(loadTs),
+      lit(endOfTime),
+      validCol = Some(ValidCol)
+    )
+  }
+}

@@ -43,25 +43,42 @@ object SnapshotSink {
       endOfTime: Column,
       validCol: Option[String] = None
   ): AuditCounts = {
-    val current = readSnapshot(spark, path, routed.drop(CdcRouter.RouterCol).schema)
+    // first-run snapshot must already carry the SCD2 columns Scd2.merge
+    // reads on the snapshot side (dates ride as 'yyyy-MM-dd HH:mm:ss'
+    // strings at this boundary, the reference's TEXT-date convention F13)
+    val base = routed.drop(CdcRouter.RouterCol).schema
+    val scdFields = Seq(
+      org.apache.spark.sql.types.StructField(Scd2.ActiveFlag, org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(Scd2.StartDate, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(Scd2.EndDate, org.apache.spark.sql.types.StringType)
+    ).filterNot(f => base.fieldNames.contains(f.name))
+    val current =
+      readSnapshot(spark, path, org.apache.spark.sql.types.StructType(base.fields ++ scdFields))
     val merged  = Scd2.merge(current, routed, key, loadTs, endOfTime)
 
     val tmp = path + ".staging"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+
+    // audit BEFORE the swap: routed's lineage reads the pre-swap snapshot
+    // files, which the rename below replaces (lazy evaluation would
+    // otherwise re-scan paths that no longer exist)
+    val counts = audit(CdcRouter.dropDuplicates(routed), validCol)
 
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
 
-    audit(CdcRouter.dropDuplicates(routed), validCol)
+    counts
   }
 
   /** One aggregation pass over the loaded batch (replaces the reference's
     * driver-side per-row counters, ETL/CSV_Batch_Processing.py:258-329).
     */
   def audit(loaded: DataFrame, validCol: Option[String]): AuditCounts = {
-    val validExpr = validCol.map(c => sum(col(c)).cast("long")).getOrElse(count(lit(1)))
+    // coalesce: sum() over an all-DUPLICATE (empty) batch is NULL
+    val validExpr =
+      validCol.map(c => coalesce(sum(col(c)).cast("long"), lit(0L))).getOrElse(count(lit(1)))
     val row = loaded
       .agg(count(lit(1)).as("total"), validExpr.as("valid"))
       .head()
