@@ -77,6 +77,29 @@ object CdcQueries {
       Some(s"$RoutedSql\nSELECT ssi, src_hash, router_group FROM routed")
     ),
 
+    // ---- S2/P8: historic snapshot probe — filter + rename projection,
+    //      predicates pushed into the scan (replaces the reference's
+    //      hand-written SQL, ETL/CSV_Batch_Processing.py:30-45) ----
+    Q(
+      "s2_snapshot_probe",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .where(col("o_orderkey") % 2 === 0 && col("o_orderstatus") === "F")
+          .select(
+            col("o_orderkey").as("HISTORIC_CSD_ID"),
+            concat(lit("ORD - "), col("o_orderkey").cast("string")).as("HISTORIC_SSI"),
+            Fingerprint
+              .rowHash(Seq(col("o_orderstatus"), col("o_orderpriority")))
+              .as("HISTORIC_HASHKEY")
+          ),
+      Some("""SELECT o_orderkey AS HISTORIC_CSD_ID,
+             |'ORD - ' || CAST(o_orderkey AS VARCHAR) AS HISTORIC_SSI,
+             |md5(concat_ws('||', coalesce(o_orderstatus, 'NULL'),
+             |  coalesce(o_orderpriority, 'NULL'))) AS HISTORIC_HASHKEY
+             |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'""".stripMargin)
+    ),
+
     // ---- K1/§2.11 step 5: SCD2 merge -> full post-merge snapshot ----
     Q(
       "scd2_merge_snapshot",
