@@ -80,4 +80,61 @@ object TextFunctions {
   def stopwordRatioMil(text: Column, stopwords: Seq[String]): Column =
     round(lit(1000.0) * markerHits(text, stopwords).cast("double") /
       tokenCount(text).cast("double")).cast(IntegerType)
+
+  /** Rolling-hash (Rabin-Karp) document fingerprint, winnowing-style:
+    * per-token base hashes h_t (md5-derived, mod P), then for every
+    * window of `w` consecutive tokens the polynomial hash
+    * sum(h_{i+j} * B^(w-1-j)) mod P, and finally the MINIMUM window hash
+    * as the document fingerprint — stable under edits far from the
+    * minimizing window (the robustness rolling/winnowing schemes buy
+    * over a whole-document hash). Everything is array expressions over
+    * one staged token-hash array: a narrow, shuffle-free map stage, and
+    * the same arithmetic is expressible in ANSI SQL for the oracle.
+    * Docs shorter than `w` tokens yield NULL.
+    */
+  val RollBase = 31L
+  val RollMod  = 2147483647L // 2^31-1; B*P + P < 2^63, overflow-free
+
+  /** Window hashes over an ALREADY-MATERIALIZED token-hash array column.
+    * Callers must stage that array in its own projection (see
+    * `withRollingFingerprint`): referencing a raw hash expression here
+    * would duplicate the whole md5 transform into every element_at,
+    * turning O(n) hashing per doc into O(n*w).
+    */
+  private def rollingMinOver(tokHashes: Column, w: Int): Column = {
+    val n   = size(tokHashes)
+    val idx = sequence(lit(0), n - w)
+    // each term is reduced mod P before summing: a raw product is < 2^62
+    // but a sum of w raw products would overflow Long
+    val windowHashes = transform(
+      idx,
+      i =>
+        (0 until w)
+          .map(j => (element_at(tokHashes, i + j + 1) * lit(pow(RollBase, w - 1 - j))) % RollMod)
+          .reduce(_ + _) % RollMod
+    )
+    when(n >= w, array_min(windowHashes)).otherwise(lit(null).cast("long"))
+  }
+
+  /** Adds `outCol` = rolling-hash fingerprint of `text` to `df`, staging
+    * the per-token hash array (one md5 per token total) first.
+    */
+  def withRollingFingerprint(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      w: Int,
+      outCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val staged = df.withColumn(
+      "__rollTokHashes",
+      transform(tokens(text), t => graft.functions.Fingerprint.hexToLong(md5(t)) % RollMod)
+    )
+    staged.select(
+      df.columns.map(col) :+ rollingMinOver(col("__rollTokHashes"), w).as(outCol): _*
+    )
+  }
+
+  /** B^e mod P as a plain Long constant (e small; folded at plan time). */
+  private def pow(b: Long, e: Int): Long =
+    (0 until e).foldLeft(1L)((acc, _) => (acc * b) % RollMod)
 }

@@ -108,6 +108,62 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // ---- stopword ratio (quality-signal component) ----
+    Q(
+      "text_stopword_ratio",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions
+              .stopwordRatioMil(col("text"), TextFunctions.LangMarkers.head._2)
+              .as("stop_mil")
+          ),
+      Some {
+        val ms = TextFunctions.LangMarkers.head._2
+        val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+        s"""SELECT doc_id,
+           |CAST(round(1000.0 * len(list_filter(string_split(text, ' '), x -> $cond))
+           |  / len(string_split(text, ' '))) AS INT) AS stop_mil
+           |FROM documents""".stripMargin
+      }
+    ),
+
+    // ---- rolling-hash (Rabin-Karp/winnowing-style) fingerprint ----
+    Q(
+      "text_rolling_fingerprint",
+      (s, dir) =>
+        TextFunctions.withRollingFingerprint(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          col("text"),
+          w = 4,
+          outCol = "roll_fp"
+        ).drop("text"),
+      Some {
+        val P = TextFunctions.RollMod
+        val B = TextFunctions.RollBase
+        // B^(w-1-j) constants for w=4, mirroring the Scala plan constants
+        val pows = (0 until 4).map(j => (0 until (3 - j)).foldLeft(1L)((a, _) => a * B % P))
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id, len(toks) AS n,
+           |    list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % $P) AS h
+           |  FROM t),
+           |wins AS (
+           |  SELECT doc_id, n,
+           |    CASE WHEN n >= 4 THEN
+           |      list_min(list_transform(generate_series(1, n - 3), u_i ->
+           |        ((h[u_i] * ${pows(0)}) % $P + (h[u_i + 1] * ${pows(1)}) % $P
+           |         + (h[u_i + 2] * ${pows(2)}) % $P + (h[u_i + 3] * ${pows(3)}) % $P) % $P))
+           |    END AS roll_fp
+           |  FROM h)
+           |SELECT doc_id, roll_fp FROM wins""".stripMargin
+      }
+    ),
+
     // ---- exact dedup groups (hash-groupBy) ----
     Q(
       "dedup_exact_groups",
