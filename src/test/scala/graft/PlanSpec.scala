@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-shape regression tests: pin the physical-plan properties PLANS.md
+  * documents, so a refactor that silently loses pushdown, broadcast, or
+  * single-evaluation shows up as a test failure, not a bench surprise.
+  */
+class PlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    SparkEntry
+      .queries(name)(spark, Sf)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("p5: all three predicates and column pruning reach the parquet scan") {
+    val p = plan("p5_filter_predicates")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+    assert(p.contains("LessThan(l_shipdate"))
+    assert(p.contains("Not(EqualTo(l_returnflag,N))"))
+    // pruned scan: 16-column lineitem read as 5 columns
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  /** One "Location: InMemoryFileIndex" line per physical scan node
+    * (the tree section repeats node NAMES, the detail section is unique).
+    */
+  private def scanCount(p: String): Int =
+    "Location: InMemoryFileIndex".r.findAllIn(p).size
+
+  test("j2: both dimension joins are broadcast, fact side never shuffles") {
+    val p = plan("j2_broadcast_dim_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(scanCount(p) == 3) // fact + 2 pruned dims
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange hashpartitioning")) // no fact-side shuffle
+  }
+
+  test("cdc_router: probe side broadcast, no shuffle of the feed") {
+    val p = plan("cdc_router")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("a4: aggregation is partial (map-side) before the exchange") {
+    val p = plan("a4_agg_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+  }
+
+  test("w1 + ann: per-key top-N is pre-shuffled via WindowGroupLimit") {
+    assert(plan("w1_window_dedup_latest").contains("WindowGroupLimit"))
+    assert(plan("ann_knn_bruteforce").contains("WindowGroupLimit"))
+  }
+
+  test("lsh pairs: signature pipeline evaluated once — exactly one documents scan") {
+    val p = plan("dedup_minhash_lsh_pairs")
+    assert(scanCount(p) == 1, "a bucket self-join would re-scan documents")
+  }
+
+  test("ngram jaccard: no cartesian/self-join of document sets") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    // candidate stage scans once; the narrow sizes frame is read once per
+    // join side (2-column pruned scans) — anything more means the shingle
+    // pipeline is being re-evaluated
+    assert(scanCount(p) <= 3)
+  }
+}
