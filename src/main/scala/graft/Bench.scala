@@ -19,19 +19,31 @@ object Bench {
     // minutes-long steal burst cannot capture every rep of one query.
     val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
-    val best  = scala.collection.mutable.Map.empty[String, Double]
+    val best   = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val t = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      // a rep that throws is a FAILURE, not a timing: record the error and
+      // never fold its wall time into the min (a crashing query must not
+      // masquerade as a fast one)
+      try {
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+          System.err.println(s"[bench] FAILED $name: ${failed(name)}")
+      }
     }
-    val results = names.map(n => n -> best(n)).toMap
+    // failed-only queries report -1 (the old sentinel) and are excluded
+    // from the total so a crash cannot read as a fast suite
+    val results = names.map(n => n -> best.getOrElse(n, -1.0)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failures = failed.keys.toSeq.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

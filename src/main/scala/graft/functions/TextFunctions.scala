@@ -66,7 +66,13 @@ object TextFunctions {
     val divTerm = lit(40.0) * distinctTokenCount(text).cast("double") / nTok
     val alpha   = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
     val noiseTerm = lit(20.0) * alpha / length(text).cast("double")
-    round(lenTerm + divTerm + noiseTerm).cast(IntegerType)
+    // empty docs pin to 0: division by length(text)=0 is IEEE NaN in
+    // Spark but +inf in DuckDB — an explicit guard keeps both engines
+    // (and downstream filters) on a defined value. (nTok is never 0:
+    // split() yields [""] for empty strings.)
+    when(length(text) === 0, lit(0))
+      .otherwise(round(lenTerm + divTerm + noiseTerm))
+      .cast(IntegerType)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized, lowercased text.

@@ -84,20 +84,22 @@ object Multimodal {
       batchSize: Int = 64
   ): DataFrame = {
     val spark = packed.sparkSession
-    val rdd = packed
+    import spark.implicits._
+    // typed mapPartitions (not .rdd): the plan stays a Dataset transform,
+    // so AQE / plan reuse / downstream codegen survive the codec stage
+    packed
       .select(col("media_id"), col("payload"))
-      .rdd
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch init would go here (codec/model handle)
           batch.iterator.collect {
-            case r: Row if !r.isNullAt(1) =>
-              val feats = decodeStub(r.getAs[Array[Byte]](1), dim)
-              Row(r.getLong(0), feats.toSeq, dim)
+            case (id, payload) if payload != null =>
+              (id, decodeStub(payload, dim), dim)
           }
         }
       }
-    spark.createDataFrame(rdd, FeatureSchema)
+      .toDF("media_id", "features", "feat_dim")
   }
 
   /** STUB image resize: real implementation decodes, scales to w×h, and
@@ -115,28 +117,19 @@ object Multimodal {
     */
   def resize(packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     val spark = packed.sparkSession
-    val rdd = packed
+    import spark.implicits._
+    packed
       .select(col("media_id"), col("modality"), col("payload"), col("meta.mime"))
-      .rdd
+      .as[(Long, String, Array[Byte], String)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.collect {
-            case r: Row if !r.isNullAt(2) =>
-              val out = resizeStub(r.getAs[Array[Byte]](2), w, h)
-              Row(r.getLong(0), r.getString(1), out, r.getString(3))
+            case (id, modality, payload, mime) if payload != null =>
+              (id, modality, resizeStub(payload, w, h), mime)
           }
         }
       }
-    val schema = StructType(
-      Seq(
-        StructField("media_id", LongType),
-        StructField("modality", StringType),
-        StructField("payload", BinaryType),
-        StructField("mime", StringType)
-      )
-    )
-    spark
-      .createDataFrame(rdd, schema)
+      .toDF("media_id", "modality", "payload", "mime")
       .select(
         col("media_id"),
         col("modality"),
@@ -158,28 +151,21 @@ object Multimodal {
   def sampleFrames(packed: DataFrame, stride: Int, frameBytes: Int = 32): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     val spark = packed.sparkSession
-    val rdd = packed
+    import spark.implicits._
+    packed
       .select(col("media_id"), col("payload"))
-      .rdd
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap {
-          case r: Row if !r.isNullAt(1) =>
-            val bytes = r.getAs[Array[Byte]](1)
-            bytes
+          case (id, payload) if payload != null =>
+            payload
               .grouped(frameBytes)
               .zipWithIndex
               .filter(_._2 % stride == 0)
-              .map { case (chunk, i) => Row(r.getLong(0), i, chunk) }
+              .map { case (chunk, i) => (id, i, chunk) }
           case _ => Iterator.empty
         }
       }
-    val schema = StructType(
-      Seq(
-        StructField("media_id", LongType),
-        StructField("frame_no", IntegerType),
-        StructField("frame", BinaryType)
-      )
-    )
-    spark.createDataFrame(rdd, schema)
+      .toDF("media_id", "frame_no", "frame")
   }
 }

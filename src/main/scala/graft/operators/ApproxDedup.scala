@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *     expansion, NOT a bucket self-join: one shuffle of narrow
   *     (bucket, id) rows, a single evaluation of the signature pipeline,
   *     and shuffle volume proportional to the number of (bucket, doc)
-  *     pairs, never |docs|^2. Skew caveat: a degenerate bucket holding B
-  *     ids emits B^2/2 pairs from one task — same output size as any
-  *     formulation, but concentrated; at scale, cap bucket width or salt
-  *     the band key if a corpus has massive exact-dup families;
+  *     pairs, never |docs|^2. Degenerate buckets (massive exact-dup
+  *     families, adversarial collisions) are truncated to the first
+  *     `maxBucket` ids in sorted order — deterministic, oracle-mirrorable,
+  *     and a no-op on healthy data — so no single task ever materializes
+  *     an unbounded B^2/2 pair expansion;
   *   - exact verification (Jaccard / cosine) runs only on candidates.
   */
 object ApproxDedup {
@@ -43,17 +44,32 @@ object ApproxDedup {
     }
   }
 
+  /** Hard ceiling on bucket width for in-bucket pair expansion: a bucket
+    * of B ids materializes B(B-1)/2 pairs in ONE task, so an uncapped
+    * degenerate bucket (mass-duplicated content, an adversarial band
+    * collision) is a single-task OOM at scale. Buckets are truncated to
+    * the first `maxBucket` ids in sorted order — deterministic on both
+    * engines (oracles mirror the same list-slice), and a no-op whenever
+    * every bucket is narrower than the cap. 4096 ids = ~8.4M pairs from
+    * one task, the most a healthy task should ever emit.
+    */
+  val DefaultMaxBucket = 4096
+
   /** All unordered pairs (a, b) with a < b from a sorted-ascending,
     * duplicate-free id array — pure array expressions, evaluated inside
-    * the bucket's own task (no join).
+    * the bucket's own task (no join). The array is capped to its first
+    * `maxBucket` ids (see DefaultMaxBucket).
     */
-  private def pairsWithin(ids: Column): Column =
+  private def pairsWithin(ids: Column, maxBucket: Int): Column = {
+    val capped = slice(ids, 1, maxBucket)
     flatten(
       transform(
-        ids,
-        (x, i) => transform(slice(ids, i + 2, size(ids)), y => struct(x.as("id_a"), y.as("id_b")))
+        capped,
+        (x, i) =>
+          transform(slice(capped, i + 2, size(capped)), y => struct(x.as("id_a"), y.as("id_b")))
       )
     )
+  }
 
   /** Affine re-hash family for MinHash over one md5 base hash:
     * mh_i = min over shingles of (A_i * h + B_i) mod P, with
@@ -108,7 +124,8 @@ object ApproxDedup {
       sigs: DataFrame,
       idCol: String,
       nHashes: Int,
-      rowsPerBand: Int
+      rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     val nBands = nHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
@@ -120,7 +137,7 @@ object ApproxDedup {
       .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(explode(pairsWithin(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
@@ -132,36 +149,76 @@ object ApproxDedup {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
-  /** n-gram Jaccard near-dup pairs above `threshold`, verified exactly.
-    * Candidates and intersection sizes come from one pass: explode
-    * distinct shingles, group by shingle, expand in-group pairs, count
-    * co-occurrences — |intersection| directly, with recall exact for any
-    * threshold > 0 (every qualifying pair shares >= 1 shingle). Set
-    * sizes are a separate narrow map stage over the docs (no shuffle),
-    * and |union| = |a| + |b| - |intersection|, so the shingle arrays
-    * themselves never travel through a shuffle. At extreme scale swap
-    * the candidate stage for `lshCandidatePairs`.
+  /** n-gram Jaccard near-dup pairs above `threshold`, verified exactly,
+    * with an AllPairs/PPJoin-style PREFIX-FILTERED candidate stage
+    * (Bayardo et al., WWW'07; Vernica et al., SIGMOD'10 for the
+    * group-by-prefix-token MapReduce shape):
+    *
+    *   1. per-doc sorted distinct shingle set (narrow map stage);
+    *   2. global shingle document-frequency (one count shuffle);
+    *   3. each doc keeps only its PREFIX — the first
+    *      |d| - ceil(t*|d|) + 1 shingles in rare-first (df asc, shingle
+    *      asc) global order. Any pair with J >= t must share a shingle
+    *      lying in BOTH prefixes under a consistent total order, so
+    *      recall stays exact while the highest-frequency ~t*|d| shingles
+    *      of every doc — exactly the stopword shingles whose buckets
+    *      blow up quadratically — never enter candidate generation;
+    *   4. candidates = in-bucket pairs over prefix shingles only,
+    *      bucket-capped (see DefaultMaxBucket);
+    *   5. exact verify: join the two shingle sets back, |intersection|
+    *      via array_intersect, |union| = |a| + |b| - |intersection|.
+    *
+    * vs the naive shared-shingle candidate stage (round 1): a shingle
+    * shared by B docs emitted B^2/2 candidate pairs from one task; with
+    * rare-first prefixes a frequent shingle is ranked past the prefix
+    * cutoff in almost every doc that contains it, so its bucket — and
+    * the candidate count — collapses. 129.7s -> low single digits at
+    * sf0.1 for identical output.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       text: Column,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(array_distinct(shingles(text, n))).as("s"))
-    val interCounts = exploded
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sets = docs
+      .select(col(idCol).as("id"), array_sort(array_distinct(shingles(text, n))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .where(col("sz") > 0)
+
+    val exploded = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val freq     = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+
+    // rank each doc's shingles in the global rare-first order and keep
+    // the prefix; (df, s) is a total order shared by every doc, which
+    // the prefix-filter correctness proof requires
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + lit(1)).cast("int")
+    val prefixes = exploded
+      .join(freq, "s")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("id"), explode(slice(col("ranked"), lit(1), prefixLen)).as("r"))
+      .select(col("id"), col("r.s").as("s"))
+
+    val candidates = prefixes
       .groupBy("s")
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
-      .select(explode(pairsWithin(col("ids"))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    val sizes = docs.select(col(idCol).as("id"), size(array_distinct(shingles(text, n))).as("n"))
-    interCounts
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(explode(pairsWithin(col("ids"), maxBucket)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+
+    // exact verify on candidates only: the candidate side is small, so
+    // AQE broadcasts it and the full shingle-set side never shuffles
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("n_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("n_b"))
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn(
         "jaccard",
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")).cast("double")
@@ -228,7 +285,8 @@ object ApproxDedup {
       vecCol: String,
       nPlanes: Int,
       dim: Int,
-      threshold: Double
+      threshold: Double,
+      maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
     // double-cast vectors + norms are computed once per row here, then
@@ -246,7 +304,7 @@ object ApproxDedup {
       .groupBy("bucket")
       .agg(map_from_arrays(collect_list(col("id")), collect_list(col("vn"))).as("m"))
       .where(size(col("m")) > 1)
-      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))))).as("p"))
+      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))), maxBucket)).as("p"))
       .select(
         col("p.id_a").as("id_a"),
         col("p.id_b").as("id_b"),

@@ -45,12 +45,16 @@ object CdcRouter {
       probeOnHash: Boolean = false
   ): DataFrame = {
     val joined = feed.join(historic, feed(feedKey) === historic(histKey), "left")
+    // resolve every probe column against its own side: bare col() would
+    // throw (or silently bind the wrong side) whenever feed and historic
+    // share a column name, and the public API must not rely on callers
+    // pre-renaming
     val missProbe: Column =
-      if (probeOnHash) col(histHash).isNull else col(histKey).isNull
+      if (probeOnHash) historic(histHash).isNull else historic(histKey).isNull
     joined.withColumn(
       RouterCol,
       when(missProbe, Insert)
-        .when(col(feedHash) === col(histHash), Duplicate)
+        .when(feed(feedHash) === historic(histHash), Duplicate)
         .otherwise(Update)
     )
   }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * Engine-portability rules used throughout (see round-1 notes):
   *   - money doubles are cast to DECIMAL(18,2) before arithmetic (exact,
   *     identical in both engines); derived money keeps scale 4;
+  *   - final projections NEVER emit DECIMAL (or array) columns: the
+  *     driver's cross-engine compare renders Spark-parquet and DuckDB
+  *     decimals differently. Money leaves the query as BIGINT scaled
+  *     integers (cents for scale 2, 1e-4 units for scale 4) — the
+  *     arithmetic stays exact decimal internally, only the output
+  *     representation changes;
   *   - integer outputs are explicit BIGINT/INT on both sides;
   *   - timestamps are compared as 'yyyy-MM-dd HH:mm:ss' strings or DATEs;
   *   - never cast double->int (Spark truncates, DuckDB rounds);
@@ -32,14 +38,18 @@ object RelationalQueries {
         li.select(
           col("l_orderkey"),
           col("l_linenumber"),
+          // exact decimal arithmetic, emitted as BIGINT 1e-4 units (the
+          // scale-4 value times 10000 is an exact integer)
           (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
             .cast("decimal(18,4)")
-            .as("revenue"),
+            .*(lit(10000))
+            .cast("long")
+            .as("revenue_e4"),
           to_date(col("l_shipdate")).as("ship_date")
         )
       },
       Some("""SELECT l_orderkey, l_linenumber,
-             |CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+             |CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * 10000 AS BIGINT) AS revenue_e4,
              |CAST(l_shipdate AS DATE) AS ship_date FROM lineitem""".stripMargin)
     ),
 
@@ -67,18 +77,21 @@ object RelationalQueries {
         li.where(to_date(col("l_shipdate")) <= lit("2000-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(dec(col("l_quantity"))).cast(D2).as("sum_qty"),
-            sum(dec(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
+            // exact decimal sums, emitted as BIGINT cents / 1e-4 units
+            sum(dec(col("l_quantity"))).cast(D2).*(lit(100)).cast("long").as("sum_qty_c"),
+            sum(dec(col("l_extendedprice"))).cast(D2).*(lit(100)).cast("long").as("sum_base_price_c"),
             sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-              .cast("decimal(18,4)")
-              .as("sum_disc_price"),
+              .cast("decimal(28,4)")
+              .*(lit(10000))
+              .cast("long")
+              .as("sum_disc_price_e4"),
             count(lit(1)).as("count_order")
           )
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+             |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_qty_c,
+             |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_base_price_c,
+             |CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS sum_disc_price_e4,
              |count(*) AS count_order
              |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
@@ -372,11 +385,11 @@ object RelationalQueries {
           .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"))
           .agg(
             count(lit(1)).as("n"),
-            sum(dec(col("value"))).cast(D2).as("sum_value")
+            sum(dec(col("value"))).cast(D2).*(lit(100)).cast("long").as("sum_value_c")
           ),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
              |count(*) AS n,
-             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             |CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_value_c
              |FROM events GROUP BY 1""".stripMargin)
     )
   )

@@ -98,12 +98,12 @@ object TextQueries {
             TextFunctions.docFingerprint(col("text")).as("fp")
           ),
       Some("""SELECT doc_id,
-             |CAST(round(
+             |CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
              |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
              |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
              |        / CAST(len(string_split(text,' ')) AS DOUBLE)
              |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             |        / CAST(length(text) AS DOUBLE)) AS INT) AS quality,
+             |        / CAST(length(text) AS DOUBLE)) END AS INT) AS quality,
              |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
              |FROM documents""".stripMargin)
     ),
@@ -405,14 +405,20 @@ object TextQueries {
           modality = "text",
           mime = "text/plain"
         )
-        Multimodal.extractFeatures(packed, dim = 16, batchSize = 64)
+        // final projections must be scalar (no array columns — the
+        // driver's compare cannot sort array cells): explode to one
+        // (media_id, i, feature) row per vector element; float -> double
+        // is an exact widening on both engines
+        Multimodal
+          .extractFeatures(packed, dim = 16, batchSize = 64)
+          .select(col("media_id"), posexplode(col("features")).as(Seq("i", "feature")))
+          .select(col("media_id"), col("i"), col("feature").cast("double").as("feature"))
       },
       // the oracle mirrors decodeStub: feature i = byte i of md5(payload)
-      // as unsigned / 255 - 0.5, rounded once to float
-      Some("""SELECT doc_id AS media_id,
-             |list_transform(generate_series(0, 15),
-             |  i -> CAST(CAST('0x' || substr(md5(text), CAST(2*(i%16)+1 AS INT), 2) AS INT) / 255.0 - 0.5 AS FLOAT)) AS features,
-             |16 AS feat_dim FROM documents""".stripMargin)
+      // as unsigned / 255 - 0.5, rounded once to float, widened to double
+      Some("""SELECT doc_id AS media_id, CAST(u.i AS INT) AS i,
+             |CAST(CAST(CAST('0x' || substr(md5(text), CAST(2*(u.i%16)+1 AS INT), 2) AS INT) / 255.0 - 0.5 AS FLOAT) AS DOUBLE) AS feature
+             |FROM documents, unnest(generate_series(0, 15)) AS u(i)""".stripMargin)
     ),
 
     // ---- multimodal: opaque binary payload + typed metadata ----

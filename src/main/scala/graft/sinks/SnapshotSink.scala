@@ -24,8 +24,14 @@ object SnapshotSink {
       path: String,
       schema: org.apache.spark.sql.types.StructType
   ): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    // crash recovery: a crash between "rename dst aside" and "rename
+    // staging in" leaves only the .bak — restore it before reading so no
+    // load ever observes a missing mart
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst)
+    if (fs.exists(dst))
       spark.read.schema(schema).parquet(path)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -64,10 +70,17 @@ object SnapshotSink {
     // otherwise re-scan paths that no longer exist)
     val counts = audit(CdcRouter.dropDuplicates(routed), validCol)
 
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // crash-safe swap: the old snapshot is renamed ASIDE (never deleted
+    // before the new one is in place), so every crash point leaves either
+    // the old or the new snapshot recoverable — readSnapshot restores a
+    // dangling .bak on the next load
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true) // leftover from a completed prior swap
+    if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
 
     counts
   }

@@ -18,10 +18,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     because consumers dedup by latest archive_id (T3)
   *   - sink: append-only parquet archive via foreachBatch, each row
   *     stamped with a monotonically increasing archive_id laid out as
-  *     [batchId:20 | partitionId:20 | rowInPartition:24] — unique and
-  *     batch-ordered without any driver-side counter, global
-  *     coordination, or shuffle (bounds: 1M batches, 1M partitions,
-  *     16M rows per partition per batch)
+  *     [batchId:19 | partitionId:20 | rowInPartition:24] (63 bits — the
+  *     sign bit stays clear so ids order correctly as signed longs) —
+  *     unique and batch-ordered without any driver-side counter, global
+  *     coordination, or shuffle. Bounds: 512K batches, 1M partitions,
+  *     16M rows per partition per batch; every field overflow FAILS
+  *     LOUDLY (require / raise_error) rather than silently bleeding
+  *     into the neighboring field and corrupting dedup-by-max
   *
   * Offsets/exactly-once bookkeeping come from the checkpoint dir; the
   * `recoverWatermark` bootstrap (MAX(archive_id) on restart) is kept for
@@ -57,15 +60,32 @@ object ArchiveStream {
         // monotonically_increasing_id packs partitionId at bit 33, so
         // naively adding batchId*2^32 collides across batches (batch 2,
         // partition 0 == batch 0, partition 1). Explicit bit fields:
-        // [batchId:20 | partitionId:20 | rowInPartition:24].
+        // [batchId:19 | partitionId:20 | rowInPartition:24] = 63 bits.
+        require(
+          batchId < (1L << 19),
+          s"archive_id batchId field overflow: $batchId >= 2^19"
+        )
+        // lower 33 bits of monotonically_increasing_id are the
+        // per-partition row counter; the layout grants it 24 bits, so
+        // anything past 16M rows/partition/batch must abort the batch,
+        // not silently bleed into the partitionId field
         val rowInPartition =
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+        val guardedRow = when(
+          rowInPartition >= (1L << 24),
+          raise_error(
+            concat(
+              lit("archive_id rowInPartition field overflow (>=2^24): "),
+              rowInPartition.cast("string")
+            )
+          ).cast("long")
+        ).otherwise(rowInPartition)
         batch
           .withColumn(
             ArchiveIdCol,
             lit(batchId << 44) +
               shiftleft(spark_partition_id().cast("long"), 24) +
-              rowInPartition
+              guardedRow
           )
           .write
           .mode("append")

@@ -56,6 +56,42 @@ class ApproxDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0 / 3.0)))
   }
 
+  test("ngramJaccardPairs: prefix filter loses no pair at the threshold boundary") {
+    // docs engineered so some shingles are common (high df, likely
+    // excluded from prefixes) and pairs sit right at / below threshold
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "a b c x y z"),
+      (4L, "p q r s t u"),
+      (5L, "a b c d e f") // exact dup of 1
+    ).toDF("id", "text")
+    def run(t: Double) =
+      ApproxDedup.ngramJaccardPairs(docs, "id", col("text"), n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+    // brute-force expected via the (exact) jaccard helper over all pairs
+    val sets = docs
+      .select(col("id"), array_sort(array_distinct(ApproxDedup.shingles(col("text"), 3))).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    def expected(t: Double) = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      uni   = sets(a).toSet.union(sets(b).toSet).size
+      j     = inter.toDouble / uni if j >= t
+    } yield (a, b, j)).toSet
+    for (t <- Seq(0.05, 0.25, 0.5, 1.0)) assert(run(t) == expected(t), s"threshold $t")
+  }
+
+  test("bucket cap: degenerate buckets truncate deterministically to first maxBucket ids") {
+    val docs = (1L to 10L).map(i => (i, "a b c d e")).toDF("id", "text") // one giant bucket
+    val sigs = ApproxDedup.withMinhashSignature(docs, col("text"), 3, 8)
+    val got = ApproxDedup
+      .lshCandidatePairs(sigs, "id", 8, 2, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    val want = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet
+    assert(got == want) // only the 4 smallest ids expand; 6 pairs, not 45
+  }
+
   test("cosineNearDupPairs: identical vectors pair up, orthogonal do not") {
     val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val v3 = Array(0.0f, 1.0f, 0.0f, 0.0f)

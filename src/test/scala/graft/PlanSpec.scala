@@ -60,9 +60,10 @@ class PlanSpec extends SparkSpec {
   test("ngram jaccard: no cartesian/self-join of document sets") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
-    // candidate stage scans once; the narrow sizes frame is read once per
-    // join side (2-column pruned scans) — anything more means the shingle
-    // pipeline is being re-evaluated
-    assert(scanCount(p) <= 3)
+    // prefix-filtered shape: the exploded shingle stream feeds both the
+    // df count and the rank join (2 scans), and the verify stage reads
+    // the shingle-set frame once per candidate side (2 more). 4 scans of
+    // narrow projections; more means a pipeline is being re-evaluated.
+    assert(scanCount(p) <= 4)
   }
 }
