@@ -28,9 +28,24 @@ import org.apache.spark.sql.functions._
 object ApproxDedup {
   /** Word n-gram (shingle) array, n >= 1, via sliding window over tokens.
     * Expressed with transform over index offsets (no explode needed).
+    *
+    * PERF: only for one-off/filter use. Inside higher-order lambdas
+    * Spark re-evaluates the argument subtree at EVERY reference — here
+    * each of the n element_at calls per window re-runs split(text), so
+    * shingling straight off text is O(T^2) string splits per document.
+    * Hot paths must materialize the token array in its own projection
+    * and call shinglesOfTokens on the column reference (round-2 fix:
+    * this single duplication made the sf0.1 jaccard/minhash queries
+    * ~100x slower than the same plan over staged tokens).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextFunctions.tokens(text), n)
+
+  /** Shingle array over an ALREADY-MATERIALIZED token-array column —
+    * pass a plain column reference so every element_at is an O(1) array
+    * access, not a re-evaluation of the tokenizer.
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     if (n == 1) toks
     else {
       // positions 0 .. size-n; shingle_i = tokens[i] .. tokens[i+n-1].
@@ -42,7 +57,6 @@ object ApproxDedup {
         transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
         .otherwise(slice(toks, 1, 0))
     }
-  }
 
   /** Hard ceiling on bucket width for in-bucket pair expansion: a bucket
     * of B ids materializes B(B-1)/2 pairs in ONE task, so an uncapped
@@ -101,10 +115,12 @@ object ApproxDedup {
     * array instead of each re-deriving shingles + md5 from raw text.
     */
   def withMinhashSignature(df: DataFrame, text: Column, n: Int, nHashes: Int): DataFrame = {
-    val staged = df.withColumn(
-      "__baseHashes",
-      transform(array_distinct(shingles(text, n)), s => baseHash(s))
-    )
+    val staged = df
+      .withColumn("__toks", TextFunctions.tokens(text))
+      .withColumn(
+        "__baseHashes",
+        transform(array_distinct(shinglesOfTokens(col("__toks"), n)), s => baseHash(s))
+      )
     val sigCols = (0 until nHashes).map { i =>
       array_min(transform(col("__baseHashes"), h => (h * affineA(i) + affineB(i)) % MinhashMod))
         .as(s"mh$i")
@@ -184,10 +200,18 @@ object ApproxDedup {
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // tokens staged in their own projection (see shinglesOfTokens), the
+    // shingle-set array staged in the next — every downstream reference
+    // (explode, size, both verify sides) reads materialized arrays
     val sets = docs
-      .select(col(idCol).as("id"), array_sort(array_distinct(shingles(text, n))).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .where(col("sz") > 0)
+      .withColumn("__toks", TextFunctions.tokens(text))
+      // cheap equivalent of size(sh) > 0: pushdown substitutes the
+      // filter's aliases all the way back to raw text, so filtering on
+      // the shingle array would re-evaluate the whole O(T^2) shingle
+      // tree inside the scan — the token-count form costs one split
+      .where(size(col("__toks")) >= n)
+      .withColumn("__sh", array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))))
+      .select(col(idCol).as("id"), col("__sh").as("sh"), size(col("__sh")).as("sz"))
 
     val exploded = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val freq     = exploded.groupBy("s").agg(count(lit(1)).as("df"))

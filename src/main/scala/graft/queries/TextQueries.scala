@@ -35,7 +35,10 @@ object TextQueries {
   private val NumHashes   = 8
   private val RowsPerBand = 2
   private val SimhashBits = 16
-  private val JaccardMin  = 0.05
+  // realistic near-dup threshold (the corpus' true duplicate families sit
+  // above 0.6; 0.05 kept noise pairs AND neutered the prefix filter —
+  // prefix length is |d|-ceil(t|d|)+1, so higher t = stronger pruning)
+  private val JaccardMin  = 0.4
   private val KnnK        = 5
   private val CosPlanes   = 8
   private val EmbeddingDim = 64
