@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Fingerprint
 import graft.operators.{CdcRouter, Scd2}
+import graft.sinks.{AuditSink, SnapshotSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +167,59 @@ object CdcQueries {
               |CAST(sum(CASE WHEN router_group = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS insert_count,
               |CAST(sum(CASE WHEN router_group = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS update_count
               |FROM routed WHERE router_group <> 'DUPLICATE'""".stripMargin)
+    ),
+
+    // ---- K3 persisted: CSD_DATA_LOADS twin — two loads append audit
+    //      rows (validity derived from the business key), the query reads
+    //      the persisted table back (Setup/SQL_DDL_Script.sql:92-104) ----
+    Q(
+      "k2_audit_persist",
+      (s, dir) => {
+        val out = s"/tmp/graft_audit/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fs  = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh, deterministic table
+
+        val batch1 = routed(s, dir)
+          .withColumnRenamed("router_group", CdcRouter.RouterCol)
+          .withColumn(
+            "is_valid",
+            (substring(col("ssi"), 7, 18).cast("long") % 10 =!= 3).cast("int")
+          )
+        val c1 = SnapshotSink.audit(CdcRouter.dropDuplicates(batch1), Some("is_valid"))
+        AuditSink.record(s, out, 101L, "dag_csv", "SUCCESS",
+          "2024-06-01 00:00:00", "2024-06-01 00:05:00", c1)
+
+        val batch2 = batch1.where(col(CdcRouter.RouterCol) === CdcRouter.Update)
+        val c2 = SnapshotSink.audit(batch2, Some("is_valid"))
+        AuditSink.record(s, out, 102L, "dag_csv", "SUCCESS",
+          "2024-06-02 00:00:00", "2024-06-02 00:04:00", c2)
+
+        AuditSink
+          .read(s, out)
+          .select(
+            col("DATA_LOAD_ID"), col("DAG_ID"), col("LOAD_STATUS"),
+            col("LOAD_START_DATE"), col("LOAD_END_DATE"),
+            col("TOTAL_UPSERT_COUNT"), col("VALID_COUNT"), col("INVALID_COUNT"),
+            col("DATA_VALID_PERMILLE")
+          )
+      },
+      Some(s"""$RoutedSql,
+              |v AS (SELECT router_group,
+              |  CASE WHEN CAST(substr(ssi, 7) AS BIGINT) % 10 <> 3 THEN 1 ELSE 0 END AS is_valid
+              |  FROM routed),
+              |l1 AS (SELECT count(*) AS total, CAST(sum(is_valid) AS BIGINT) AS valid
+              |  FROM v WHERE router_group <> 'DUPLICATE'),
+              |l2 AS (SELECT count(*) AS total, CAST(sum(is_valid) AS BIGINT) AS valid
+              |  FROM v WHERE router_group = 'UPDATE')
+              |SELECT CAST(101 AS BIGINT) AS DATA_LOAD_ID, 'dag_csv' AS DAG_ID,
+              |  'SUCCESS' AS LOAD_STATUS, '2024-06-01 00:00:00' AS LOAD_START_DATE,
+              |  '2024-06-01 00:05:00' AS LOAD_END_DATE, total AS TOTAL_UPSERT_COUNT,
+              |  valid AS VALID_COUNT, total - valid AS INVALID_COUNT,
+              |  valid * 1000 // total AS DATA_VALID_PERMILLE FROM l1
+              |UNION ALL
+              |SELECT CAST(102 AS BIGINT), 'dag_csv', 'SUCCESS', '2024-06-02 00:00:00',
+              |  '2024-06-02 00:04:00', total, valid, total - valid,
+              |  valid * 1000 // total FROM l2""".stripMargin)
     )
   )
 }

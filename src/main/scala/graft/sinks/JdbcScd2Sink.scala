@@ -1,0 +1,249 @@
+package graft.sinks
+
+import graft.operators.{CdcRouter, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.{Connection, DriverManager}
+
+/** JDBC variant of the SCD2 sink — the reference's actual persistence
+  * boundary is a relational database upsert
+  * (ETL/CSV_Batch_Processing.py:247-334; DDL
+  * Setup/SQL_DDL_Script.sql:136-163). The reference collects the routed
+  * frame to the driver and issues one UPDATE/INSERT per row. Here the
+  * same contract is staged-table + set-based SQL:
+  *
+  *   1. executors append the routed batch (DUPLICATEs dropped) to a
+  *      staging table via the distributed JDBC writer — the only
+  *      row-volume-proportional step, and it scales with executors;
+  *   2. the driver runs ONE transaction of two set-based statements:
+  *        UPDATE <target> SET ACTIVE_FLAG=0, END_DATE=<loadTs>
+  *          WHERE ACTIVE_FLAG=1 AND <key> IN
+  *            (SELECT <key> FROM <staging> WHERE ROUTER_GROUP='UPDATE')
+  *        INSERT INTO <target> SELECT <payload>, 1, <loadTs>, <endOfTime>
+  *          FROM <staging>
+  *      then drops the staging table and commits.
+  *
+  * Crash at any point rolls the transaction back (the mart never shows a
+  * half-applied batch); a leftover staging table from a crashed run is
+  * dropped on the next merge. The expensive work — conform, dedup,
+  * fingerprint, routing — stays distributed in Spark; the DB only sees
+  * two statements per load regardless of batch size.
+  *
+  * Tested against embedded Derby (in the Spark distribution); the SQL is
+  * ANSI and the DDL type mapping covers the mart column types.
+  */
+object JdbcScd2Sink {
+  /** ANSI DDL type for a mart column. */
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType              => "BIGINT"
+    case IntegerType           => "INTEGER"
+    case ShortType | ByteType  => "INTEGER"
+    case DoubleType            => "DOUBLE"
+    case FloatType             => "REAL"
+    case _: DecimalType        => dt.asInstanceOf[DecimalType].sql
+    case BooleanType           => "BOOLEAN"
+    case DateType              => "DATE"
+    case TimestampType         => "TIMESTAMP"
+    case StringType            => "VARCHAR(4000)"
+    case other => throw new IllegalArgumentException(s"unsupported mart column type: $other")
+  }
+
+  /** Quoted identifier: Spark's JDBC writer emits the DataFrame's column
+    * names quoted verbatim, while unquoted DDL names get case-folded by
+    * the database — quoting BOTH sides keeps them byte-identical.
+    */
+  private def q(name: String): String = "\"" + name + "\""
+
+  private def withConnection[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn)
+    finally conn.close()
+  }
+
+  private def tableExists(conn: Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+    try rs.next()
+    finally rs.close()
+  }
+
+  private def dropIfExists(conn: Connection, table: String): Unit =
+    if (tableExists(conn, table)) {
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"DROP TABLE $table"); () }
+      finally st.close()
+    }
+
+  /** Create the SCD2 target table (payload columns + ACTIVE_FLAG /
+    * START_DATE / END_DATE) when absent.
+    */
+  def ensureTarget(url: String, table: String, payload: StructType): Unit =
+    withConnection(url) { conn =>
+      if (!tableExists(conn, table)) {
+        val cols = payload.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}") ++ Seq(
+          s"${q(Scd2.ActiveFlag)} INTEGER",
+          s"${q(Scd2.StartDate)} VARCHAR(32)",
+          s"${q(Scd2.EndDate)} VARCHAR(32)"
+        )
+        val st = conn.createStatement()
+        try { st.executeUpdate(s"CREATE TABLE $table (${cols.mkString(", ")})"); () }
+        finally st.close()
+      }
+    }
+
+  /** Merge one routed batch into the JDBC SCD2 target. `routed` carries
+    * the payload columns plus CdcRouter.RouterCol.
+    */
+  def merge(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      routed: DataFrame,
+      key: String,
+      loadTs: String,
+      endOfTime: String,
+      validCol: Option[String] = None
+  ): AuditCounts = {
+    val staging     = s"${table}_STAGING"
+    val payload     = StructType(routed.drop(CdcRouter.RouterCol).schema.fields)
+    val payloadCols = payload.fieldNames.toSeq
+    ensureTarget(url, table, payload)
+
+    // recreate staging (drops leftovers from a crashed prior run), with
+    // explicit DDL so column types never depend on dialect defaults
+    withConnection(url) { conn =>
+      dropIfExists(conn, staging)
+      val cols = payload.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}") :+
+        s"${q(CdcRouter.RouterCol)} VARCHAR(16)"
+      val st = conn.createStatement()
+      try { st.executeUpdate(s"CREATE TABLE $staging (${cols.mkString(", ")})"); () }
+      finally st.close()
+    }
+
+    // distributed append of the non-DUPLICATE batch into staging: a
+    // batched PreparedStatement per partition rather than the stock JDBC
+    // writer, whose dialect type mapping (e.g. Derby StringType->CLOB)
+    // can disagree with the explicit staging DDL — and CLOB columns
+    // cannot sit in the set-based "key IN (...)" close-out
+    val toLoad   = CdcRouter.dropDuplicates(routed)
+    val outCols  = payloadCols :+ CdcRouter.RouterCol
+    val outTypes = {
+      val all = toLoad.select(outCols.map(col): _*).schema
+      all.fields.map(_.dataType)
+    }
+    val insertSql =
+      s"INSERT INTO $staging (${outCols.map(q).mkString(", ")}) VALUES (${outCols.map(_ => "?").mkString(", ")})"
+    toLoad
+      .select(outCols.map(col): _*)
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(insertSql)
+            try {
+              var inBatch = 0
+              rows.foreach { r =>
+                outTypes.zipWithIndex.foreach { case (dt, i) =>
+                  if (r.isNullAt(i)) {
+                    val sqlCode = dt match {
+                      case LongType           => java.sql.Types.BIGINT
+                      case IntegerType        => java.sql.Types.INTEGER
+                      case ShortType          => java.sql.Types.INTEGER
+                      case ByteType           => java.sql.Types.INTEGER
+                      case DoubleType         => java.sql.Types.DOUBLE
+                      case FloatType          => java.sql.Types.REAL
+                      case BooleanType        => java.sql.Types.BOOLEAN
+                      case _: DecimalType     => java.sql.Types.DECIMAL
+                      case DateType           => java.sql.Types.DATE
+                      case TimestampType      => java.sql.Types.TIMESTAMP
+                      case _                  => java.sql.Types.VARCHAR
+                    }
+                    ps.setNull(i + 1, sqlCode)
+                  } else
+                    dt match {
+                      case LongType    => ps.setLong(i + 1, r.getLong(i))
+                      case IntegerType => ps.setInt(i + 1, r.getInt(i))
+                      case ShortType   => ps.setInt(i + 1, r.getShort(i).toInt)
+                      case ByteType    => ps.setInt(i + 1, r.getByte(i).toInt)
+                      case DoubleType  => ps.setDouble(i + 1, r.getDouble(i))
+                      case FloatType   => ps.setFloat(i + 1, r.getFloat(i))
+                      case BooleanType => ps.setBoolean(i + 1, r.getBoolean(i))
+                      case _: DecimalType => ps.setBigDecimal(i + 1, r.getDecimal(i))
+                      case DateType      => ps.setDate(i + 1, r.getDate(i))
+                      case TimestampType => ps.setTimestamp(i + 1, r.getTimestamp(i))
+                      case _             => ps.setString(i + 1, r.get(i).toString)
+                    }
+                }
+                ps.addBatch()
+                inBatch += 1
+                if (inBatch >= 500) { ps.executeBatch(); inBatch = 0 }
+              }
+              if (inBatch > 0) ps.executeBatch()
+              conn.commit()
+            } finally ps.close()
+          } finally conn.close()
+        }
+      }
+
+    // one transaction: audit counts off the MATERIALIZED staging rows
+    // (re-evaluating the lazy routed plan after the merge would re-probe
+    // the already-updated target and route everything DUPLICATE), then
+    // set-based close-out + insert-all, then drop staging
+    withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        try {
+          val validExpr = validCol
+            .map(c => s"COALESCE(SUM(${q(c)}), 0)")
+            .getOrElse("COUNT(*)")
+          val rs = st.executeQuery(s"SELECT COUNT(*), $validExpr FROM $staging")
+          val counts =
+            try {
+              rs.next()
+              val total = rs.getLong(1)
+              val valid = rs.getLong(2)
+              AuditCounts(total, valid, total - valid)
+            } finally rs.close()
+          st.executeUpdate(
+            s"""UPDATE $table SET ${q(Scd2.ActiveFlag)} = 0, ${q(Scd2.EndDate)} = '$loadTs'
+               |WHERE ${q(Scd2.ActiveFlag)} = 1 AND ${q(key)} IN
+               |  (SELECT ${q(key)} FROM $staging WHERE ${q(CdcRouter.RouterCol)} = '${CdcRouter.Update}')""".stripMargin
+          )
+          st.executeUpdate(
+            s"""INSERT INTO $table
+               |SELECT ${payloadCols.map(q).mkString(", ")}, 1, '$loadTs', '$endOfTime' FROM $staging""".stripMargin
+          )
+          st.executeUpdate(s"DROP TABLE $staging")
+          conn.commit()
+          counts
+        } finally st.close()
+      } catch {
+        case e: Throwable =>
+          conn.rollback()
+          throw e
+      }
+    }
+  }
+
+  /** Read the SCD2 target back as a DataFrame (empty frame with the
+    * right schema when the table does not exist yet).
+    */
+  def readSnapshot(spark: SparkSession, url: String, table: String, payload: StructType): DataFrame = {
+    val exists = withConnection(url)(conn => tableExists(conn, table))
+    if (exists)
+      spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    else {
+      val full = StructType(
+        payload.fields ++ Seq(
+          StructField(Scd2.ActiveFlag, IntegerType),
+          StructField(Scd2.StartDate, StringType),
+          StructField(Scd2.EndDate, StringType)
+        )
+      )
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    }
+  }
+}
