@@ -54,6 +54,35 @@ object PollBuffers {
   def clear(name: String): Unit = buf(name).synchronized(buf(name).clear())
 }
 
+/** Driver-side HTTP fetch for the poll source — the reference's
+  * `requests.get(api_url)` + increment-id filter
+  * (ETL/XML_Streaming.py:57-62, 88-101) against an endpoint returning a
+  * JSON array of `{"id": n, "data": "...", "increment_id": n}` records
+  * (Setup/Streaming_API_Setup.py's /get contract).
+  */
+object PollHttp {
+  private lazy val client = java.net.http.HttpClient.newHttpClient()
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** GET `url`, parse records as (id, incrementId, data). */
+  def fetch(url: String): Seq[(Long, Long, String)] = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
+      .GET()
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"poll fetch failed: HTTP ${resp.statusCode()} from $url")
+    val root = mapper.readTree(resp.body())
+    require(root.isArray, s"poll fetch: expected a JSON array from $url")
+    val out = Vector.newBuilder[(Long, Long, String)]
+    root.forEach { rec =>
+      out += ((rec.get("id").asLong(), rec.get("increment_id").asLong(), rec.get("data").asText()))
+    }
+    out.result()
+  }
+}
+
 class PollDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PollDataSource.Schema
@@ -61,7 +90,13 @@ class PollDataSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]
-  ): Table = new PollTable(properties.getOrDefault("buffer", "default"))
+  ): Table = {
+    val url = Option(properties.get("url"))
+    // an HTTP-backed stream lands fetched records in a url-keyed buffer;
+    // the offset/partition/reader wiring is identical to the in-process
+    // buffer form
+    new PollTable(url.map("http:" + _).getOrElse(properties.getOrDefault("buffer", "default")), url)
+  }
 }
 
 object PollDataSource {
@@ -70,7 +105,7 @@ object PollDataSource {
   )
 }
 
-private class PollTable(bufferName: String) extends Table with SupportsRead {
+private class PollTable(bufferName: String, url: Option[String]) extends Table with SupportsRead {
   override def name(): String = s"poll($bufferName)"
   override def schema(): StructType = PollDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -80,7 +115,7 @@ private class PollTable(bufferName: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = PollDataSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new PollMicroBatchStream(bufferName)
+          new PollMicroBatchStream(bufferName, url)
       }
     }
 }
@@ -90,10 +125,27 @@ private case class PollOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
-private class PollMicroBatchStream(bufferName: String) extends MicroBatchStream {
-  // a real REST source would fetch here (driver-side, once per trigger)
-  // and append to its cursor log before reporting the new end offset
-  override def latestOffset(): Offset = PollOffset(PollBuffers.size(bufferName).toLong)
+private class PollMicroBatchStream(bufferName: String, url: Option[String])
+    extends MicroBatchStream {
+  // highest increment_id already buffered — the reference's
+  // last_increment_id cursor (ETL/XML_Streaming.py:88-101). At-least-once
+  // on restart (cursor rebuilds from 0, replays are deduped downstream by
+  // latestPerStreamRecord), exactly like the reference's archive replay.
+  private var lastIncrementId = 0L
+
+  // the fetch happens HERE: driver-side, once per trigger, before the new
+  // end offset is reported — readers then consume [start, end) slices of
+  // the url-keyed buffer
+  override def latestOffset(): Offset = {
+    url.foreach { u =>
+      val fresh = PollHttp.fetch(u).filter(_._2 > lastIncrementId)
+      if (fresh.nonEmpty) {
+        PollBuffers.append(bufferName, fresh.map(r => r._1 -> r._3))
+        lastIncrementId = fresh.map(_._2).max
+      }
+    }
+    PollOffset(PollBuffers.size(bufferName).toLong)
+  }
   override def initialOffset(): Offset = PollOffset(0L)
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
   override def commit(end: Offset): Unit = () // retention is the buffer's concern
