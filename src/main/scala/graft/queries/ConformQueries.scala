@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.conform.{Durations, SourcePipelines}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle coverage for the FULL per-source conform pipelines
+  * (SourcePipelines.conformJson / conformXml): a deterministic feed is
+  * synthesized from `orders`, pushed through the real conform transformer
+  * — timestamp parse, F10 WORK_TIME subtraction, F11 string->int casts,
+  * U1 duration parse, decodes, dimension lookups, the post-conversion
+  * hash canon, validity — and the oracle replays every step in SQL from
+  * the SAME Scala constants. This upgrades the F10/F11 conform math from
+  * spec-only to oracle-checked (round-1 verdict gap).
+  */
+object ConformQueries {
+  // dimension fixtures shared verbatim between the Spark frames and the
+  // oracle's VALUES lists
+  val Agents: Seq[(String, Int)]    = Seq("agent_0" -> 10, "agent_1" -> 11, "agent_2" -> 12)
+  val Areas: Seq[(String, Int)]     = Seq("Billing" -> 21, "Tech" -> 22)
+  val CustTypes: Seq[(String, Int)] = Seq("Corporate" -> 31, "Retail" -> 32)
+
+  private val LoadTs    = "2024-06-01 00:00:00"
+  private val EndOfTime = "2099-12-31 00:00:00"
+
+  private def dims(s: SparkSession): SourcePipelines.Dims = {
+    import s.implicits._
+    SourcePipelines.Dims(
+      agents = Agents.toDF("PSEUDO_CODE", "AGENT_ID"),
+      supportAreas = Areas.toDF("SUPPORT_AREA_NAME", "SUPPORT_AREA_ID"),
+      customerTypes = CustTypes.toDF("CUSTOMER_TYPE_NAME", "CUSTOMER_TYPE_ID")
+    )
+  }
+
+  private def dimSql: String = {
+    def values(rows: Seq[(String, Int)]) =
+      rows.map { case (k, v) => s"('$k', CAST($v AS INT))" }.mkString(", ")
+    s"""agents(PSEUDO_CODE, AGENT_ID) AS (VALUES ${values(Agents)}),
+       |areas(SUPPORT_AREA_NAME, SUPPORT_AREA_ID) AS (VALUES ${values(Areas)}),
+       |ctypes(CUSTOMER_TYPE_NAME, CUSTOMER_TYPE_ID) AS (VALUES ${values(CustTypes)})""".stripMargin
+  }
+
+  /** md5 row-hash canon over named SQL expressions (Fingerprint.rowHash
+    * twin — see f1_row_fingerprint).
+    */
+  private def sqlRowHash(cols: Seq[String]): String =
+    s"md5(concat_ws('||', ${cols.map(c => s"coalesce(CAST($c AS VARCHAR), 'NULL')").mkString(", ")}))"
+
+  /** The mart projection both conform queries emit (deterministic subset
+    * of SourcePipelines.MartColumns — HISTORIC_CSD_ID / ROUTER_GROUP are
+    * all-NULL pre-routing and add nothing to the compare).
+    */
+  private val OutCols = Seq(
+    "SOURCE_ID", "SOURCE_SYSTEM_IDENTIFIER", "AGENT_ID", "INTERACTION_DATE",
+    "SUPPORT_AREA_ID", "INTERACTION_STATUS", "INTERACTION_TYPE", "CUSTOMER_TYPE_ID",
+    "HANDLE_TIME", "WORK_TIME", "FIRST_CONTACT_RESOLUTION", "QUERY_STATUS",
+    "SOLUTION_TYPE", "CUSTOMER_RATING", "SOURCE_HASH_KEY", "IS_VALID_DATA",
+    "DATA_LOAD_ID", "START_DATE", "END_DATE"
+  )
+
+  // ---- JSON ("AMAZON") feed synthesized from orders ----
+  private def jsonFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey")
+    o.select(
+      k.cast("int").as("INTERACTION_ID"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_PSEUDO_NAME"),
+      concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 10:30:00")).as("CONTACT_DATE"),
+      col("o_orderstatus").as("INTERACTION_STATUS"),
+      col("o_orderpriority").as("INTERACTION_TYPE"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
+      (k % 100 + 1).cast("int").as("INTERACTION_DURATION"),
+      (k % 100 + 1 + k % 37).cast("int").as("TOTAL_TIME"),
+      col("o_orderstatus").as("STATUS_OF_CUSTOMER_INCIDENT"),
+      when(k % 2 === 0, "yes").otherwise("NO").as("RESOLVED_IN_FIRST_CONTACT"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION_TYPE"),
+      (k % 10 + 1).cast("int").as("RATING")
+    )
+  }
+
+  /** The 13 JSON feed columns in frame order — the hash canon covers the
+    * POST-conversion values in exactly this order (SURVEY §7.4 risk 1).
+    */
+  private val JsonHashCols = Seq(
+    "INTERACTION_ID", "SUPPORT_CATEGORY", "AGENT_PSEUDO_NAME", "CONTACT_DATE",
+    "INTERACTION_STATUS", "INTERACTION_TYPE", "TYPE_OF_CUSTOMER",
+    "INTERACTION_DURATION", "TOTAL_TIME", "STATUS_OF_CUSTOMER_INCIDENT",
+    "RESOLVED_IN_FIRST_CONTACT", "SOLUTION_TYPE", "RATING"
+  )
+
+  // ---- XML ("UBER") feed synthesized from orders ----
+  private def xmlFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey")
+    o.select(
+      k.cast("int").as("SUPPORT_IDENTIFIER"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("CONTACT_REGARDING"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_CODE"),
+      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("DATE_OF_INTERACTION"),
+      col("o_orderstatus").as("STATUS_OF_INTERACTION"),
+      col("o_orderpriority").as("TYPE_OF_INTERACTION"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("CUSTOMER_TYPE"),
+      Durations.secondsToHms(k % 7200 + 30).as("CONTACT_DURATION"),
+      Durations.secondsToHms(k % 3600).as("AFTER_CONTACT_WORK_TIME"),
+      col("o_orderstatus").as("INCIDENT_STATUS"),
+      when(k % 2 === 0, "true").otherwise("FALSE").as("FIRST_CONTACT_RESOLUTION"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION"),
+      ((k % 5) + 1).cast("string").as("RATING"),
+      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("TIME_STAMP")
+    )
+  }
+
+  private val XmlHashCols = Seq(
+    "SUPPORT_IDENTIFIER", "CONTACT_REGARDING", "AGENT_CODE", "DATE_OF_INTERACTION",
+    "STATUS_OF_INTERACTION", "TYPE_OF_INTERACTION", "CUSTOMER_TYPE",
+    "CONTACT_DURATION", "AFTER_CONTACT_WORK_TIME", "INCIDENT_STATUS",
+    "FIRST_CONTACT_RESOLUTION", "SOLUTION", "RATING", "TIME_STAMP"
+  )
+
+  val qs: Seq[Q] = Seq(
+    // ---- F7/F10/F6/F9 + hash canon: the whole JSON conform pipeline ----
+    Q(
+      "conform_json_full",
+      (s, dir) =>
+        SourcePipelines
+          .conformJson(
+            jsonFeed(s, dir),
+            dims(s),
+            sourceId = 2,
+            dataLoadId = 77L,
+            loadTs = LoadTs,
+            tiebreak = Seq(col("INTERACTION_ID").desc)
+          )
+          .select(OutCols.map(col): _*),
+      Some(s"""WITH $dimSql,
+              |feed AS (
+              |  SELECT CAST(o_orderkey AS INT) AS INTERACTION_ID,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN 'Billing' ELSE 'Tech' END AS SUPPORT_CATEGORY,
+              |    'agent_' || CAST(o_orderkey % 3 AS VARCHAR) AS AGENT_PSEUDO_NAME,
+              |    strftime(o_orderdate, '%Y-%m-%d') || ' 10:30:00' AS CONTACT_DATE,
+              |    o_orderstatus AS INTERACTION_STATUS,
+              |    o_orderpriority AS INTERACTION_TYPE,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN 'Corporate' ELSE 'Retail' END AS TYPE_OF_CUSTOMER,
+              |    CAST(o_orderkey % 100 + 1 AS INT) AS INTERACTION_DURATION,
+              |    CAST(o_orderkey % 100 + 1 + o_orderkey % 37 AS INT) AS TOTAL_TIME,
+              |    o_orderstatus AS STATUS_OF_CUSTOMER_INCIDENT,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN 'yes' ELSE 'NO' END AS RESOLVED_IN_FIRST_CONTACT,
+              |    'SOL_' || CAST(o_orderkey % 4 AS VARCHAR) AS SOLUTION_TYPE,
+              |    CAST(o_orderkey % 10 + 1 AS INT) AS RATING
+              |  FROM orders),
+              |hashed AS (SELECT *, ${sqlRowHash(JsonHashCols)} AS SOURCE_HASH_KEY FROM feed)
+              |SELECT CAST(2 AS INT) AS SOURCE_ID,
+              |  'AMAZON - ' || CAST(INTERACTION_ID AS VARCHAR) AS SOURCE_SYSTEM_IDENTIFIER,
+              |  a.AGENT_ID, CONTACT_DATE AS INTERACTION_DATE,
+              |  sa.SUPPORT_AREA_ID, INTERACTION_STATUS, INTERACTION_TYPE,
+              |  ct.CUSTOMER_TYPE_ID,
+              |  INTERACTION_DURATION AS HANDLE_TIME,
+              |  CAST(TOTAL_TIME - INTERACTION_DURATION AS INT) AS WORK_TIME,
+              |  CASE upper(RESOLVED_IN_FIRST_CONTACT) WHEN 'YES' THEN 1 WHEN 'NO' THEN 0 END AS FIRST_CONTACT_RESOLUTION,
+              |  STATUS_OF_CUSTOMER_INCIDENT AS QUERY_STATUS,
+              |  SOLUTION_TYPE,
+              |  CAST(floor(CAST(RATING AS INT) / 2) AS INT) AS CUSTOMER_RATING,
+              |  SOURCE_HASH_KEY, CAST(1 AS INT) AS IS_VALID_DATA,
+              |  CAST(77 AS BIGINT) AS DATA_LOAD_ID,
+              |  '$LoadTs' AS START_DATE, '$EndOfTime' AS END_DATE
+              |FROM hashed
+              |LEFT JOIN agents a ON AGENT_PSEUDO_NAME = a.PSEUDO_CODE
+              |LEFT JOIN areas sa ON SUPPORT_CATEGORY = sa.SUPPORT_AREA_NAME
+              |LEFT JOIN ctypes ct ON TYPE_OF_CUSTOMER = ct.CUSTOMER_TYPE_NAME""".stripMargin)
+    ),
+
+    // ---- U1/F11/F7 + hash canon: the whole XML conform pipeline ----
+    Q(
+      "conform_xml_full",
+      (s, dir) =>
+        SourcePipelines
+          .conformXml(
+            xmlFeed(s, dir),
+            dims(s),
+            sourceId = 3,
+            dataLoadId = 78L,
+            loadTs = LoadTs,
+            tiebreak = Seq(col("TIME_STAMP").desc)
+          )
+          .select(OutCols.map(col): _*),
+      Some {
+        // the oracle builds durations/dates from the same seeds, so the
+        // post-parse values are direct integer/string expressions (the
+        // string->seconds and format round-trips are pinned by u1/f7)
+        val secs1 = "(o_orderkey % 7200 + 30)"
+        val secs2 = "(o_orderkey % 3600)"
+        def hms(secs: String) =
+          s"CAST($secs // 3600 AS VARCHAR) || ':' || " +
+            s"lpad(CAST(($secs % 3600) // 60 AS VARCHAR), 2, '0') || ':' || " +
+            s"lpad(CAST($secs % 60 AS VARCHAR), 2, '0')"
+        s"""WITH $dimSql,
+           |parsed AS (
+           |  SELECT CAST(o_orderkey AS INT) AS SUPPORT_IDENTIFIER,
+           |    CASE WHEN o_orderkey % 2 = 0 THEN 'Billing' ELSE 'Tech' END AS CONTACT_REGARDING,
+           |    'agent_' || CAST(o_orderkey % 3 AS VARCHAR) AS AGENT_CODE,
+           |    strftime(o_orderdate, '%Y-%m-%d') || ' 10:30:00' AS DATE_OF_INTERACTION,
+           |    o_orderstatus AS STATUS_OF_INTERACTION,
+           |    o_orderpriority AS TYPE_OF_INTERACTION,
+           |    CASE WHEN o_orderkey % 2 = 0 THEN 'Corporate' ELSE 'Retail' END AS CUSTOMER_TYPE,
+           |    CAST($secs1 AS INT) AS CONTACT_DURATION,
+           |    CAST($secs2 AS INT) AS AFTER_CONTACT_WORK_TIME,
+           |    o_orderstatus AS INCIDENT_STATUS,
+           |    CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'FALSE' END AS FIRST_CONTACT_RESOLUTION,
+           |    'SOL_' || CAST(o_orderkey % 4 AS VARCHAR) AS SOLUTION,
+           |    CAST(o_orderkey % 5 + 1 AS VARCHAR) AS RATING,
+           |    strftime(o_orderdate, '%Y%m%d') || '103000' AS TIME_STAMP
+           |  FROM orders),
+           |hashed AS (SELECT *, ${sqlRowHash(XmlHashCols)} AS SOURCE_HASH_KEY FROM parsed)
+           |SELECT CAST(3 AS INT) AS SOURCE_ID,
+           |  'UBER - ' || CAST(SUPPORT_IDENTIFIER AS VARCHAR) AS SOURCE_SYSTEM_IDENTIFIER,
+           |  a.AGENT_ID, DATE_OF_INTERACTION AS INTERACTION_DATE,
+           |  sa.SUPPORT_AREA_ID, STATUS_OF_INTERACTION AS INTERACTION_STATUS,
+           |  TYPE_OF_INTERACTION AS INTERACTION_TYPE,
+           |  ct.CUSTOMER_TYPE_ID,
+           |  CONTACT_DURATION AS HANDLE_TIME,
+           |  AFTER_CONTACT_WORK_TIME AS WORK_TIME,
+           |  CASE upper(FIRST_CONTACT_RESOLUTION) WHEN 'TRUE' THEN 1 WHEN 'FALSE' THEN 0 END AS FIRST_CONTACT_RESOLUTION,
+           |  INCIDENT_STATUS AS QUERY_STATUS,
+           |  SOLUTION AS SOLUTION_TYPE,
+           |  CAST(RATING AS INT) AS CUSTOMER_RATING,
+           |  SOURCE_HASH_KEY, CAST(1 AS INT) AS IS_VALID_DATA,
+           |  CAST(78 AS BIGINT) AS DATA_LOAD_ID,
+           |  '$LoadTs' AS START_DATE, '$EndOfTime' AS END_DATE
+           |FROM hashed
+           |LEFT JOIN agents a ON AGENT_CODE = a.PSEUDO_CODE
+           |LEFT JOIN areas sa ON CONTACT_REGARDING = sa.SUPPORT_AREA_NAME
+           |LEFT JOIN ctypes ct ON CUSTOMER_TYPE = ct.CUSTOMER_TYPE_NAME""".stripMargin
+      }
+    )
+  )
+}
