@@ -32,6 +32,16 @@ object VectorFunctions {
   def cosinePre(aD: Column, bD: Column, aNorm: Column, bNorm: Column): Column =
     dotD(aD, bD) / (aNorm * bNorm)
 
+  /** Dot product of a vector column with a CONSTANT plane/centroid —
+    * accumulated in double, left-to-right, like `dot`.
+    */
+  def planeDot(v: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(toDouble(v), lit(plane), (x, h) => x * h),
+      lit(0.0d),
+      (acc, x) => acc + x
+    )
+
   /** Sign bit (1/0) of the projection of `v` onto a constant hyperplane.
     * Hyperplanes come from a seeded RNG on the driver — data-independent
     * and reproducible across runs/clusters.

@@ -43,6 +43,9 @@ object TextQueries {
   private val CosPlanes   = 8
   private val EmbeddingDim = 64
   private val CosMin      = 0.3
+  private val IvfCells    = 16
+  private val IvfProbe    = 4
+  private val IvfSeed     = 7L
 
   val qs: Seq[Q] = Seq(
     // ---- token counting: whitespace + BPE-ish regex units ----
@@ -390,6 +393,53 @@ object TextQueries {
            |    list_dot_product(qv, cv) /
            |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
            |  FROM cand),
+           |r AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM sc)
+           |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
+    // ---- ANN scale path 2: IVF — coarse-quantizer cells + probed
+    //      exact search (vs lshTopK's collision buckets) ----
+    Q(
+      "ann_knn_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity
+          .ivfTopK(
+            corpus = emb.select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK,
+            centroids = VectorFunctions.randomPlanes(IvfCells, EmbeddingDim, IvfSeed),
+            nProbe = IvfProbe
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some {
+        // centroid VALUES table from the SAME seeded Scala constants
+        val cents = VectorFunctions
+          .randomPlanes(IvfCells, EmbeddingDim, IvfSeed)
+          .zipWithIndex
+          .map { case (cv, i) =>
+            s"($i, ${cv.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
+          }
+          .mkString(", ")
+        s"""WITH cents(cell, cv) AS (VALUES $cents),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ad AS (SELECT vec_id, v, cell, list_dot_product(v, cv) AS d,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) DESC, cell) AS rn
+           |  FROM e CROSS JOIN cents),
+           |assign AS (SELECT vec_id, v, cell FROM ad WHERE rn = 1),
+           |probes AS (SELECT vec_id AS query_id, v AS qv, cell
+           |  FROM ad WHERE vec_id % 100 = 0 AND rn <= $IvfProbe),
+           |sc AS (SELECT query_id, a.vec_id AS neighbor_id,
+           |    list_dot_product(qv, a.v) /
+           |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.v, a.v))) AS cos
+           |  FROM probes p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.query_id),
            |r AS (SELECT query_id, neighbor_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM sc)
