@@ -61,7 +61,10 @@ object ConformQueries {
 
   // ---- JSON ("AMAZON") feed synthesized from orders ----
   private def jsonFeed(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // testdata parquet is one row group = one input split; without an
+    // explicit repartition the whole parse+hash map stage of the conform
+    // pipeline runs in a single task
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
     val k = col("o_orderkey")
     o.select(
       k.cast("int").as("INTERACTION_ID"),
@@ -92,7 +95,7 @@ object ConformQueries {
 
   // ---- XML ("UBER") feed synthesized from orders ----
   private def xmlFeed(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
     val k = col("o_orderkey")
     o.select(
       k.cast("int").as("SUPPORT_IDENTIFIER"),
