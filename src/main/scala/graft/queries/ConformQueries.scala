@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.catalog.Catalog
 import graft.conform.{Durations, SourcePipelines}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -235,6 +236,24 @@ object ConformQueries {
            |LEFT JOIN agents a ON AGENT_CODE = a.PSEUDO_CODE
            |LEFT JOIN areas sa ON CONTACT_REGARDING = sa.SUPPORT_AREA_NAME
            |LEFT JOIN ctypes ct ON CUSTOMER_TYPE = ct.CUSTOMER_TYPE_NAME""".stripMargin
+      }
+    ),
+
+    // ---- catalog-as-data: the CSD_DATA_DICTIONARY / CSD_TABLE_COLUMNS
+    //      twin, derived from the declared feed schemas and queryable
+    //      like any table (Setup/SQL_DDL_Script.sql:76-133) ----
+    Q(
+      "catalog_dictionary",
+      (s, _) => Catalog.dictionary(s),
+      Some {
+        val rows = Catalog.entries
+          .map(e =>
+            s"(CAST(${e.source_id} AS INT), '${e.table_name}', CAST(${e.ordinal} AS INT), " +
+              s"'${e.field_name}', '${e.data_type}', CAST(${e.nullable_flag} AS INT))")
+          .mkString(",\n")
+        s"""SELECT * FROM (VALUES
+           |$rows
+           |) AS t(source_id, table_name, ordinal, field_name, data_type, nullable_flag)""".stripMargin
       }
     )
   )
