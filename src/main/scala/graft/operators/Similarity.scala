@@ -53,9 +53,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** LSH-bucketed ANN top-k: candidates limited to matching buckets
-    * (multi-probe distance-1 on the query side to recover near-boundary
-    * neighbors). Same output shape as bruteForceTopK.
+  /** LSH-bucketed ANN top-k: candidates limited to matching buckets,
+    * with multi-probe on the query side (all buckets within Hamming
+    * distance `probeDepth` of the query's own bucket) to recover
+    * near-boundary neighbors. Same output shape as bruteForceTopK.
+    * Recall rises with probeDepth and falls with nPlanes; probe cost is
+    * ~(#probes / 2^nPlanes) of the corpus.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -64,8 +67,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       nPlanes: Int,
-      dim: Int
+      dim: Int,
+      probeDepth: Int = 1
   ): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= 2, "probeDepth must be 0, 1, or 2")
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
@@ -79,11 +84,18 @@ object Similarity {
       VectorFunctions.norm2(col(vecCol)).as("q_norm"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket0")
     )
-    // multi-probe: own bucket + all buckets at Hamming distance 1
-    val probes = array((0 to nPlanes).map {
-      case 0 => col("bucket0")
-      case i => col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
-    }: _*)
+    // multi-probe masks: own bucket, every single-bit flip, and (depth 2)
+    // every two-bit flip — all DISTINCT buckets, so a corpus vector (which
+    // lives in exactly one bucket) meets each query at most once and no
+    // pair-dedup shuffle is needed
+    val probeMasks: Seq[Int] =
+      Seq(0) ++
+        (if (probeDepth >= 1) (0 until nPlanes).map(1 << _) else Seq.empty) ++
+        (if (probeDepth >= 2)
+           for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+             yield (1 << i) | (1 << j)
+         else Seq.empty)
+    val probes = array(probeMasks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)
     val q = qBase.select(col("query_id"), col("q_vec"), col("q_norm"), explode(probes).as("bucket"))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
@@ -92,8 +104,6 @@ object Similarity {
         "cos",
         VectorFunctions.cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
       )
-      // a (query, neighbor) pair can collide via several probes
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
