@@ -71,7 +71,8 @@ object BatchPipeline {
       feed: DataFrame,
       spec: FeedSpec,
       loadTs: String,
-      endOfTime: String = "2099-12-31 00:00:00"
+      endOfTime: String = "2099-12-31 00:00:00",
+      partitionBy: Seq[String] = Nil
   ): AuditCounts = {
     val conformed = conformFeed(feed, spec)
     val snapshot = SnapshotSink.readSnapshot(
@@ -93,7 +94,8 @@ object BatchPipeline {
       SsiCol,
       lit(loadTs),
       lit(endOfTime),
-      validCol = Some(ValidCol)
+      validCol = Some(ValidCol),
+      partitionBy = partitionBy
     )
   }
 }

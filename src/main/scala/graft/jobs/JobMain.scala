@@ -91,6 +91,11 @@ object JobEnv {
       StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
     )
     val routed = BatchPipeline.route(conformed, snapshot)
+    // optional hive-style partition layout for the mart, e.g.
+    // mart.partitionBy=SOURCE_ID — prunes the probe scan at mart scale
+    val partitionBy =
+      cfg.opt("mart.partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
     val counts = SnapshotSink.upsert(
       spark,
       martDir,
@@ -98,7 +103,8 @@ object JobEnv {
       BatchPipeline.SsiCol,
       lit(ts),
       lit("2099-12-31 00:00:00"),
-      validCol = Some("IS_VALID_DATA")
+      validCol = Some("IS_VALID_DATA"),
+      partitionBy = partitionBy
     )
     AuditSink.record(
       spark, cfg("audit.dir"), dataLoadId, dagId, "SUCCESS", ts, ts, counts)

@@ -40,6 +40,12 @@ object SnapshotSink {
   /** Merge the routed batch into the snapshot at `path` and swap it in.
     * Returns the audit counts for the load (K3).
     */
+  /** Merge the routed batch into the snapshot at `path` and swap it in.
+    * `partitionBy` lays the snapshot out as hive-style partition dirs
+    * (e.g. SOURCE_ID, or SOURCE_ID + a date bucket): at mart scale the
+    * next load's active-row probe and the close-out join then prune to
+    * the touched partitions instead of scanning the whole table.
+    */
   def upsert(
       spark: SparkSession,
       path: String,
@@ -47,7 +53,8 @@ object SnapshotSink {
       key: String,
       loadTs: Column,
       endOfTime: Column,
-      validCol: Option[String] = None
+      validCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil
   ): AuditCounts = {
     // first-run snapshot must already carry the SCD2 columns Scd2.merge
     // reads on the snapshot side (dates ride as 'yyyy-MM-dd HH:mm:ss'
@@ -62,8 +69,9 @@ object SnapshotSink {
       readSnapshot(spark, path, org.apache.spark.sql.types.StructType(base.fields ++ scdFields))
     val merged  = Scd2.merge(current, routed, key, loadTs, endOfTime)
 
-    val tmp = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmp    = path + ".staging"
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
 
     // audit BEFORE the swap: routed's lineage reads the pre-swap snapshot
     // files, which the rename below replaces (lazy evaluation would

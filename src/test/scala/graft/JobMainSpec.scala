@@ -101,6 +101,30 @@ class JobMainSpec extends SparkSpec {
     assert(audits.toSeq == Seq((1001L, 2L, 2L, 1000L), (1002L, 2L, 2L, 1000L)))
   }
 
+  test("partitioned mart layout: mart.partitionBy lays out hive dirs, reads stay correct") {
+    val dir = tempDir("graft_job_part")
+    writeDims(s"$dir/dims")
+    val cfgPath = writeConfig(dir, "2024-01-20 00:00:00")
+    Files.writeString(
+      Paths.get(cfgPath),
+      Files.readString(Paths.get(cfgPath)) + "mart.partitionBy=SOURCE_ID\n"
+    )
+    val header =
+      "TICKET_IDENTIFIER|SUPPORT_CATEGORY|AGENT_NAME|DATE_OF_CALL|CALL_STATUS|CALL_TYPE|TYPE_OF_CUSTOMER|DURATION|WORK_TIME|TICKET_STATUS|RESOLVED_IN_FIRST_CONTACT|RESOLUTION_CATEGORY|RATING"
+    val feed = s"$dir/feed.csv"
+    Files.writeString(
+      Paths.get(feed),
+      s"""$header
+         |1|Billing|agent_a|01152024103000|Completed|Inbound|Corporate|120|30|Closed|1|Fixed|GOOD
+         |""".stripMargin
+    )
+    CsvBatchJob.main(Array(cfgPath, feed, "1001"))
+    assert(new java.io.File(s"$dir/mart/SOURCE_ID=1").isDirectory)
+    val m = spark.read.parquet(s"$dir/mart")
+    assert(m.count() == 1)
+    assert(m.where(col("SOURCE_ID") === 1).count() == 1) // partition col readable
+  }
+
   test("JsonBatchJob: envelope feed conforms and loads") {
     val dir = tempDir("graft_job_json")
     writeDims(s"$dir/dims")
