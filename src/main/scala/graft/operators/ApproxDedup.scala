@@ -297,6 +297,53 @@ object ApproxDedup {
       .reduce(_ + _)
       .cast("int")
 
+  /** SimHash near-dup pairs: band the nBits signature into `nBands`
+    * contiguous bit slices — by pigeonhole, any pair with Hamming
+    * distance < nBands shares at least one identical slice — then verify
+    * candidates with the exact Hamming distance. Exact recall for
+    * `maxHamming < nBands`; same bucketed shape as the other pair
+    * operators (one groupBy shuffle, capped in-bucket expansion, the
+    * signatures ride the shuffle as a bucket-local id->simhash map).
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      nBits: Int,
+      nBands: Int,
+      maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    require(nBits % nBands == 0, "nBands must divide nBits")
+    require(maxHamming < nBands, s"recall guarantee needs maxHamming < nBands")
+    val bandBits = nBits / nBands
+    val sigs = withSimhash(docs.select(col(idCol).as("id"), text.as("__text")),
+      col("__text"), nBits, "__sh").drop("__text")
+    val bandStructs = (0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("__sh"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("sig")
+      )
+    }
+    val paired = sigs
+      .select(col("id"), col("__sh"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("__sh"))).as("m"))
+      .where(size(col("m")) > 1)
+      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))), maxBucket)).as("p"))
+      .select(
+        col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"),
+        element_at(col("m"), col("p.id_a")).as("sh_a"),
+        element_at(col("m"), col("p.id_b")).as("sh_b")
+      )
+    paired
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b"), nBits))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`.
     * Candidate stage: random-hyperplane LSH buckets; verification: exact
     * cosine on the candidate pairs only. Vectors DO travel through the

@@ -34,7 +34,8 @@ object TextQueries {
 
   private val NumHashes   = 8
   private val RowsPerBand = 2
-  private val SimhashBits = 16
+  private val SimhashBits     = 16
+  private val SimhashPairBits = 60
   // realistic near-dup threshold (the corpus' true duplicate families sit
   // above 0.6; 0.05 kept noise pairs AND neutered the prefix filter —
   // prefix length is |d|-ceil(t|d|)+1, so higher t = stronger pruning)
@@ -302,6 +303,48 @@ object TextQueries {
            |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
            |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
            |SELECT doc_id, $assemble AS simhash FROM bits""".stripMargin
+      }
+    ),
+
+    // ---- SimHash near-dup pairs (banded candidates + exact Hamming
+    //      verify; 32-bit signature — 16 bits flags ~25% of all pairs
+    //      on this corpus, far too coarse for a pair report) ----
+    Q(
+      "dedup_simhash_pairs",
+      (s, dir) =>
+        ApproxDedup.simhashNearDupPairs(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          "doc_id",
+          col("text"),
+          nBits = SimhashPairBits,
+          nBands = 4,
+          maxHamming = 3
+        ),
+      Some {
+        val bandBits = SimhashPairBits / 4
+        val sums = (0 until SimhashPairBits)
+          .map(b =>
+            s"CAST(sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+          )
+          .mkString(",\n")
+        val assemble = (0 until SimhashPairBits)
+          .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+          .mkString(" + ")
+        val hamming = (0 until SimhashPairBits)
+          .map(i => s"((xor(sha, shb) >> $i) & 1)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
+           |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+           |sh AS (SELECT doc_id, $assemble AS sh FROM bits),
+           |bk AS (SELECT doc_id, sh, u.b AS band, (sh >> (u.b * $bandBits)) & ${(1 << bandBits) - 1} AS sig
+           |  FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.sh AS sha, b.sh AS shb
+           |  FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
+           |    AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST($hamming AS INT) AS hamming
+           |FROM cand WHERE $hamming <= 3""".stripMargin
       }
     ),
 

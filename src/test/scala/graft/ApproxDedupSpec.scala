@@ -92,6 +92,19 @@ class ApproxDedupSpec extends SparkSpec {
     assert(got == want) // only the 4 smallest ids expand; 6 pairs, not 45
   }
 
+  test("simhashNearDupPairs: exact dups pair at hamming 0, disjoint docs do not pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally unrelated corpus vocabulary entirely elsewhere")
+    ).toDF("id", "text")
+    val got = ApproxDedup
+      .simhashNearDupPairs(df, "id", col("text"), nBits = 60, nBands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)]
+      .collect()
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("cosineNearDupPairs: identical vectors pair up, orthogonal do not") {
     val v1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val v3 = Array(0.0f, 1.0f, 0.0f, 0.0f)
