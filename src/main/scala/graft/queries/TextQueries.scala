@@ -529,6 +529,36 @@ object TextQueries {
              |FROM documents, unnest(generate_series(0, 15)) AS u(i)""".stripMargin)
     ),
 
+    // ---- multimodal: video-style frame sampling (explode fan-out shape;
+    //      stub codec chunks the payload, corpus is ASCII so the oracle's
+    //      string chunks are byte-identical) ----
+    Q(
+      "multimodal_frame_sample",
+      (s, dir) => {
+        val packed = Multimodal.pack(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "doc_id",
+          dataCol = "text",
+          modality = "video",
+          mime = "application/octet-stream"
+        )
+        Multimodal
+          .sampleFrames(packed, stride = 2, frameBytes = 32)
+          .select(
+            col("media_id"),
+            col("frame_no"),
+            octet_length(col("frame")).as("n_bytes"),
+            md5(col("frame")).as("frame_md5")
+          )
+      },
+      Some("""SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_no,
+             |CAST(length(substr(text, CAST(u.i * 32 + 1 AS INT), 32)) AS INT) AS n_bytes,
+             |md5(substr(text, CAST(u.i * 32 + 1 AS INT), 32)) AS frame_md5
+             |FROM documents,
+             |unnest(generate_series(0, CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS u(i)
+             |WHERE u.i % 2 = 0 AND length(text) > 0""".stripMargin)
+    ),
+
     // ---- multimodal: opaque binary payload + typed metadata ----
     Q(
       "multimodal_binary_meta",
