@@ -4,22 +4,34 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-vector primitives over `array<float>` embedding columns.
-  * Pure `Column` compositions (`zip_with`/`aggregate`/`transform`) —
-  * codegen'd, executor-side, no UDF serialization — accumulation is done
-  * in double, left-to-right in index order, so results are deterministic.
+  *
+  * The dot-product kernel is the native codegen'd [[DotProduct]]
+  * expression (resolved through the session FunctionRegistry as
+  * `graft_dot` — sessions must enable [[GraftExtensions]]); float inputs
+  * widen to double via an implicit elementwise Cast, accumulation is
+  * double, left-to-right in index order, so results are deterministic and
+  * bit-identical to the higher-order-function formulation ([[dotHof]],
+  * kept for the NativeVectorSpec equivalence proof) and to the DuckDB
+  * oracle's `list_dot_product`.
   */
 object VectorFunctions {
   /** Elementwise cast to double (accumulate in double, not float). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Reference HOF formulation of `dot` — interpreted (CodegenFallback),
+    * used only to pin the native kernel's semantics in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  /** Dot product over ALREADY-double arrays (skips the per-evaluation
-    * float->double transform — for hot paths that pre-cast once).
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Dot product over ALREADY-double arrays. With the native kernel this
+    * is the same call — ImplicitCastInputTypes inserts no cast for
+    * array<double> — but hot paths still pre-cast once per row so the
+    * float->double widening isn't re-done per pair/plane.
     */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def dotD(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,27 +45,18 @@ object VectorFunctions {
     dotD(aD, bD) / (aNorm * bNorm)
 
   /** Dot product of a vector column with a CONSTANT plane/centroid —
-    * accumulated in double, left-to-right, like `dot`.
+    * the plane ships as an array<double> literal, so the whole product
+    * stays one codegen'd loop per row.
     */
   def planeDot(v: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(toDouble(v), lit(plane), (x, h) => x * h),
-      lit(0.0d),
-      (acc, x) => acc + x
-    )
+    call_function("graft_dot", v, lit(plane))
 
   /** Sign bit (1/0) of the projection of `v` onto a constant hyperplane.
     * Hyperplanes come from a seeded RNG on the driver — data-independent
     * and reproducible across runs/clusters.
     */
-  def hyperplaneSignBit(v: Column, plane: Array[Double]): Column = {
-    val proj = aggregate(
-      zip_with(toDouble(v), lit(plane), (x, h) => x * h),
-      lit(0.0d),
-      (acc, x) => acc + x
-    )
-    when(proj >= 0, 1).otherwise(0)
-  }
+  def hyperplaneSignBit(v: Column, plane: Array[Double]): Column =
+    when(planeDot(v, plane) >= 0, 1).otherwise(0)
 
   /** Random-hyperplane LSH bucket id: `nBits` sign bits packed into an int.
     * cos-similar vectors collide with high probability; used by

@@ -54,6 +54,7 @@ object JobEnv {
       .config("spark.sql.shuffle.partitions",
         cfg.opt("spark.sql.shuffle.partitions").getOrElse("32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
 
   def dims(spark: SparkSession, cfg: Config): SourcePipelines.Dims =

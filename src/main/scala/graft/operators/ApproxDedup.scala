@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
+import graft.{functions => functions_}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -93,9 +94,9 @@ object ApproxDedup {
     * Products stay < 2^62, so the arithmetic is overflow-free in both
     * Spark Longs and ANSI BIGINT (the oracle mirrors it verbatim).
     */
-  val MinhashMod = 2147483647L
-  def affineA(i: Int): Long = 2L * i + 3L
-  def affineB(i: Int): Long = 7919L * i + 1L
+  val MinhashMod: Long = functions_.MinhashFamily.Mod
+  def affineA(i: Int): Long = functions_.MinhashFamily.a(i)
+  def affineB(i: Int): Long = functions_.MinhashFamily.b(i)
 
   /** Base hash of one shingle: 60-bit md5 prefix reduced mod P. */
   def baseHash(s: Column): Column =
@@ -111,8 +112,11 @@ object ApproxDedup {
 
   /** MinHash signature as `nHashes` columns named mh0..mh{n-1}.
     * The base-hash array (one md5 per distinct shingle) is staged in its
-    * own projection so all `nHashes` re-hashes read one materialized
-    * array instead of each re-deriving shingles + md5 from raw text.
+    * own projection so the signature kernel reads one materialized array
+    * instead of re-deriving shingles + md5 from raw text; the signature
+    * itself is the native single-pass [[graft.functions.MinhashSignature]]
+    * kernel (one codegen'd loop for all `nHashes` mins), staged likewise
+    * so the per-seed `element_at` projections read it once.
     */
   def withMinhashSignature(df: DataFrame, text: Column, n: Int, nHashes: Int): DataFrame = {
     val staged = df
@@ -121,10 +125,8 @@ object ApproxDedup {
         "__baseHashes",
         transform(array_distinct(shinglesOfTokens(col("__toks"), n)), s => baseHash(s))
       )
-    val sigCols = (0 until nHashes).map { i =>
-      array_min(transform(col("__baseHashes"), h => (h * affineA(i) + affineB(i)) % MinhashMod))
-        .as(s"mh$i")
-    }
+      .withColumn("__sig", functions_.MinhashFamily.signature(col("__baseHashes"), nHashes))
+    val sigCols = (0 until nHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i"))
     staged
       .select(df.columns.map(col) ++ sigCols: _*)
   }
