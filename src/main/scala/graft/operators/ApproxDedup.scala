@@ -215,8 +215,18 @@ object ApproxDedup {
       .withColumn("__sh", array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))))
       .select(col(idCol).as("id"), col("__sh").as("sh"), size(col("__sh")).as("sz"))
 
-    val exploded = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val freq     = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+    // explode_outer, NOT explode: plain explode makes Generate insert a
+    // pushable `size(sh) > 0 AND isnotnull(sh)` pre-filter, and pushdown
+    // alias-substitutes that into the scan's post-scan filters — i.e. the
+    // whole tokenize+shingle+sort tree is re-evaluated per row in the
+    // FILTER and then again in the projection. The outer variant inserts
+    // no pre-filter; the guard moves to a cheap isnotnull on the
+    // GENERATED attribute (empty arrays can't occur here anyway — every
+    // doc that passes the token-count guard has >= 1 shingle).
+    val exploded = sets
+      .select(col("id"), col("sz"), explode_outer(col("sh")).as("s"))
+      .where(col("s").isNotNull)
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
 
     // rank each doc's shingles in the global rare-first order and keep
     // the prefix; (df, s) is a total order shared by every doc, which
@@ -249,7 +259,13 @@ object ApproxDedup {
         "jaccard",
         col("i").cast("double") / (col("n_a") + col("n_b") - col("i")).cast("double")
       )
-      .where(col("jaccard") >= threshold)
+      // coalesce makes the threshold predicate null-TOLERANT, so
+      // constraint propagation cannot infer isnotnull(sz)/isnotnull(sh)
+      // — which alias-substitution would expand into re-running the full
+      // shingle tree inside the verify-side scan filters. jaccard is
+      // never null here (sets rows all have non-null sh/sz), so the
+      // rewrite is observationally identical.
+      .where(coalesce(col("jaccard"), lit(-1.0)) >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

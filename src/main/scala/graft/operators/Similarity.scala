@@ -158,8 +158,13 @@ object Similarity {
         col(idCol).as("query_id"),
         VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
         VectorFunctions.norm2(col(vecCol)).as("q_norm"),
-        posexplode(col("__cd")).as(Seq("cell", "celldot"))
+        // outer variant: plain posexplode would let InferFiltersFromGenerate
+        // re-derive the staged cellDots array inside a pre-filter
+        // (size(__cd) > 0); __cd is never empty (C literal centroids), so
+        // the guard is a cheap isnotnull on the generated attribute
+        posexplode_outer(col("__cd")).as(Seq("cell", "celldot"))
       )
+      .where(col("cell").isNotNull)
       .withColumn("rn", row_number().over(qw))
       .where(col("rn") <= nProbe)
       .drop("rn", "celldot")

@@ -57,6 +57,23 @@ class PlanSpec extends SparkSpec {
     assert(scanCount(p) == 1, "a bucket self-join would re-scan documents")
   }
 
+  test("ngram jaccard: no filter re-derives the shingle tree (InferFiltersFromGenerate)") {
+    // plain explode(sh) lets the optimizer infer `size(sh) > 0` and
+    // alias-substitute the whole tokenize+shingle+sort tree into a
+    // per-row filter below the projection — the tree must only ever
+    // appear in projections (evaluated once), never in a Filter
+    val opt = SparkEntry
+      .queries("dedup_ngram_jaccard")(spark, Sf)
+      .queryExecution
+      .optimizedPlan
+    val offending = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("array_distinct") =>
+        f
+    }
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+
   test("ngram jaccard: no cartesian/self-join of document sets") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("CartesianProduct"))
