@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize, Skew}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-join / sessionization / skew-resistant-aggregation queries —
+  * warehouse operations the reference system's SCD2 mart implies (the
+  * historic probe, `ETL/DB_Lookup.py:24-54`, generalized to per-event
+  * point-in-time) plus the event-log shaping steps of a training-data
+  * pipeline. Portability rules as in [[RelationalQueries]] (timestamps
+  * out as strings, sums out as BIGINT, exact integer gap arithmetic).
+  */
+object TemporalQueries {
+  private val SessionGapSeconds = 3600L
+  private val SaltBuckets = 32
+
+  val qs: Seq[Q] = Seq(
+    // ---- as-of join: event -> latest order version at event time ----
+    Q(
+      "t_asof_enrich",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        // one version row per (custkey, orderdate): deterministic
+        // tiebreak (max orderkey) — the as-of contract requires unique
+        // (key, ts) on the version side
+        val vw = Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val vers = Tables
+          .orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("__rn", row_number().over(vw))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+        AsOfJoin
+          .enrich(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_orderpriority").as("asof_priority")
+          )
+      },
+      Some("""WITH vers AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+             |        FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id,
+             |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       v.o_orderkey AS asof_orderkey,
+             |       v.o_orderpriority AS asof_priority
+             |FROM events e ASOF LEFT JOIN vers v
+             |  ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate""".stripMargin)
+    ),
+
+    // ---- gap-based sessionization over the event log ----
+    Q(
+      "t_event_sessionize",
+      (s, dir) =>
+        Sessionize
+          .withSessionIds(
+            Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+            keyCol = "user_id",
+            tsCol = "ts",
+            tiebreak = "event_id",
+            gapSeconds = SessionGapSeconds
+          )
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("session_seq")
+          ),
+      Some(s"""WITH x AS (
+             |  SELECT event_id, user_id, ts,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${SessionGapSeconds * 1000000L}
+             |              THEN 1 ELSE 0 END AS isnew
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_id, user_id,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |FROM x""".stripMargin)
+    ),
+
+    // ---- salted two-stage aggregation (skew-resistant) ----
+    // lineitem grouped by l_returnflag: 3 keys for 60k+ rows is exactly
+    // the hot-key shape; the salted result must equal the plain GROUP BY
+    // (count + exact DECIMAL sum are algebraic).
+    Q(
+      "a5_salted_agg_skew",
+      (s, dir) =>
+        Skew
+          .saltedAgg(
+            Tables.lineitem(s, dir),
+            keys = Seq("l_returnflag"),
+            saltFrom = Seq("l_orderkey", "l_linenumber"),
+            nSalts = SaltBuckets,
+            sums = Map("sum_qty" -> col("l_quantity").cast("decimal(18,2)"))
+          )
+          .select(
+            col("l_returnflag"),
+            col("n_rows"),
+            (col("sum_qty") * 100).cast("long").as("sum_qty_cents")
+          ),
+      Some("""SELECT l_returnflag,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    )
+  )
+}

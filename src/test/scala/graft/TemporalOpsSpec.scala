@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{AsOfJoin, Sessionize, Skew}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof: event sees the latest version at-or-before its timestamp, inclusive") {
+    val versions = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (1L, ts("2024-01-02 00:00:00"), "v2"),
+      (2L, ts("2024-01-05 00:00:00"), "w1")
+    ).toDF("k", "vts", "payload")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")), // between v1 and v2 -> v1
+      (11L, 1L, ts("2024-01-02 00:00:00")), // exactly at v2 -> v2 (inclusive)
+      (12L, 1L, ts("2023-12-31 23:59:59")), // before any version -> null
+      (13L, 2L, ts("2024-01-06 00:00:00")), // -> w1
+      (14L, 3L, ts("2024-01-06 00:00:00"))  // key with no versions -> null
+    ).toDF("event_id", "k", "ets")
+
+    val out = AsOfJoin
+      .enrich(events, versions, "k", "ets", "k", "vts")
+      .select("event_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+    assert(out == Map(
+      10L -> Some("v1"),
+      11L -> Some("v2"),
+      12L -> None,
+      13L -> Some("w1"),
+      14L -> None
+    ))
+  }
+
+  test("asof: single shuffle — no join operator in the physical plan") {
+    val versions = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("vts"), col("o_orderkey"))
+      .dropDuplicates("k", "vts")
+    val events = Tables.events(spark, Sf).select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val plan = AsOfJoin
+      .enrich(events, versions, "k", "ts", "k", "vts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("sessionize: gaps strictly over the threshold start new sessions") {
+    val events = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:30:00")), // 30 min gap -> same session
+      (3L, 100L, ts("2024-01-01 11:30:00")), // exactly 3600 s -> same (strict >)
+      (4L, 100L, ts("2024-01-01 13:00:01")), // 5401 s -> new session
+      (5L, 200L, ts("2024-01-01 10:00:00"))  // other key -> own session 1
+    ).toDF("event_id", "uid", "ts")
+    val out = Sessionize
+      .withSessionIds(events, "uid", "ts", "event_id", gapSeconds = 3600L)
+      .select("event_id", "session_seq")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: summary rolls up bounds and counts") {
+    val events = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:30:00")),
+      (3L, 100L, ts("2024-01-01 15:00:00"))
+    ).toDF("event_id", "uid", "ts")
+    val s = Sessionize.withSessionIds(events, "uid", "ts", "event_id", 3600L)
+    val sums = Sessionize.sessionSummary(s, "uid", "ts").orderBy("session_seq").collect()
+    assert(sums.length == 2)
+    assert(sums(0).getAs[Long]("n_events") == 2)
+    assert(sums(1).getAs[Timestamp]("session_start") == ts("2024-01-01 15:00:00"))
+  }
+
+  test("salted aggregation equals the plain groupBy on exact types") {
+    val li = Tables.lineitem(spark, Sf)
+    val salted = Skew
+      .saltedAgg(
+        li,
+        keys = Seq("l_returnflag"),
+        saltFrom = Seq("l_orderkey", "l_linenumber"),
+        nSalts = 8,
+        sums = Map("sum_qty" -> col("l_quantity").cast("decimal(18,2)"))
+      )
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+      .toMap
+    val plain = li
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString)))
+      .toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregation plans two hash-aggregate stages over the salt") {
+    val plan = Skew
+      .saltedAgg(
+        Tables.lineitem(spark, Sf),
+        keys = Seq("l_returnflag"),
+        saltFrom = Seq("l_orderkey"),
+        nSalts = 8,
+        sums = Map("sum_qty" -> col("l_quantity").cast("decimal(18,2)"))
+      )
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+}
