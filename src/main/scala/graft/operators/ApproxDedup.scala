@@ -86,6 +86,27 @@ object ApproxDedup {
     )
   }
 
+  /** All unordered pairs from a sorted (by first field = id),
+    * duplicate-free array of structs, carrying each element's FULL struct
+    * into the pair. Payload-bearing pair operators must use this instead
+    * of pairing ids and probing a bucket-local id->payload map: a map
+    * `element_at` is an O(B) linear scan, and filter pushdown multiplies
+    * it — alias substitution re-evaluates the lookup at every reference
+    * inside a pushed predicate, so a 60-term Hamming filter over map
+    * lookups costs ~120*B key compares PER PAIR (the round-2 650 s
+    * simhash-pairs regression). Struct-field reads are O(1) and cheap
+    * under substitution.
+    */
+  private def pairsOfStructs(xs: Column, maxBucket: Int): Column = {
+    val capped = slice(xs, 1, maxBucket)
+    flatten(
+      transform(
+        capped,
+        (x, i) => transform(slice(capped, i + 2, size(capped)), y => struct(x.as("a"), y.as("b")))
+      )
+    )
+  }
+
   /** Affine re-hash family for MinHash over one md5 base hash:
     * mh_i = min over shingles of (A_i * h + B_i) mod P, with
     * h = md5-derived base hash reduced mod P and P = 2^31 - 1 (Mersenne
@@ -308,20 +329,28 @@ object ApproxDedup {
     staged.select(df.columns.map(col) :+ bits.reduce(_ + _).as(outCol): _*)
   }
 
-  /** Hamming distance between two simhash values (over nBits). */
-  def hammingDistance(a: Column, b: Column, nBits: Int): Column =
+  /** Popcount of the low `nBits` bits of `x`. Pass a plain column
+    * reference (or a cheap expression): filter pushdown substitutes the
+    * argument into every one of the nBits terms.
+    */
+  def bitSum(x: Column, nBits: Int): Column =
     (0 until nBits)
-      .map(bit => shiftright(a.bitwiseXOR(b), bit).bitwiseAND(1))
+      .map(bit => shiftright(x, bit).bitwiseAND(1))
       .reduce(_ + _)
       .cast("int")
+
+  /** Hamming distance between two simhash values (over nBits). */
+  def hammingDistance(a: Column, b: Column, nBits: Int): Column =
+    bitSum(a.bitwiseXOR(b), nBits)
 
   /** SimHash near-dup pairs: band the nBits signature into `nBands`
     * contiguous bit slices — by pigeonhole, any pair with Hamming
     * distance < nBands shares at least one identical slice — then verify
     * candidates with the exact Hamming distance. Exact recall for
     * `maxHamming < nBands`; same bucketed shape as the other pair
-    * operators (one groupBy shuffle, capped in-bucket expansion, the
-    * signatures ride the shuffle as a bucket-local id->simhash map).
+    * operators (one groupBy shuffle, capped in-bucket expansion); each
+    * candidate pair carries both signatures as struct fields, so the
+    * pushed-down Hamming filter reads O(1) fields per term.
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -346,17 +375,16 @@ object ApproxDedup {
     val paired = sigs
       .select(col("id"), col("__sh"), explode(array(bandStructs: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("__sh"))).as("m"))
-      .where(size(col("m")) > 1)
-      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))), maxBucket)).as("p"))
+      .agg(array_sort(collect_list(struct(col("id").as("id"), col("__sh").as("sh")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
       .select(
-        col("p.id_a").as("id_a"),
-        col("p.id_b").as("id_b"),
-        element_at(col("m"), col("p.id_a")).as("sh_a"),
-        element_at(col("m"), col("p.id_b")).as("sh_b")
+        col("p.a.id").as("id_a"),
+        col("p.b.id").as("id_b"),
+        col("p.a.sh").bitwiseXOR(col("p.b.sh")).as("__x")
       )
     paired
-      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b"), nBits))
+      .withColumn("hamming", bitSum(col("__x"), nBits))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
@@ -379,8 +407,9 @@ object ApproxDedup {
   ): DataFrame = {
     val planes = VectorFunctions.randomPlanes(nPlanes, dim)
     // double-cast vectors + norms are computed once per row here, then
-    // ride through the bucket groupBy as (vec, norm) structs so the
-    // per-pair verify is just a dot product and one divide
+    // ride through the bucket groupBy as (vec, norm) structs carried
+    // into each candidate pair, so the per-pair verify is just a dot
+    // product and one divide on plain struct fields
     val bucketed = emb.select(
       col(idCol).as("id"),
       struct(
@@ -391,14 +420,14 @@ object ApproxDedup {
     )
     val paired = bucketed
       .groupBy("bucket")
-      .agg(map_from_arrays(collect_list(col("id")), collect_list(col("vn"))).as("m"))
-      .where(size(col("m")) > 1)
-      .select(col("m"), explode(pairsWithin(array_sort(map_keys(col("m"))), maxBucket)).as("p"))
+      .agg(array_sort(collect_list(struct(col("id").as("id"), col("vn").as("vn")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
       .select(
-        col("p.id_a").as("id_a"),
-        col("p.id_b").as("id_b"),
-        element_at(col("m"), col("p.id_a")).as("vn_a"),
-        element_at(col("m"), col("p.id_b")).as("vn_b")
+        col("p.a.id").as("id_a"),
+        col("p.b.id").as("id_b"),
+        col("p.a.vn").as("vn_a"),
+        col("p.b.vn").as("vn_b")
       )
     paired
       .withColumn(
