@@ -83,4 +83,16 @@ class PlanSpec extends SparkSpec {
     // narrow projections; more means a pipeline is being re-evaluated.
     assert(scanCount(p) <= 4)
   }
+
+  test("pair operators: payloads ride the pair structs, never a bucket map") {
+    // probing a bucket-local id->payload map per pair is an O(bucket)
+    // scan that pushdown alias-substitution re-evaluates at every
+    // predicate term (the 650 s simhash-pairs regression) — the pair
+    // plans must contain no map construction at all
+    for (q <- Seq("dedup_simhash_pairs", "dedup_embedding_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("map_from_arrays"), s"$q builds a bucket map:\n$p")
+      assert(!p.contains("element_at"), s"$q probes per pair:\n$p")
+    }
+  }
 }
