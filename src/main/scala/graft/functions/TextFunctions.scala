@@ -143,4 +143,14 @@ object TextFunctions {
   /** B^e mod P as a plain Long constant (e small; folded at plan time). */
   private def pow(b: Long, e: Int): Long =
     (0 until e).foldLeft(1L)((acc, _) => (acc * b) % RollMod)
+
+  /** Deterministic split bucket in [0, nBuckets) from a salted md5 of the
+    * id — the standard train/val/test assignment of a training-data
+    * pipeline. Pure map stage (no shuffle, no RNG): the same id always
+    * lands in the same bucket on any engine, rerun, or cluster size, and
+    * changing `salt` yields an independent re-split. Engine-portable via
+    * the 60-bit md5-prefix construction ([[Fingerprint.hexToLong]]).
+    */
+  def splitBucket(id: Column, nBuckets: Int, salt: String): Column =
+    pmod(Fingerprint.hexToLong(md5(concat(lit(s"$salt:"), id.cast("string")))), lit(nBuckets.toLong))
 }

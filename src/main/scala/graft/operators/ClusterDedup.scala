@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: the stage after pair generation in a
+  * corpus-dedup pipeline. Pair operators ([[ApproxDedup]]) emit edges;
+  * this one groups them into connected components and elects one
+  * survivor per component — what a 100 TB pretraining-dedup actually
+  * ships (drop all but one doc of each near-dup family).
+  *
+  * Algorithm: iterative min-label propagation with pointer-jumping
+  * (hash-to-min): each round every vertex takes the min label among
+  * itself and its neighbors, then labels are compressed one hop
+  * (label := label(label)). Pointer jumping makes convergence
+  * O(log diameter) rounds, so even pathological chain-shaped families
+  * finish in a handful of iterations; near-dup families are in practice
+  * dense and converge in 2-3.
+  *
+  * Scale shape per round: one shuffle join of edges with labels on the
+  * vertex id + one min-aggregation + one self-join for compression —
+  * all hash-partitioned on ids, never materializing anything wider than
+  * (id, label) pairs. The per-round frame is `localCheckpoint`ed to cut
+  * the growing lineage (on a cluster, substitute a reliable checkpoint
+  * dir); convergence is detected with a scalar `isEmpty` probe, not a
+  * collect. This is the standard Pregel-style CC shape (cf. GraphX),
+  * expressed over DataFrames so Catalyst/AQE still plan each round.
+  */
+object ClusterDedup {
+  /** Connected-component label (the min member id) per vertex id
+    * appearing in `pairs`. Output: (id, label).
+    *
+    * `pairs` must be an undirected edge list (each unordered pair once,
+    * either orientation); ids must be orderable (the component label is
+    * the component's min id, which makes results deterministic and
+    * engine-portable).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val e = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = e
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min over self + neighbor labels
+      val msgs = e
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val minimized = labels
+        .union(msgs)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+      // pointer jump: label := label(label) — every label IS a vertex id
+      // (the min is always some member's id), so the self-join hits
+      val next = minimized
+        .join(
+          minimized.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("label") === col("__lid")
+        )
+        .select(col("id"), col("__ll").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "__old"), "id")
+        .where(col("label") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment for EVERY document: docs in no pair form their
+    * own singleton cluster (cluster_id = own id); `is_survivor` marks
+    * the elected representative (the min id of its cluster) — filtering
+    * on it yields the deduplicated corpus.
+    */
+  def assignClusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("label", "__cc")
+    docs
+      .select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__cc"), col(idCol)).as("cluster_id"),
+        when(coalesce(col("__cc"), col(idCol)) === col(idCol), 1).otherwise(0).as("is_survivor")
+      )
+  }
+}

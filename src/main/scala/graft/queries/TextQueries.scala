@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Dedup, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -34,8 +34,41 @@ object TextQueries {
 
   private val NumHashes   = 8
   private val RowsPerBand = 2
+  private val SplitBuckets = 100
+  private val SplitTrainLt = 80
+  private val SplitValLt   = 90
+  private val SplitSalt    = "corpus-split-v1"
   private val SimhashBits     = 16
   private val SimhashPairBits = 60
+
+  /** Shared CTE chain ending in `prs(id_a, id_b, hamming)`: the banded
+    * 60-bit SimHash near-dup pairs, used verbatim by both the pair query
+    * and the connected-components clustering oracle.
+    */
+  private lazy val simhashPairCtes: String = {
+    val bandBits = SimhashPairBits / 4
+    val sums = (0 until SimhashPairBits)
+      .map(b => s"CAST(sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b")
+      .mkString(",\n")
+    val assemble = (0 until SimhashPairBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val hamming = (0 until SimhashPairBits)
+      .map(i => s"((xor(sha, shb) >> $i) & 1)")
+      .mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $assemble AS sh FROM bits),
+       |bk AS (SELECT doc_id, sh, u.b AS band, (sh >> (u.b * $bandBits)) & ${(1 << bandBits) - 1} AS sig
+       |  FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh AS sha, b.sh AS shb
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id),
+       |prs AS (SELECT id_a, id_b, CAST($hamming AS INT) AS hamming
+       |  FROM cand WHERE $hamming <= 3)""".stripMargin
+  }
   // realistic near-dup threshold (the corpus' true duplicate families sit
   // above 0.6; 0.05 kept noise pairs AND neutered the prefix filter —
   // prefix length is |d|-ceil(t|d|)+1, so higher t = stronger pruning)
@@ -320,32 +353,62 @@ object TextQueries {
           nBands = 4,
           maxHamming = 3
         ),
-      Some {
-        val bandBits = SimhashPairBits / 4
-        val sums = (0 until SimhashPairBits)
-          .map(b =>
-            s"CAST(sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$b"
+      Some(s"WITH $simhashPairCtes SELECT id_a, id_b, hamming FROM prs")
+    ),
+
+    // ---- near-dup clustering: connected components over the simhash
+    //      pair graph + survivor election (the corpus-dedup apply step) ----
+    Q(
+      "dedup_cc_clusters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+        val pairs = ApproxDedup.simhashNearDupPairs(
+          docs,
+          "doc_id",
+          col("text"),
+          nBits = SimhashPairBits,
+          nBands = 4,
+          maxHamming = 3
+        )
+        ClusterDedup.assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+             |      UNION ALL SELECT id_b, id_a FROM prs),
+             |reach(v, l) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v),
+             |cc AS (SELECT v, min(l) AS cl FROM reach GROUP BY v)
+             |SELECT d.doc_id,
+             |       COALESCE(cc.cl, d.doc_id) AS cluster_id,
+             |       CAST(CASE WHEN COALESCE(cc.cl, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_survivor
+             |FROM documents d LEFT JOIN cc ON cc.v = d.doc_id""".stripMargin)
+    ),
+
+    // ---- deterministic train/val/test split (salted hash bucket) ----
+    Q(
+      "split_train_val_test",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextFunctions.splitBucket(col("doc_id"), SplitBuckets, SplitSalt).as("bucket")
           )
-          .mkString(",\n")
-        val assemble = (0 until SimhashPairBits)
-          .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
-          .mkString(" + ")
-        val hamming = (0 until SimhashPairBits)
-          .map(i => s"((xor(sha, shb) >> $i) & 1)")
-          .mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-           |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
-           |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
-           |sh AS (SELECT doc_id, $assemble AS sh FROM bits),
-           |bk AS (SELECT doc_id, sh, u.b AS band, (sh >> (u.b * $bandBits)) & ${(1 << bandBits) - 1} AS sig
-           |  FROM sh, unnest(generate_series(0, 3)) AS u(b)),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    a.sh AS sha, b.sh AS shb
-           |  FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
-           |    AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b, CAST($hamming AS INT) AS hamming
-           |FROM cand WHERE $hamming <= 3""".stripMargin
-      }
+          .withColumn(
+            "split",
+            when(col("bucket") < SplitTrainLt, "train")
+              .when(col("bucket") < SplitValLt, "val")
+              .otherwise("test")
+          ),
+      Some(s"""SELECT doc_id, bucket,
+             |       CASE WHEN bucket < $SplitTrainLt THEN 'train'
+             |            WHEN bucket < $SplitValLt THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $SplitBuckets AS bucket
+             |      FROM documents)""".stripMargin)
     ),
 
     // ---- embedding-cosine near-dup (random-hyperplane LSH + exact verify) ----
