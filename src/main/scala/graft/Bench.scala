@@ -19,7 +19,9 @@ object Bench {
     // are INTERLEAVED (full suite passes, not per-query triples) so a
     // minutes-long steal burst cannot capture every rep of one query.
     val reps  = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq
+    // optional comma-separated subset for local iteration on one query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
     val best   = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; name <- names) {

@@ -142,6 +142,39 @@ object GraftExtensions {
           MinhashFamily.Mod
         )
       }
+    ),
+    (
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_simhash expects (tokenHashes, nBits), got ${children.size}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 0 && v <= 63 => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_simhash nBits must be an integer literal in [1, 63], got $other"
+            )
+        }
+        SimhashBits(
+          Cast(children.head, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+          n
+        )
+      }
+    ),
+    (
+      FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_ngram_hashes expects (tokens, n), got ${children.size}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_ngram_hashes n must be a positive integer literal, got $other"
+            )
+        }
+        NgramHashes(children.head, n)
+      }
     )
   )
 }

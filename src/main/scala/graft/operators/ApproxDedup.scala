@@ -181,6 +181,64 @@ object ApproxDedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATION over LSH candidate pairs: for every pair
+    * of docs sharing a band, the fraction of signature positions that
+    * agree — the unbiased MinHash estimator of Jaccard similarity
+    * (E[mh_i(A) = mh_i(B)] = J(A,B)). This is the cheap scorer a corpus
+    * pipeline runs INSTEAD of exact verification when candidate volume
+    * makes array_intersect joins too expensive: signatures are nHashes
+    * longs (fixed width, already computed for banding), so scoring is
+    * O(nHashes) per pair with no join back to the shingle sets.
+    *
+    * Same bucketed shape as the other pair operators: one groupBy
+    * shuffle, capped in-bucket expansion, signatures riding the pair
+    * structs (see [[pairsOfStructs]]). Output: (id_a, id_b, n_match,
+    * jaccard_est) with jaccard_est = n_match / nHashes (exact in binary
+    * for power-of-two nHashes — engine-portable as a double).
+    */
+  def minhashJaccardEstimates(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      n: Int,
+      nHashes: Int,
+      rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
+    val nBands = nHashes / rowsPerBand
+    val sigs = withMinhashSignature(
+      docs.select(col(idCol).as("id"), text.as("__text")),
+      col("__text"),
+      n,
+      nHashes
+    ).select(col("id"), array((0 until nHashes).map(i => col(s"mh$i")): _*).as("sg"))
+    val bandStructs = (0 until nBands).map { b =>
+      val bandCols =
+        (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => element_at(col("sg"), i + 1))
+      struct(lit(b).as("band"), Fingerprint.rowHash(bandCols).as("sig"))
+    }
+    val paired = sigs
+      .select(col("id"), col("sg"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .agg(array_sort(collect_list(struct(col("id").as("id"), col("sg").as("sg")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
+    val nMatch = (0 until nHashes)
+      .map(i =>
+        when(element_at(col("p.a.sg"), i + 1) === element_at(col("p.b.sg"), i + 1), 1)
+          .otherwise(0)
+      )
+      .reduce(_ + _)
+    paired
+      .select(
+        col("p.a.id").as("id_a"),
+        col("p.b.id").as("id_b"),
+        nMatch.cast("int").as("n_match")
+      )
+      .distinct()
+      .withColumn("jaccard_est", col("n_match").cast("double") / nHashes)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns (arrays). */
   def jaccard(aSet: Column, bSet: Column): Column = {
     val inter = size(array_intersect(aSet, bSet)).cast("double")
@@ -223,17 +281,24 @@ object ApproxDedup {
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    // tokens staged in their own projection (see shinglesOfTokens), the
-    // shingle-set array staged in the next — every downstream reference
-    // (explode, size, both verify sides) reads materialized arrays
+    // tokens staged in their own projection (see shinglesOfTokens); the
+    // shingle SET is the native graft_ngram_hashes kernel — sorted
+    // distinct 64-bit window hashes, no shingle strings ever built
+    // (Jaccard only needs sizes + intersections, which an injective
+    // hash preserves; see NgramHashes scaladoc) — staged in the next
+    // projection so every downstream reference (explode, size, both
+    // verify sides) reads one materialized long array
     val sets = docs
       .withColumn("__toks", TextFunctions.tokens(text))
       // cheap equivalent of size(sh) > 0: pushdown substitutes the
       // filter's aliases all the way back to raw text, so filtering on
-      // the shingle array would re-evaluate the whole O(T^2) shingle
-      // tree inside the scan — the token-count form costs one split
+      // the shingle array would re-evaluate the whole shingle tree
+      // inside the scan — the token-count form costs one split
       .where(size(col("__toks")) >= n)
-      .withColumn("__sh", array_sort(array_distinct(shinglesOfTokens(col("__toks"), n))))
+      .withColumn(
+        "__sh",
+        array_sort(array_distinct(call_function("graft_ngram_hashes", col("__toks"), lit(n))))
+      )
       .select(col(idCol).as("id"), col("__sh").as("sh"), size(col("__sh")).as("sz"))
 
     // explode_outer, NOT explode: plain explode makes Generate insert a
@@ -311,22 +376,19 @@ object ApproxDedup {
   }
 
   /** DataFrame-level simhash that stages the token-hash array once
-    * (one md5 per token total, not per bit). Adds `outCol` to `df`.
+    * (one md5 per token total, not per bit), then assembles all `nBits`
+    * bit-counters in ONE pass via the native codegen'd
+    * [[graft.functions.SimhashBits]] kernel — the HOF form above walks
+    * the array `nBits` times through interpreted `aggregate` calls.
+    * Bit-identical to [[simhash]] (SimhashExprSpec). Adds `outCol`.
     */
   def withSimhash(df: DataFrame, text: Column, nBits: Int, outCol: String): DataFrame = {
     val staged = df.withColumn(
       "__tokHashes",
       transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))
     )
-    val bits = (0 until nBits).map { b =>
-      val contrib = aggregate(
-        col("__tokHashes"),
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      )
-      when(contrib > 0, lit(1L) * (1L << b)).otherwise(0L)
-    }
-    staged.select(df.columns.map(col) :+ bits.reduce(_ + _).as(outCol): _*)
+    val sig = call_function("graft_simhash", col("__tokHashes"), lit(nBits))
+    staged.select(df.columns.map(col) :+ sig.as(outCol): _*)
   }
 
   /** Popcount of the low `nBits` bits of `x`. Pass a plain column

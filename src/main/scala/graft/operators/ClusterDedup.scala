@@ -41,9 +41,21 @@ object ClusterDedup {
       bCol: String,
       maxIter: Int = 25
   ): DataFrame = {
+    // BOTH edge orientations from ONE evaluation of the (potentially
+    // expensive) upstream pair pipeline: explode duplicates each row
+    // inside the same scan — `pairs.union(pairs.swapped)` would plant the
+    // whole pair-generation DAG in the plan twice and execute it twice
+    // (the round-2 cc bench was dominated by exactly that)
     val e = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(
+        explode(
+          array(
+            struct(col(aCol).as("src"), col(bCol).as("dst")),
+            struct(col(bCol).as("src"), col(aCol).as("dst"))
+          )
+        ).as("se")
+      )
+      .select(col("se.src").as("src"), col("se.dst").as("dst"))
       .distinct()
       .localCheckpoint()
 
@@ -56,14 +68,18 @@ object ClusterDedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min over self + neighbor labels
+      // min over self + neighbor labels; the self rows also carry the
+      // round's PREVIOUS label through the aggregation (min over the
+      // single tagged row), so convergence needs no extra join below
+      val idType = pairs.schema(aCol).dataType
       val msgs = e
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"), lit(null).cast(idType).as("__self"))
       val minimized = labels
+        .select(col("id"), col("label"), col("label").as("__self"))
         .union(msgs)
         .groupBy("id")
-        .agg(min("label").as("label"))
+        .agg(min("label").as("label"), min("__self").as("__old"))
       // pointer jump: label := label(label) — every label IS a vertex id
       // (the min is always some member's id), so the self-join hits
       val next = minimized
@@ -71,13 +87,11 @@ object ClusterDedup {
           minimized.select(col("id").as("__lid"), col("label").as("__ll")),
           col("label") === col("__lid")
         )
-        .select(col("id"), col("__ll").as("label"))
+        .select(col("id"), col("__ll").as("label"), (col("__ll") =!= col("__old")).as("__chg"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "__old"), "id")
-        .where(col("label") =!= col("__old"))
-        .isEmpty
-      labels = next
+      // probe reads the just-checkpointed frame — no recomputation, no join
+      converged = next.where(col("__chg")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -312,6 +312,53 @@ object TextQueries {
       }
     ),
 
+    // ---- MinHash Jaccard estimation over LSH candidates (signature
+    //      agreement fraction — the cheap scorer when exact verify is
+    //      too expensive; unbiased estimator of true Jaccard) ----
+    Q(
+      "dedup_minhash_jaccard_est",
+      (s, dir) =>
+        ApproxDedup.minhashJaccardEstimates(
+          Tables
+            .documents(s, dir)
+            .where(size(TextFunctions.tokens(col("text"))) >= 3)
+            .select(col("doc_id"), col("text"))
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id",
+          col("text"),
+          n = 3,
+          nHashes = NumHashes,
+          rowsPerBand = RowsPerBand
+        ),
+      Some {
+        val mins = (0 until NumHashes).map(sqlMinhash).mkString(",\n")
+        val nBands = NumHashes / RowsPerBand
+        val bands = (0 until nBands)
+          .map { b =>
+            val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+              .map(i => s"coalesce(CAST(mh$i AS VARCHAR), 'NULL')")
+              .mkString(", ")
+            s"SELECT doc_id, $b AS band, md5(concat_ws('||', $cols)) AS sig FROM sigs"
+          }
+          .mkString("\nUNION ALL\n")
+        val matches = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$ShinglesSql,
+           |h AS (SELECT doc_id, ${sqlBaseHash("s")} AS hm FROM sh),
+           |sigs AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+           |buckets AS ($bands),
+           |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST($matches AS INT) AS n_match,
+           |  CAST($matches AS DOUBLE) / $NumHashes AS jaccard_est
+           |FROM cands
+           |JOIN sigs sa ON sa.doc_id = id_a
+           |JOIN sigs sb ON sb.doc_id = id_b""".stripMargin
+      }
+    ),
+
     // ---- SimHash (16-bit, token multiset) ----
     Q(
       "dedup_simhash",

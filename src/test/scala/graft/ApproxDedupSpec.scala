@@ -43,6 +43,19 @@ class ApproxDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L))) // every band collides for 1-2; 3 joins nothing
   }
 
+  test("minhashJaccardEstimates: exact dups estimate 1.0, disjoint docs never pair") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "h i j k l m n")
+    ).toDF("id", "text")
+    val est = ApproxDedup
+      .minhashJaccardEstimates(df, "id", col("text"), n = 3, nHashes = 8, rowsPerBand = 2)
+      .as[(Long, Long, Int, Double)]
+      .collect()
+    assert(est.toSeq == Seq((1L, 2L, 8, 1.0))) // identical sets agree on every position
+  }
+
   test("ngramJaccardPairs: exact jaccard on shared-shingle candidates") {
     val df = Seq(
       (1L, "a b c d"), // shingles {abc, bcd}
