@@ -175,6 +175,30 @@ object GraftExtensions {
         }
         NgramHashes(children.head, n)
       }
+    ),
+    (
+      FunctionIdentifier("graft_md5_longs"),
+      new ExpressionInfo(classOf[Md5Longs].getName, "graft_md5_longs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"graft_md5_longs expects (arr, prefix, mod), got ${children.size}")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val prefix = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_md5_longs prefix must be a string literal, got $other"
+            )
+        }
+        val mod = children(2) match {
+          case Literal(v: Long, _) if v >= 0 => v
+          case Literal(v: Int, _) if v >= 0  => v.toLong
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_md5_longs mod must be a non-negative integer literal, got $other"
+            )
+        }
+        Md5Longs(children.head, prefix, mod)
+      }
     )
   )
 }

@@ -131,9 +131,11 @@ object TextFunctions {
       w: Int,
       outCol: String
   ): org.apache.spark.sql.DataFrame = {
+    // native graft_md5_longs loop — bit-identical to
+    // transform(tokens, t => hexToLong(md5(t)) % RollMod) (Md5LongsSpec)
     val staged = df.withColumn(
       "__rollTokHashes",
-      transform(tokens(text), t => graft.functions.Fingerprint.hexToLong(md5(t)) % RollMod)
+      call_function("graft_md5_longs", tokens(text), lit(""), lit(RollMod))
     )
     staged.select(
       df.columns.map(col) :+ rollingMinOver(col("__rollTokHashes"), w).as(outCol): _*

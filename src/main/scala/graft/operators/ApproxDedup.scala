@@ -140,11 +140,22 @@ object ApproxDedup {
     * so the per-seed `element_at` projections read it once.
     */
   def withMinhashSignature(df: DataFrame, text: Column, n: Int, nHashes: Int): DataFrame = {
+    // base hashes via graft_md5_longs (native loop; bit-identical to
+    // transform(shingles, baseHash) — Md5LongsSpec); distinct runs on
+    // the hashed longs, equivalent to distinct shingles under injective
+    // md5 and cheaper to compare
     val staged = df
       .withColumn("__toks", TextFunctions.tokens(text))
       .withColumn(
         "__baseHashes",
-        transform(array_distinct(shinglesOfTokens(col("__toks"), n)), s => baseHash(s))
+        array_distinct(
+          call_function(
+            "graft_md5_longs",
+            shinglesOfTokens(col("__toks"), n),
+            lit(""),
+            lit(MinhashMod)
+          )
+        )
       )
       .withColumn("__sig", functions_.MinhashFamily.signature(col("__baseHashes"), nHashes))
     val sigCols = (0 until nHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i"))
@@ -383,9 +394,12 @@ object ApproxDedup {
     * Bit-identical to [[simhash]] (SimhashExprSpec). Adds `outCol`.
     */
   def withSimhash(df: DataFrame, text: Column, nBits: Int, outCol: String): DataFrame = {
+    // token hashes via the native graft_md5_longs kernel (one generated
+    // loop per row) — same values as transform(tokens, seededLongHash),
+    // which walks an interpreted md5 tree per token (Md5LongsSpec)
     val staged = df.withColumn(
       "__tokHashes",
-      transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))
+      call_function("graft_md5_longs", TextFunctions.tokens(text), lit("0:"), lit(0L))
     )
     val sig = call_function("graft_simhash", col("__tokHashes"), lit(nBits))
     staged.select(df.columns.map(col) :+ sig.as(outCol): _*)

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Dedup, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -310,6 +310,64 @@ object TextQueries {
            |FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
            |WHERE a.doc_id < b.doc_id""".stripMargin
       }
+    ),
+
+    // ---- corpus vocabulary: top-k tokens by frequency (map-side
+    //      partial agg on the token, then one |vocab| shuffle; the
+    //      (n DESC, token ASC) total order makes the cut deterministic) ----
+    Q(
+      "text_vocab_topk",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(50),
+      Some("""SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)
+    ),
+
+    // ---- benchmark-contamination check: per-doc n-gram overlap of the
+    //      corpus against a broadcast reference (benchmark) shingle set;
+    //      the corpus side is one map pass + one |docs| groupBy ----
+    Q(
+      "contamination_ngram_overlap",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        Contamination.ngramOverlap(
+          all.where(col("doc_id") % 10 =!= 0).repartition(s.sparkContext.defaultParallelism),
+          "doc_id",
+          col("text"),
+          all.where(col("doc_id") % 10 === 0),
+          col("text"),
+          n = 3,
+          threshMil = 500
+        ).withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH ct AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 3),
+             |csh AS (
+             |  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+             |  FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
+             |rt AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+             |rsh AS (
+             |  SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+             |  FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
+             |m AS (
+             |  SELECT c.doc_id, CAST(count(*) AS INT) AS n_shingles,
+             |         CAST(count(r.s) AS INT) AS n_overlap
+             |  FROM csh c LEFT JOIN rsh r ON c.s = r.s
+             |  GROUP BY c.doc_id)
+             |SELECT doc_id, n_shingles, n_overlap,
+             |  CAST(CASE WHEN n_overlap * 1000 >= 500 * n_shingles
+             |       THEN 1 ELSE 0 END AS INT) AS contaminated
+             |FROM m""".stripMargin)
     ),
 
     // ---- MinHash Jaccard estimation over LSH candidates (signature

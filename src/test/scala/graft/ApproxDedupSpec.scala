@@ -56,6 +56,21 @@ class ApproxDedupSpec extends SparkSpec {
     assert(est.toSeq == Seq((1L, 2L, 8, 1.0))) // identical sets agree on every position
   }
 
+  test("contamination: overlap counts and integer-threshold flag") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // shingles {abc,bcd,cde}; 2 of 3 in ref -> 667mil >= 500 -> contaminated
+      (2L, "x y z w v"), // no overlap
+      (3L, "a b")        // too short, excluded
+    ).toDF("id", "text")
+    val ref = Seq((100L, "a b c d")).toDF("id", "text") // shingles {abc,bcd}
+    val got = graft.operators.Contamination
+      .ngramOverlap(corpus, "id", col("text"), ref, col("text"), n = 3, threshMil = 500)
+      .as[(Long, Int, Int, Int)]
+      .collect()
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3, 2, 1), (2L, 3, 0, 0)))
+  }
+
   test("ngramJaccardPairs: exact jaccard on shared-shingle candidates") {
     val df = Seq(
       (1L, "a b c d"), // shingles {abc, bcd}
