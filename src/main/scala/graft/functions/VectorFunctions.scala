@@ -73,4 +73,39 @@ object VectorFunctions {
     val rnd = new java.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Symmetric per-vector int8 quantization — the storage codec of a
+    * large embedding corpus (4x smaller than float32, 8x than double):
+    * scale = max|v_i| / 127, q_i = round(v_i / scale) in [-127, 127]
+    * (all-zero vectors quantize to all-zero with scale 0).
+    *
+    * DataFrame-level because the scale must be STAGED in its own
+    * projection: referencing it inside the quantizing lambda would
+    * re-evaluate the max-abs aggregate per element (O(d^2) — the
+    * HOF-staging rule, PLANS.md). Adds `scaleCol` (double) and `qCol`
+    * (array<int>) to `df`. Arithmetic is plain IEEE double ops on
+    * identical inputs, so DuckDB oracles mirror it bit-exactly.
+    */
+  def withInt8Quant(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      scaleCol: String,
+      qCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val staged = df
+      .withColumn("__vd", toDouble(col(vecCol)))
+      .withColumn(
+        scaleCol,
+        aggregate(col("__vd"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+      )
+    staged
+      .withColumn(
+        qCol,
+        transform(
+          col("__vd"),
+          x => when(col(scaleCol) === 0.0, 0).otherwise(round(x / col(scaleCol))).cast("int")
+        )
+      )
+      .drop("__vd")
+  }
 }

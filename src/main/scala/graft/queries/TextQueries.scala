@@ -548,6 +548,30 @@ object TextQueries {
       }
     ),
 
+    // ---- int8 embedding quantization (storage codec: per-vector
+    //      symmetric scale, exploded scalar rows for the oracle) ----
+    Q(
+      "embedding_quantize_int8",
+      (s, dir) =>
+        VectorFunctions
+          .withInt8Quant(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+            "embedding",
+            "scale",
+            "q"
+          )
+          .selectExpr("vec_id", "scale", "posexplode(q) AS (i, q)")
+          .select(col("vec_id"), col("i").cast("int").as("i"), col("q"), col("scale")),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e)
+             |SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+             |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[u.i] / scale) END AS INT) AS q,
+             |  scale
+             |FROM s, unnest(generate_series(1, len(v))) AS u(i)""".stripMargin)
+    ),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     Q(
       "ann_knn_bruteforce",

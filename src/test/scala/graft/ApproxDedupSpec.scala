@@ -56,6 +56,22 @@ class ApproxDedupSpec extends SparkSpec {
     assert(est.toSeq == Seq((1L, 2L, 8, 1.0))) // identical sets agree on every position
   }
 
+  test("int8 quantization: symmetric scale, extremes hit ±127, zero vector -> zeros") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.VectorFunctions
+      .withInt8Quant(df, "embedding", "scale", "q")
+      .select(col("vec_id"), col("scale"), col("q"))
+      .as[(Long, Double, Seq[Int])]
+      .collect()
+      .sortBy(_._1)
+    assert(got(0)._2 == 1.0 / 127.0)
+    assert(got(0)._3 == Seq(127, -32, 0)) // -0.25/(1/127) ~ -31.75 -> -32
+    assert(got(1)._2 == 0.0 && got(1)._3 == Seq(0, 0, 0))
+  }
+
   test("contamination: overlap counts and integer-threshold flag") {
     val corpus = Seq(
       (1L, "a b c d e"), // shingles {abc,bcd,cde}; 2 of 3 in ref -> 667mil >= 500 -> contaminated
