@@ -84,6 +84,31 @@ class PlanSpec extends SparkSpec {
     assert(scanCount(p) <= 4)
   }
 
+  test("native kernels own the hot map stages (no interpreted HOF twins left)") {
+    // simhash: ONE graft_simhash + ONE graft_md5_longs per plan — a
+    // CollapseProject regression that re-inlines the staged token-hash
+    // array into multiple references would duplicate the md5 pass
+    val sim = plan("dedup_simhash")
+    assert("graft_simhash".r.findAllIn(sim).size == 1, sim)
+    assert("graft_md5_longs".r.findAllIn(sim).size == 1, sim)
+    assert(!sim.contains("aggregate("), "per-bit HOF aggregates are back:\n" + sim)
+    // jaccard: the shingle sets are the hashed-long kernel, not string
+    // shingles (concat_ws only appears if the string pipeline returns)
+    val jac = plan("dedup_ngram_jaccard")
+    assert(jac.contains("graft_ngram_hashes"), jac)
+    assert(!jac.contains("concat_ws"), "string shingles are back:\n" + jac)
+    // minhash: base hashes come from the md5-array kernel feeding the
+    // single-pass signature kernel
+    val mh = plan("dedup_minhash_signature")
+    assert(mh.contains("graft_md5_longs") && mh.contains("graft_minhash_sig"), mh)
+  }
+
+  test("contamination: reference side broadcast, corpus side not shuffled before the agg") {
+    val p = plan("contamination_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"), "match counts must combine map-side")
+  }
+
   test("pair operators: payloads ride the pair structs, never a bucket map") {
     // probing a bucket-local id->payload map per pair is an O(bucket)
     // scan that pushdown alias-substitution re-evaluates at every
