@@ -199,6 +199,45 @@ object GraftExtensions {
         }
         Md5Longs(children.head, prefix, mod)
       }
+    ),
+    (
+      FunctionIdentifier("graft_hamming_pairs"),
+      new ExpressionInfo(classOf[HammingPairs].getName, "graft_hamming_pairs"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 4,
+          s"graft_hamming_pairs expects (xs, nBits, maxHamming, maxBucket), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_hamming_pairs $what must be an integer literal, got $other"
+            )
+        }
+        HammingPairs(
+          children.head,
+          intLit(children(1), "nBits"),
+          intLit(children(2), "maxHamming"),
+          intLit(children(3), "maxBucket")
+        )
+      }
+    ),
+    (
+      FunctionIdentifier("graft_id_pairs"),
+      new ExpressionInfo(classOf[IdPairs].getName, "graft_id_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_id_pairs expects (ids, maxBucket), got ${children.size}")
+        val mb = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 1 => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_id_pairs maxBucket must be an integer literal > 1, got $other"
+            )
+        }
+        IdPairs(children.head, mb)
+      }
     )
   )
 }

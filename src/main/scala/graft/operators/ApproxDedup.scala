@@ -71,20 +71,13 @@ object ApproxDedup {
   val DefaultMaxBucket = 4096
 
   /** All unordered pairs (a, b) with a < b from a sorted-ascending,
-    * duplicate-free id array — pure array expressions, evaluated inside
-    * the bucket's own task (no join). The array is capped to its first
-    * `maxBucket` ids (see DefaultMaxBucket).
+    * duplicate-free id array, capped to the first `maxBucket` ids —
+    * the native [[graft.functions.IdPairs]] kernel (compiled loop inside
+    * the bucket's own task, no join; the old nested-transform HOF form
+    * allocated an interpreted slice per outer element).
     */
-  private def pairsWithin(ids: Column, maxBucket: Int): Column = {
-    val capped = slice(ids, 1, maxBucket)
-    flatten(
-      transform(
-        capped,
-        (x, i) =>
-          transform(slice(capped, i + 2, size(capped)), y => struct(x.as("id_a"), y.as("id_b")))
-      )
-    )
-  }
+  private def pairsWithin(ids: Column, maxBucket: Int): Column =
+    call_function("graft_id_pairs", ids, lit(maxBucket))
 
   /** All unordered pairs from a sorted (by first field = id),
     * duplicate-free array of structs, carrying each element's FULL struct
@@ -448,21 +441,30 @@ object ApproxDedup {
         shiftright(col("__sh"), b * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("sig")
       )
     }
-    val paired = sigs
+    // fused native expansion+verify (graft_hamming_pairs): candidate
+    // volume is quadratic in bucket width while survivors are sparse, so
+    // materializing every candidate struct through an interpreted
+    // explode(pairsOfStructs)+filter dominated the query (~57 of 60 s at
+    // sf0.1 for 3.3k surviving pairs from ~1M candidates); the kernel
+    // runs the B^2/2 loop compiled, one Long.bitCount per candidate,
+    // allocating only for survivors
+    sigs
       .select(col("id"), col("__sh"), explode(array(bandStructs: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
       .agg(array_sort(collect_list(struct(col("id").as("id"), col("__sh").as("sh")))).as("xs"))
       .where(size(col("xs")) > 1)
-      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
       .select(
-        col("p.a.id").as("id_a"),
-        col("p.b.id").as("id_b"),
-        col("p.a.sh").bitwiseXOR(col("p.b.sh")).as("__x")
+        explode(
+          call_function(
+            "graft_hamming_pairs",
+            col("xs"),
+            lit(nBits),
+            lit(maxHamming),
+            lit(maxBucket)
+          )
+        ).as("p")
       )
-    paired
-      .withColumn("hamming", bitSum(col("__x"), nBits))
-      .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
   }
 

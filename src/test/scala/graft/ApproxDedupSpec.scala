@@ -56,6 +56,29 @@ class ApproxDedupSpec extends SparkSpec {
     assert(est.toSeq == Seq((1L, 2L, 8, 1.0))) // identical sets agree on every position
   }
 
+  test("graft_hamming_pairs: emits exactly the pairs within maxHamming, capped, i<j") {
+    // ids 1..4 with signatures 0b0000, 0b0001, 0b0111, 0b1111 (4 bits)
+    val df = Seq(Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 15L)))
+      .toDF("xs")
+      .select(explode(call_function("graft_hamming_pairs", col("xs"), lit(4), lit(2), lit(4096))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSeq
+      .sorted
+    // distances: (1,2)=1 (1,3)=3 (1,4)=4 (2,3)=2 (2,4)=3 (3,4)=1
+    assert(df == Seq((1L, 2L, 1), (2L, 3L, 2), (3L, 4L, 1)))
+    // cap at 2: only the first two elements of the sorted array are expanded
+    val capped = Seq(Seq((1L, 0L), (2L, 1L), (3L, 0L)))
+      .toDF("xs")
+      .select(explode(call_function("graft_hamming_pairs", col("xs"), lit(4), lit(4), lit(2))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    assert(capped == Seq((1L, 2L)))
+  }
+
   test("int8 quantization: symmetric scale, extremes hit ±127, zero vector -> zeros") {
     val df = Seq(
       (1L, Array(1.0f, -0.25f, 0.0f)),
