@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Measured recall floors for the two ANN scale paths against the exact
+  * brute-force baseline on the sf0.01 embeddings — the quantitative
+  * claim PLANS.md makes (IVF 0.48, depth-2 multi-probe LSH 0.44 at
+  * top-5), asserted slightly below the measured values so the test
+  * fails on a real recall regression (plane/centroid/probe changes),
+  * not on noise (everything here is deterministic — seeded planes,
+  * fixed corpus — so the measured recall is exactly reproducible).
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+
+  private def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+  test("IVF and multi-probe LSH hit their documented recall floors at top-5") {
+    // sf0.01 explicitly: PLANS.md's recall claims are measured on the
+    // 500-vector corpus (SparkSpec.Sf is the tiny sf0.001 fixture, whose
+    // 50-vector recall numbers are not comparable)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding"))
+
+    val exact = topSets(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", K)
+    )
+    val lsh = topSets(
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", K, nPlanes = 6, dim = 64, probeDepth = 2)
+    )
+    val ivf = topSets(
+      Similarity.ivfTopK(
+        corpus, queries, "vec_id", "embedding", K,
+        centroids = VectorFunctions.randomPlanes(16, 64, 7L), nProbe = 4
+      )
+    )
+
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+
+    val lshR = recall(lsh)
+    val ivfR = recall(ivf)
+    info(f"recall@5: lsh=$lshR%.3f ivf=$ivfR%.3f")
+    assert(lshR >= 0.40, f"LSH recall regressed: $lshR%.3f") // measured 0.44 @ 6 planes, depth 2
+    assert(ivfR >= 0.44, f"IVF recall regressed: $ivfR%.3f") // measured 0.48 @ nProbe=4
+    assert(ivfR >= lshR - 0.05, "IVF path should not trail LSH materially")
+  }
+}
