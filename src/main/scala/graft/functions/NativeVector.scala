@@ -238,6 +238,32 @@ object GraftExtensions {
         }
         IdPairs(children.head, mb)
       }
+    ),
+    (
+      FunctionIdentifier("graft_cosine_pairs"),
+      new ExpressionInfo(classOf[CosinePairs].getName, "graft_cosine_pairs"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 3,
+          s"graft_cosine_pairs expects (xs, threshold, maxBucket), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val thr = children(1) match {
+          case Literal(v: Double, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_cosine_pairs threshold must be a double literal, got $other"
+            )
+        }
+        val mb = children(2) match {
+          case Literal(v: Int, _) if v > 1 => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_cosine_pairs maxBucket must be an integer literal > 1, got $other"
+            )
+        }
+        CosinePairs(children.head, thr, mb)
+      }
     )
   )
 }

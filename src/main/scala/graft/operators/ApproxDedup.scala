@@ -496,25 +496,22 @@ object ApproxDedup {
       ).as("vn"),
       VectorFunctions.lshBucket(col(vecCol), planes).as("bucket")
     )
-    val paired = bucketed
+    // fused native expansion+verify (graft_cosine_pairs): the
+    // compositional explode+filter materialized every candidate pair
+    // carrying BOTH full vectors before the threshold filter — quadratic
+    // allocations and payload copies per bucket; the kernel reads each
+    // vector once and emits only survivors (same dot order, identical
+    // values — see CosinePairs scaladoc)
+    bucketed
       .groupBy("bucket")
       .agg(array_sort(collect_list(struct(col("id").as("id"), col("vn").as("vn")))).as("xs"))
       .where(size(col("xs")) > 1)
-      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
       .select(
-        col("p.a.id").as("id_a"),
-        col("p.b.id").as("id_b"),
-        col("p.a.vn").as("vn_a"),
-        col("p.b.vn").as("vn_b")
+        explode(
+          call_function("graft_cosine_pairs", col("xs"), lit(threshold), lit(maxBucket))
+        ).as("p")
       )
-    paired
-      .withColumn(
-        "cos",
-        VectorFunctions.cosinePre(
-          col("vn_a.v"), col("vn_b.v"), col("vn_a.n"), col("vn_b.n"))
-      )
-      .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
       .distinct()
   }
 }
