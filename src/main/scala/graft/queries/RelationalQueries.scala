@@ -391,6 +391,46 @@ object RelationalQueries {
              |count(*) AS n,
              |CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS sum_value_c
              |FROM events GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- DQ: one-pass column profiling (null rate / distinct / bounds)
+    //      — the audit stage before trusting a feed ----
+    Q(
+      "dq_profile_columns",
+      (s, dir) =>
+        graft.operators.Profile.profileColumns(
+          Tables.orders(s, dir),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+        ),
+      Some {
+        val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+        cols
+          .map(c => s"""SELECT '$c' AS "column",
+             |CAST(count(*) AS BIGINT) AS n_rows,
+             |CAST(count(*) - count($c) AS BIGINT) AS n_null,
+             |CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |CAST(min($c) AS VARCHAR) AS min_val,
+             |CAST(max($c) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin)
+          .mkString("\nUNION ALL\n")
+      }
+    ),
+
+    // ---- DQ: referential integrity via LEFT ANTI join — lineitems whose
+    //      order is missing from a (deliberately filtered) parent set ----
+    Q(
+      "dq_orphan_lineitems",
+      (s, dir) => {
+        val parents = Tables.orders(s, dir).where(col("o_orderkey") % 7 =!= 0)
+        Tables
+          .lineitem(s, dir)
+          .join(parents, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_orphan FROM lineitem l
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_orderkey % 7 != 0 AND o.o_orderkey = l.l_orderkey)""".stripMargin)
     )
   )
 }

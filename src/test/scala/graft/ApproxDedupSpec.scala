@@ -56,6 +56,22 @@ class ApproxDedupSpec extends SparkSpec {
     assert(est.toSeq == Seq((1L, 2L, 8, 1.0))) // identical sets agree on every position
   }
 
+  test("profileColumns: null/distinct/bounds per column from one pass") {
+    val df = Seq(
+      (Some(3L), "b"),
+      (None, "a"),
+      (Some(3L), "c"),
+      (Some(9L), "a")
+    ).toDF("k", "v")
+    val got = graft.operators.Profile
+      .profileColumns(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect()
+      .sortBy(_._1)
+    assert(got(0) == ("k", 4L, 1L, 2L, "3", "9"))
+    assert(got(1) == ("v", 4L, 0L, 3L, "a", "c"))
+  }
+
   test("graft_hamming_pairs: emits exactly the pairs within maxHamming, capped, i<j") {
     // ids 1..4 with signatures 0b0000, 0b0001, 0b0111, 0b1111 (4 bits)
     val df = Seq(Seq((1L, 0L), (2L, 1L), (3L, 7L), (4L, 15L)))
