@@ -159,6 +159,41 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // ---- corpus curation: keep the best k docs per language by quality
+    //      (WindowGroupLimit prunes per-group losers BEFORE the shuffle;
+    //      deterministic (quality DESC, doc_id ASC) cut) ----
+    Q(
+      "curation_topk_per_lang",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(TextFunctions.qualityScore(col("text")).desc, col("doc_id").asc)
+        Tables
+          .documents(s, dir)
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(
+            col("lang"),
+            col("doc_id"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            col("rnk")
+          )
+      },
+      Some("""WITH scored AS (SELECT lang, doc_id,
+             |CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
+             |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+             |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |        / CAST(len(string_split(text,' ')) AS DOUBLE)
+             |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |        / CAST(length(text) AS DOUBLE)) END AS INT) AS quality
+             |FROM documents),
+             |ranked AS (SELECT lang, doc_id, quality,
+             |  CAST(row_number() OVER (PARTITION BY lang
+             |    ORDER BY quality DESC, doc_id ASC) AS INT) AS rnk
+             |FROM scored)
+             |SELECT lang, doc_id, quality, rnk FROM ranked WHERE rnk <= 3""".stripMargin)
+    ),
+
     // ---- stopword ratio (quality-signal component) ----
     Q(
       "text_stopword_ratio",
