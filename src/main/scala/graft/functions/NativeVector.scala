@@ -264,6 +264,24 @@ object GraftExtensions {
         }
         CosinePairs(children.head, thr, mb)
       }
+    ),
+    (
+      FunctionIdentifier("graft_sig_agree_pairs"),
+      new ExpressionInfo(classOf[SigAgreePairs].getName, "graft_sig_agree_pairs"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"graft_sig_agree_pairs expects (xs, maxBucket), got ${children.size}"
+        )
+        val mb = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 1 => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_sig_agree_pairs maxBucket must be an integer literal > 1, got $other"
+            )
+        }
+        SigAgreePairs(children.head, mb)
+      }
     )
   )
 }

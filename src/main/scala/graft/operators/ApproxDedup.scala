@@ -79,26 +79,16 @@ object ApproxDedup {
   private def pairsWithin(ids: Column, maxBucket: Int): Column =
     call_function("graft_id_pairs", ids, lit(maxBucket))
 
-  /** All unordered pairs from a sorted (by first field = id),
-    * duplicate-free array of structs, carrying each element's FULL struct
-    * into the pair. Payload-bearing pair operators must use this instead
-    * of pairing ids and probing a bucket-local id->payload map: a map
-    * `element_at` is an O(B) linear scan, and filter pushdown multiplies
-    * it — alias substitution re-evaluates the lookup at every reference
-    * inside a pushed predicate, so a 60-term Hamming filter over map
-    * lookups costs ~120*B key compares PER PAIR (the round-2 650 s
-    * simhash-pairs regression). Struct-field reads are O(1) and cheap
-    * under substitution.
-    */
-  private def pairsOfStructs(xs: Column, maxBucket: Int): Column = {
-    val capped = slice(xs, 1, maxBucket)
-    flatten(
-      transform(
-        capped,
-        (x, i) => transform(slice(capped, i + 2, size(capped)), y => struct(x.as("a"), y.as("b")))
-      )
-    )
-  }
+  // NOTE on payload-bearing pair expansion: every pair operator now runs
+  // a FUSED native kernel (graft_hamming_pairs / graft_cosine_pairs /
+  // graft_sig_agree_pairs) that loops the capped bucket compiled and
+  // allocates only for emitted pairs. Two rejected designs, kept for the
+  // record: (1) a bucket-local id->payload MAP probed per pair is an
+  // O(B) element_at scan that filter pushdown re-evaluates at every
+  // predicate term (the round-2 650 s simhash-pairs regression);
+  // (2) a Column-level nested-transform expansion carrying payload
+  // structs is interpreted per pair and materializes every candidate
+  // before the verify filter runs (~57 of 60 s of the pre-fusion query).
 
   /** Affine re-hash family for MinHash over one md5 base hash:
     * mh_i = min over shingles of (A_i * h + B_i) mod P, with
@@ -195,8 +185,8 @@ object ApproxDedup {
     * O(nHashes) per pair with no join back to the shingle sets.
     *
     * Same bucketed shape as the other pair operators: one groupBy
-    * shuffle, capped in-bucket expansion, signatures riding the pair
-    * structs (see [[pairsOfStructs]]). Output: (id_a, id_b, n_match,
+    * shuffle, fused capped in-bucket expansion + scoring
+    * ([[graft.functions.SigAgreePairs]]). Output: (id_a, id_b, n_match,
     * jaccard_est) with jaccard_est = n_match / nHashes (exact in binary
     * for power-of-two nHashes — engine-portable as a double).
     */
@@ -221,24 +211,17 @@ object ApproxDedup {
         (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => element_at(col("sg"), i + 1))
       struct(lit(b).as("band"), Fingerprint.rowHash(bandCols).as("sig"))
     }
-    val paired = sigs
+    // fused native expansion+score (graft_sig_agree_pairs): every
+    // candidate is output with its estimate (no filter), so the fusion
+    // removes the interpreted expansion and the nHashes element_at
+    // probes per pair — signatures are read once per bucket element
+    sigs
       .select(col("id"), col("sg"), explode(array(bandStructs: _*)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
       .agg(array_sort(collect_list(struct(col("id").as("id"), col("sg").as("sg")))).as("xs"))
       .where(size(col("xs")) > 1)
-      .select(explode(pairsOfStructs(col("xs"), maxBucket)).as("p"))
-    val nMatch = (0 until nHashes)
-      .map(i =>
-        when(element_at(col("p.a.sg"), i + 1) === element_at(col("p.b.sg"), i + 1), 1)
-          .otherwise(0)
-      )
-      .reduce(_ + _)
-    paired
-      .select(
-        col("p.a.id").as("id_a"),
-        col("p.b.id").as("id_b"),
-        nMatch.cast("int").as("n_match")
-      )
+      .select(explode(call_function("graft_sig_agree_pairs", col("xs"), lit(maxBucket))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.n_match").as("n_match"))
       .distinct()
       .withColumn("jaccard_est", col("n_match").cast("double") / nHashes)
   }
