@@ -23,11 +23,23 @@ import org.apache.spark.sql.types._
   * cap are identical to `pairsWithin`, so query results and oracles are
   * unchanged (ApproxDedupSpec pins the cap and ordering).
   */
+object IdPairs {
+  /** Upper bound on maxBucket: the n*(n-1)/2 output preallocation is an
+    * Int, and 65536 ids already mean a 2^31-ish pair array — far past
+    * any sane bucket cap. Bounding here turns a would-be
+    * NegativeArraySizeException into a clear construction-time error.
+    */
+  val MaxBucketLimit = 65536
+}
+
 case class IdPairs(child: Expression, maxBucket: Int)
     extends UnaryExpression
     with CodegenFallback {
 
-  require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+  require(
+    maxBucket > 1 && maxBucket <= IdPairs.MaxBucketLimit,
+    s"maxBucket must be in (1, ${IdPairs.MaxBucketLimit}], got $maxBucket"
+  )
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

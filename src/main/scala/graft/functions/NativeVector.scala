@@ -230,13 +230,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"graft_id_pairs expects (ids, maxBucket), got ${children.size}")
         val mb = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 1 => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+              if v > 1 && v <= IdPairs.MaxBucketLimit =>
+            v
           case other =>
             throw new IllegalArgumentException(
-              s"graft_id_pairs maxBucket must be an integer literal > 1, got $other"
+              s"graft_id_pairs maxBucket must be an integer literal in (1, ${IdPairs.MaxBucketLimit}], got $other"
             )
         }
-        IdPairs(children.head, mb)
+        // id column may arrive as int/string: cast to the kernel's
+        // array<bigint> contract (same pattern as graft_simhash)
+        IdPairs(Cast(children.head, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), mb)
       }
     ),
     (
@@ -274,10 +278,12 @@ object GraftExtensions {
           s"graft_sig_agree_pairs expects (xs, maxBucket), got ${children.size}"
         )
         val mb = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v > 1 => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)
+              if v > 1 && v <= IdPairs.MaxBucketLimit =>
+            v
           case other =>
             throw new IllegalArgumentException(
-              s"graft_sig_agree_pairs maxBucket must be an integer literal > 1, got $other"
+              s"graft_sig_agree_pairs maxBucket must be an integer literal in (1, ${IdPairs.MaxBucketLimit}], got $other"
             )
         }
         SigAgreePairs(children.head, mb)

@@ -34,8 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics: null array -> null; fewer than `n` tokens -> empty array
   * (mirrors the HOF form's `when(size >= n, ...).otherwise(empty)`);
-  * a null TOKEN hashes as an empty string (split() never produces null
-  * tokens on engine data — documented fallback, not a reachable path).
+  * a null TOKEN contributes the bare seed (42L) as its hash — NOT
+  * XXH64("", 42) — in both eval and codegen paths (split() never
+  * produces null tokens on engine data — documented fallback, not a
+  * reachable path).
   *
   * The DuckDB oracle is unchanged: it computes the same final
   * (id_a, id_b, jaccard) rows from string shingles, which equal the

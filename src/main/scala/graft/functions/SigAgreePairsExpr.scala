@@ -33,7 +33,10 @@ case class SigAgreePairs(child: Expression, maxBucket: Int)
     extends UnaryExpression
     with CodegenFallback {
 
-  require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+  require(
+    maxBucket > 1 && maxBucket <= IdPairs.MaxBucketLimit,
+    s"maxBucket must be in (1, ${IdPairs.MaxBucketLimit}], got $maxBucket"
+  )
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

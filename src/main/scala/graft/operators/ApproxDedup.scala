@@ -160,6 +160,11 @@ object ApproxDedup {
       rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
+    require(
+      nHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must divide nHashes ($nHashes): leftover signature " +
+        "positions would be silently excluded from banding"
+    )
     val nBands = nHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val bandCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
@@ -199,6 +204,11 @@ object ApproxDedup {
       rowsPerBand: Int,
       maxBucket: Int = DefaultMaxBucket
   ): DataFrame = {
+    require(
+      nHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must divide nHashes ($nHashes): leftover signature " +
+        "positions would be excluded from banding but still counted in the estimate denominator"
+    )
     val nBands = nHashes / rowsPerBand
     val sigs = withMinhashSignature(
       docs.select(col(idCol).as("id"), text.as("__text")),

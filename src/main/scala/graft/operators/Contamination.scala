@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * volume is |docs|, not |shingles|. The corpus never joins itself and
   * never shuffles its text.
   *
-  * The contamination flag is computed in INTEGER arithmetic
-  * (n_overlap * 1000 >= threshMil * n_shingles) so the decision is
-  * bit-identical on any engine — no double-division portability risk.
+  * The contamination flag is computed in LONG integer arithmetic
+  * (n_overlap * 1000 >= threshMil * n_shingles, all operands widened to
+  * BIGINT) so the decision is bit-identical on any engine — no
+  * double-division portability risk and no 32-bit wrap for documents
+  * with >2M distinct shingles.
   */
 object Contamination {
   /** Per-doc overlap counts + contamination flag.
@@ -62,7 +64,11 @@ object Contamination {
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("n_overlap"))
       .withColumn(
         "contaminated",
-        when(col("n_overlap") * 1000 >= lit(threshMil) * col("n_shingles"), 1).otherwise(0)
+        when(
+          col("n_overlap").cast("long") * lit(1000L) >=
+            lit(threshMil.toLong) * col("n_shingles").cast("long"),
+          1
+        ).otherwise(0)
       )
   }
 }
