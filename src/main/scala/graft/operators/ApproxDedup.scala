@@ -146,19 +146,19 @@ object ApproxDedup {
       .select(df.columns.map(col) ++ sigCols: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
-    * consecutive minhashes. Returns (id_a, id_b) with id_a < id_b,
-    * distinct across bands. The band fingerprint is md5 of the band's
-    * minhash values, so the grouping key is narrow; pairs are generated
-    * inside each bucket after a single groupBy shuffle (no self-join,
-    * no second evaluation of the signature pipeline).
+  /** Flattened LSH band rows (id, band, sig): one row per (doc, band)
+    * with the band's md5 fingerprint over its `rowsPerBand` consecutive
+    * minhashes. This is the PERSISTABLE unit of LSH state — what an
+    * incremental pipeline stores per corpus document
+    * ([[IncrementalDedup]]) and what in-corpus banding groups by. Narrow
+    * (long, int, 32-char string) rows, produced by a single explode from
+    * the signature columns — no shuffle.
     */
-  def lshCandidatePairs(
+  def bandRows(
       sigs: DataFrame,
       idCol: String,
       nHashes: Int,
-      rowsPerBand: Int,
-      maxBucket: Int = DefaultMaxBucket
+      rowsPerBand: Int
   ): DataFrame = {
     require(
       nHashes % rowsPerBand == 0,
@@ -172,13 +172,44 @@ object ApproxDedup {
     }
     sigs
       .select(col(idCol).as("id"), explode(array(bandStructs: _*)).as("bk"))
-      .groupBy(col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** In-bucket candidate pairs from band rows: groupBy(band, sig) +
+    * capped native pair expansion — ONE narrow shuffle, never a bucket
+    * self-join. `dedup = false` skips the trailing distinct for callers
+    * that union several pair sources and dedup once at the end (one
+    * shuffle over the union instead of one per branch).
+    */
+  def pairsFromBandRows(
+      bands: DataFrame,
+      maxBucket: Int = DefaultMaxBucket,
+      dedup: Boolean = true
+  ): DataFrame = {
+    val pairs = bands
+      .groupBy(col("band"), col("sig"))
       .agg(array_sort(collect_set(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(pairsWithin(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    if (dedup) pairs.distinct() else pairs
   }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
+    * consecutive minhashes. Returns (id_a, id_b) with id_a < id_b,
+    * distinct across bands. The band fingerprint is md5 of the band's
+    * minhash values, so the grouping key is narrow; pairs are generated
+    * inside each bucket after a single groupBy shuffle (no self-join,
+    * no second evaluation of the signature pipeline).
+    */
+  def lshCandidatePairs(
+      sigs: DataFrame,
+      idCol: String,
+      nHashes: Int,
+      rowsPerBand: Int,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame =
+    pairsFromBandRows(bandRows(sigs, idCol, nHashes, rowsPerBand), maxBucket)
 
   /** MinHash Jaccard ESTIMATION over LSH candidate pairs: for every pair
     * of docs sharing a band, the fraction of signature positions that

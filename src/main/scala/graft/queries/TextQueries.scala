@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -34,6 +34,28 @@ object TextQueries {
 
   private val NumHashes   = 8
   private val RowsPerBand = 2
+
+  /** Shared CTE chain ending in `buckets(doc_id, band, sig)`: per-doc
+    * LSH band fingerprints from the md5 minhash family — used by the
+    * in-corpus LSH pair oracle and the incremental (batch-vs-store)
+    * oracle, generated from the same Scala constants as the Spark side.
+    */
+  private lazy val lshBucketCtes: String = {
+    val mins   = (0 until NumHashes).map(sqlMinhash).mkString(",\n")
+    val nBands = NumHashes / RowsPerBand
+    val bands = (0 until nBands)
+      .map { b =>
+        val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"coalesce(CAST(mh$i AS VARCHAR), 'NULL')")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('||', $cols)) AS sig FROM sigs"
+      }
+      .mkString("\nUNION ALL\n")
+    s"""$ShinglesSql,
+       |h AS (SELECT doc_id, ${sqlBaseHash("s")} AS hm FROM sh),
+       |sigs AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+       |buckets AS ($bands)""".stripMargin
+  }
   private val SplitBuckets = 100
   private val SplitTrainLt = 80
   private val SplitValLt   = 90
@@ -326,25 +348,54 @@ object TextQueries {
         )
         ApproxDedup.lshCandidatePairs(sigs, "doc_id", NumHashes, RowsPerBand)
       },
-      Some {
-        val mins = (0 until NumHashes).map(sqlMinhash).mkString(",\n")
-        val nBands = NumHashes / RowsPerBand
-        val bands = (0 until nBands)
-          .map { b =>
-            val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
-              .map(i => s"coalesce(CAST(mh$i AS VARCHAR), 'NULL')")
-              .mkString(", ")
-            s"SELECT doc_id, $b AS band, md5(concat_ws('||', $cols)) AS sig FROM sigs"
-          }
-          .mkString("\nUNION ALL\n")
-        s"""$ShinglesSql,
-           |h AS (SELECT doc_id, ${sqlBaseHash("s")} AS hm FROM sh),
-           |sigs AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
-           |buckets AS ($bands)
+      Some(
+        s"""$lshBucketCtes
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
            |WHERE a.doc_id < b.doc_id""".stripMargin
-      }
+      )
+    ),
+
+    // ---- incremental corpus dedup: new batch vs persisted signature
+    //      store. The corpus' LSH band signatures are WRITTEN to a
+    //      parquet store and read back; the batch then pairs within
+    //      itself (bucketed expansion) and against the store (band
+    //      equi-join) — the corpus text is never re-scanned. ----
+    Q(
+      "dedup_incremental_pairs",
+      (s, dir) => {
+        val docs = Tables
+          .documents(s, dir)
+          .where(size(TextFunctions.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+        // batch = every 5th doc (the "new" 20%); corpus = the rest
+        val corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val batch  = docs.where(col("doc_id") % 5 === 0)
+        val store  = s"/tmp/graft_sigstore/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh, deterministic store
+        IncrementalDedup.writeStore(
+          IncrementalDedup.bandSignatures(corpus, "doc_id", col("text"), 3, NumHashes, RowsPerBand),
+          store
+        )
+        IncrementalDedup.incrementalPairs(
+          IncrementalDedup.bandSignatures(batch, "doc_id", col("text"), 3, NumHashes, RowsPerBand),
+          IncrementalDedup.readStore(s, store)
+        )
+      },
+      Some(
+        s"""$lshBucketCtes,
+           |nb AS (SELECT doc_id, band, sig FROM buckets WHERE doc_id % 5 = 0),
+           |sb AS (SELECT doc_id, band, sig FROM buckets WHERE doc_id % 5 != 0)
+           |SELECT DISTINCT id_a, id_b FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM nb a JOIN nb b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           |  UNION ALL
+           |  SELECT least(n.doc_id, s.doc_id) AS id_a, greatest(n.doc_id, s.doc_id) AS id_b
+           |  FROM nb n JOIN sb s ON n.band = s.band AND n.sig = s.sig AND n.doc_id != s.doc_id
+           |) u""".stripMargin
+      )
     ),
 
     // ---- corpus vocabulary: top-k tokens by frequency (map-side
