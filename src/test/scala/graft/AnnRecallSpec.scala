@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFunctions
-import graft.operators.Similarity
+import graft.operators.{IvfCentroids, KMeans, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Measured recall floors for the two ANN scale paths against the exact
@@ -58,5 +58,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(lshR >= 0.40, f"LSH recall regressed: $lshR%.3f") // measured 0.44 @ 6 planes, depth 2
     assert(ivfR >= 0.44, f"IVF recall regressed: $ivfR%.3f") // measured 0.48 @ nProbe=4
     assert(ivfR >= lshR - 0.05, "IVF path should not trail LSH materially")
+  }
+
+  test("TRAINED IVF centroids: k-means lifts recall@5 to >= 0.72 at nProbe 4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding"))
+
+    val exact = topSets(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", K)
+    )
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+
+    // LIVE training run — proves the distributed trainer itself, not just
+    // the checked-in artifact (measured 0.84 at 5 Lloyd rounds; floor
+    // leaves room for fp merge-order wobble at assignment boundaries,
+    // and 0.72 is still 1.5x the 0.48 random-direction recall)
+    val trained = KMeans.trainIvfCentroids(
+      corpus, "vec_id", "embedding", k = IvfCentroids.K, dim = IvfCentroids.Dim,
+      iters = IvfCentroids.Iters
+    )
+    val liveR = recall(topSets(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K, trained, nProbe = 4)
+    ))
+    // the checked-in constants the ann_knn_ivf query ships must deliver
+    // the same recall class (they came from this trainer on this corpus)
+    val shippedR = recall(topSets(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K, IvfCentroids.cells, nProbe = 4)
+    ))
+    info(f"trained-IVF recall@5: live=$liveR%.3f shipped=$shippedR%.3f")
+    assert(liveR >= 0.72, f"live-trained IVF recall regressed: $liveR%.3f")
+    assert(shippedR >= 0.72, f"shipped IvfCentroids recall regressed: $shippedR%.3f")
   }
 }
