@@ -7,13 +7,22 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus batched decode / feature-extraction plumbing.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, null handling. The actual media decode is STUBBED (the
-  * container has no image/audio codecs): `decodeStub` derives a
-  * deterministic fake feature vector from the payload bytes. Swapping in
-  * a real decoder changes ONE function; the distributed plumbing
-  * (mapPartitions over batches, like mapInPandas/mapInArrow batch
-  * semantics) stays identical.
+  * IMAGES are handled by a REAL pure-JVM codec (`javax.imageio` —
+  * PNG/BMP/GIF ship with the JDK): [[decodeLuminance]] decodes actual
+  * pixels, [[resize]] decodes + nearest-neighbor-rescales +
+  * re-encodes. Because the testdata carries no image column, queries
+  * first render each document into a REAL grayscale PNG whose pixels
+  * are the md5 bytes of the payload ([[toImagePayload]]) — lossless
+  * 8-bit gray PNG round-trips exactly, so the DuckDB oracle can predict
+  * every decoded luminance value from `md5(text)` without owning a PNG
+  * codec: only a correct decode of real PNG bytes reproduces them.
+  *
+  * VIDEO stays a stub ([[sampleFrames]] chunk-samples the payload — no
+  * demuxer exists in a bare JVM); the fan-out shape is the contract.
+  * All codec stages keep the batched `mapPartitions` shape
+  * (mapInPandas/mapInArrow batch semantics): a heavier codec would
+  * amortize per-BATCH init, and the plan stays a typed Dataset
+  * transform (AQE and downstream codegen survive).
   */
 object Multimodal {
   val PayloadSchema: StructType = StructType(
@@ -49,20 +58,92 @@ object Multimodal {
       ).as("meta")
     )
 
-  /** ??? in spirit — deterministic fake "decode" of a payload into a
-    * `dim`-float feature vector, derived from the md5 of the bytes.
-    * STUB: replace with a real codec (e.g. JNI image decode) in
-    * production; everything around it is the real contract.
+  /** Encode exactly-`w*h` gray samples (cycled from `pixels` if shorter)
+    * as a REAL 8-bit grayscale PNG via javax.imageio. Lossless: the
+    * decoded raster returns these exact bytes.
     */
-  private[multimodal] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
-    Array.tabulate(dim) { i =>
-      val b = digest(i % digest.length)
-      // double math then one float rounding — bit-reproducible in ANSI
-      // SQL as CAST(b/255.0 - 0.5 AS FLOAT) (float-native division would
-      // double-round differently in rare cases)
-      ((b.toInt & 0xff) / 255.0 - 0.5).toFloat
+  private[graft] def encodeGrayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val full = Array.tabulate(w * h)(i => pixels(i % pixels.length))
+    img.getRaster.setDataElements(0, 0, w, h, full)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (javax.imageio: PNG/BMP/GIF/JPEG as provided by
+    * the JDK) to row-major luminance floats in [0, 1]. Reads RAW raster
+    * samples — `getRGB` would push gray through a sRGB color-space
+    * conversion and destroy byte-exactness. Single-band images use the
+    * band directly; RGB images average the first three bands. Returns
+    * None when the payload is not a decodable image.
+    *
+    * Division is (sample / 255.0).toFloat — double math, ONE float
+    * rounding — so the oracle's CAST(b / 255.0 AS FLOAT) matches bit-wise.
+    */
+  private[graft] def decodeLuminance(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) None
+    else {
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      val out = new Array[Float](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (bands == 1) raster.getSample(x, y, 0).toDouble
+            else
+              (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3.0
+          out(i) = (lum / 255.0).toFloat
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
     }
+  }
+
+  /** Replace every payload with a REAL `w`x`h` grayscale PNG whose pixel
+    * bytes are the md5 digest of the original payload, cycled. This is
+    * the test-image GENERATOR (the corpus has no image column), not a
+    * codec stub: the emitted bytes are genuine PNG files and everything
+    * downstream runs the real javax.imageio decode path. The md5
+    * derivation keeps every pixel predictable from the source bytes, so
+    * SQL oracles verify true decoded values end-to-end.
+    */
+  def toImagePayload(packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.collect {
+            case (id, payload) if payload != null =>
+              val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+              (id, encodeGrayPng(digest, w, h))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(
+        col("media_id"),
+        lit("image").as("modality"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          lit("image/png").as("mime"),
+          md5(col("payload")).as("checksum")
+        ).as("meta")
+      )
   }
 
   val FeatureSchema: StructType = StructType(
@@ -73,14 +154,15 @@ object Multimodal {
     )
   )
 
-  /** Batched feature extraction: partitions stream through the decoder in
-    * `batchSize` groups (the mapInPandas/mapInArrow batch shape — a real
-    * decoder would amortize model/codec init per batch, not per row).
-    * Rows with NULL payloads are dropped, as a decoder would skip them.
+  /** Batched feature extraction via the REAL decode path: each payload is
+    * decoded with javax.imageio and its row-major luminance vector
+    * becomes the feature array. Partitions stream through the codec in
+    * `batchSize` groups (the mapInPandas/mapInArrow batch shape — codec
+    * or model init amortizes per batch, not per row). NULL and
+    * undecodable payloads are dropped, as a decoder would skip them.
     */
   def extractFeatures(
       packed: DataFrame,
-      dim: Int = 16,
       batchSize: Int = 64
   ): DataFrame = {
     val spark = packed.sparkSession
@@ -93,50 +175,52 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // per-batch init would go here (codec/model handle)
-          batch.iterator.collect {
+          batch.iterator.flatMap {
             case (id, payload) if payload != null =>
-              (id, decodeStub(payload, dim), dim)
+              decodeLuminance(payload).map { case (w, h, lum) => (id, lum, w * h) }
+            case _ => None
           }
         }
       }
       .toDF("media_id", "features", "feat_dim")
   }
 
-  /** STUB image resize: real implementation decodes, scales to w×h, and
-    * re-encodes; the stub derives a deterministic wid×hei-byte payload
-    * from the source bytes so the distributed contract (binary->binary,
-    * same partitioning, metadata refresh) is real and testable.
-    */
-  private[multimodal] def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
-    Array.tabulate(w * h)(i => (digest(i % digest.length) ^ (i & 0x7f)).toByte)
-  }
-
-  /** Resize every payload to `w`×`h` (stubbed decode, see resizeStub) and
-    * refresh the typed metadata — a pure map stage over the packed frame.
+  /** REAL image resize: decode (javax.imageio), NEAREST-NEIGHBOR rescale
+    * to `w`x`h` on the raw gray raster (src pixel (x*srcW/w, y*srcH/h) —
+    * integer floor, deterministic, oracle-mirrorable; interpolating
+    * kernels vary by library and would not be), re-encode as gray PNG,
+    * refresh the typed metadata. Undecodable payloads are dropped.
     */
   def resize(packed: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
     packed
-      .select(col("media_id"), col("modality"), col("payload"), col("meta.mime"))
-      .as[(Long, String, Array[Byte], String)]
+      .select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.collect {
-            case (id, modality, payload, mime) if payload != null =>
-              (id, modality, resizeStub(payload, w, h), mime)
+          batch.iterator.flatMap {
+            case (id, modality, payload) if payload != null =>
+              decodeLuminance(payload).map { case (srcW, srcH, lum) =>
+                val px = Array.tabulate(w * h) { i =>
+                  val sx = ((i % w) * srcW) / w
+                  val sy = ((i / w) * srcH) / h
+                  math.round(lum(sy * srcW + sx) * 255.0f).toByte
+                }
+                (id, modality, encodeGrayPng(px, w, h))
+              }
+            case _ => None
           }
         }
       }
-      .toDF("media_id", "modality", "payload", "mime")
+      .toDF("media_id", "modality", "payload")
       .select(
         col("media_id"),
         col("modality"),
         col("payload"),
         struct(
           octet_length(col("payload")).as("n_bytes"),
-          col("mime"),
+          lit("image/png").as("mime"),
           md5(col("payload")).as("checksum")
         ).as("meta")
       )

@@ -781,7 +781,10 @@ object TextQueries {
       }
     ),
 
-    // ---- multimodal: batched decode/feature-extract plumbing ----
+    // ---- multimodal: REAL javax.imageio decode -> luminance features.
+    //      Each doc is rendered into a genuine 4x4 gray PNG (pixels =
+    //      md5 bytes of the text — lossless, so decoded values are
+    //      SQL-predictable) and decoded by the real codec. ----
     Q(
       "multimodal_feature_extract",
       (s, dir) => {
@@ -797,15 +800,51 @@ object TextQueries {
         // (media_id, i, feature) row per vector element; float -> double
         // is an exact widening on both engines
         Multimodal
-          .extractFeatures(packed, dim = 16, batchSize = 64)
+          .extractFeatures(Multimodal.toImagePayload(packed, w = 4, h = 4), batchSize = 64)
           .select(col("media_id"), posexplode(col("features")).as(Seq("i", "feature")))
           .select(col("media_id"), col("i"), col("feature").cast("double").as("feature"))
       },
-      // the oracle mirrors decodeStub: feature i = byte i of md5(payload)
-      // as unsigned / 255 - 0.5, rounded once to float, widened to double
+      // oracle predicts the DECODED pixels: luminance i of the 4x4 gray
+      // PNG is md5-byte i of the text, / 255.0, rounded once to float —
+      // only a correct decode of the real PNG bytes reproduces this
       Some("""SELECT doc_id AS media_id, CAST(u.i AS INT) AS i,
-             |CAST(CAST(CAST('0x' || substr(md5(text), CAST(2*(u.i%16)+1 AS INT), 2) AS INT) / 255.0 - 0.5 AS FLOAT) AS DOUBLE) AS feature
+             |CAST(CAST(CAST('0x' || substr(md5(text), CAST(2*u.i+1 AS INT), 2) AS INT) / 255.0 AS FLOAT) AS DOUBLE) AS feature
              |FROM documents, unnest(generate_series(0, 15)) AS u(i)""".stripMargin)
+    ),
+
+    // ---- multimodal: REAL nearest-neighbor image resize, verified by
+    //      re-decoding the resized PNG (4x4 -> 2x2 keeps src pixels
+    //      (2y, 2x): md5 bytes 0, 2, 8, 10). ----
+    Q(
+      "multimodal_resize_decode",
+      (s, dir) => {
+        val packed = Multimodal.pack(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "doc_id",
+          dataCol = "text",
+          modality = "text",
+          mime = "text/plain"
+        )
+        val resized =
+          Multimodal.resize(Multimodal.toImagePayload(packed, w = 4, h = 4), w = 2, h = 2)
+        Multimodal
+          .extractFeatures(resized, batchSize = 64)
+          .select(
+            col("media_id"),
+            col("feat_dim"),
+            posexplode(col("features")).as(Seq("i", "feature"))
+          )
+          .select(
+            col("media_id"),
+            col("feat_dim"),
+            col("i"),
+            col("feature").cast("double").as("feature")
+          )
+      },
+      Some("""SELECT doc_id AS media_id, 4 AS feat_dim, CAST(u.i AS INT) AS i,
+             |CAST(CAST(CAST('0x' || substr(md5(text),
+             |  CAST(2*((u.i // 2) * 8 + (u.i % 2) * 2)+1 AS INT), 2) AS INT) / 255.0 AS FLOAT) AS DOUBLE) AS feature
+             |FROM documents, unnest(generate_series(0, 3)) AS u(i)""".stripMargin)
     ),
 
     // ---- multimodal: video-style frame sampling (explode fan-out shape;

@@ -243,25 +243,29 @@ class ApproxDedupSpec extends SparkSpec {
     assert(got.get(2L).contains(1)) // cos=1 neighbor first
   }
 
-  test("multimodal: pack schema + deterministic stubbed feature extraction") {
+  test("multimodal: pack schema + REAL PNG decode feature extraction") {
     val df     = Seq((7L, "hello world")).toDF("doc_id", "text")
     val packed = Multimodal.pack(df, "doc_id", "text", "text", "text/plain")
     // same names + types; nullability may tighten when inputs are non-null
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType.sql.replace(" NOT NULL", ""))).toSeq
     assert(shape(packed.schema) == shape(Multimodal.PayloadSchema))
-    val feats = Multimodal.extractFeatures(packed, dim = 16, batchSize = 4).collect()
+    val img   = Multimodal.toImagePayload(packed, w = 4, h = 4)
+    val feats = Multimodal.extractFeatures(img, batchSize = 4).collect()
     assert(feats.length == 1)
     val arr = feats(0).getSeq[Float](feats(0).fieldIndex("features"))
     assert(arr.length == 16)
-    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3 -> first byte 0x5e
-    assert(math.abs(arr.head - (0x5e / 255.0 - 0.5)) < 1e-7)
-    // null payloads are skipped
-    val withNull = packed.unionByName(
-      Seq((8L, "text", null.asInstanceOf[Array[Byte]]))
+    assert(feats(0).getAs[Int]("feat_dim") == 16)
+    // md5("hello world") = 5eb63bbbe01eeed093cb22bb8f5acdc3 -> the DECODED
+    // luminance of pixel 0 must be byte 0x5e / 255
+    assert(arr.head == (0x5e / 255.0).toFloat)
+    // null payloads and undecodable (non-image) payloads are skipped
+    val withNull = img.unionByName(
+      Seq((8L, "image", null.asInstanceOf[Array[Byte]]))
         .toDF("media_id", "modality", "payload")
         .withColumn("meta", lit(null).cast(Multimodal.PayloadSchema("meta").dataType))
     )
-    assert(Multimodal.extractFeatures(withNull, 16, 4).count() == 1)
+    assert(Multimodal.extractFeatures(withNull, 4).count() == 1)
+    assert(Multimodal.extractFeatures(packed, 4).count() == 0) // raw text is not an image
   }
 }

@@ -63,17 +63,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
   }
 
-  test("multimodal resize: deterministic payloads, refreshed metadata") {
-    val packed  = Multimodal.pack(Seq((1L, "payload-one")).toDF("id", "data"), "id", "data", "image", "img/fake")
-    val resized = Multimodal.resize(packed, w = 8, h = 4)
-    val row = resized.head()
+  test("multimodal resize: real PNG in/out, nearest-neighbor pixels, refreshed metadata") {
+    val packed = Multimodal.pack(Seq((1L, "payload-one")).toDF("id", "data"), "id", "data", "image", "img/fake")
+    val img    = Multimodal.toImagePayload(packed, w = 4, h = 4)
+    val row    = Multimodal.resize(img, w = 2, h = 2).head()
     val payload = row.getAs[Array[Byte]]("payload")
-    assert(payload.length == 32)
+    // output is a genuine PNG (magic bytes) with refreshed metadata
+    assert(payload.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
     val meta = row.getStruct(row.fieldIndex("meta"))
-    assert(meta.getAs[Int]("n_bytes") == 32)
-    assert(meta.getAs[String]("mime") == "img/fake")
+    assert(meta.getAs[Int]("n_bytes") == payload.length)
+    assert(meta.getAs[String]("mime") == "image/png")
+    // decoded 2x2 = nearest-neighbor picks of the source md5 pixels (0, 2, 8, 10)
+    val digest = java.security.MessageDigest
+      .getInstance("MD5").digest("payload-one".getBytes("UTF-8"))
+    val Some((w, h, lum)) = Multimodal.decodeLuminance(payload)
+    assert((w, h) == (2, 2))
+    val expected = Seq(0, 2, 8, 10).map(p => ((digest(p) & 0xff) / 255.0).toFloat)
+    assert(lum.toSeq == expected)
     // deterministic: same input -> same bytes
-    val again = Multimodal.resize(packed, 8, 4).head().getAs[Array[Byte]]("payload")
+    val again = Multimodal.resize(img, 2, 2).head().getAs[Array[Byte]]("payload")
     assert(payload.sameElements(again))
   }
 
