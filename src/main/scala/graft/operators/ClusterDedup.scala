@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * Scale shape per round: one shuffle join of edges with labels on the
   * vertex id + one min-aggregation + one self-join for compression —
   * all hash-partitioned on ids, never materializing anything wider than
-  * (id, label) pairs. The per-round frame is `localCheckpoint`ed to cut
-  * the growing lineage (on a cluster, substitute a reliable checkpoint
-  * dir); convergence is detected with a scalar `isEmpty` probe, not a
+  * (id, label) pairs. The per-round frame is CHECKPOINTED to cut the
+  * growing lineage: `localCheckpoint` (executor-local blocks, fastest)
+  * by default, or a RELIABLE `checkpoint()` into `checkpointDir` when
+  * one is passed — on a real cluster localCheckpoint pins blocks to
+  * executors, so one executor loss mid-iteration kills the job; a
+  * production run hands in a durable (HDFS/object-store) directory.
+  * Convergence is detected with a scalar `isEmpty` probe, not a
   * collect. This is the standard Pregel-style CC shape (cf. GraphX),
   * expressed over DataFrames so Catalyst/AQE still plan each round.
   */
@@ -39,8 +43,15 @@ object ClusterDedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // reliable checkpoint survives executor loss; both variants are
+    // EAGER, so each round's probe below reads materialized blocks
+    def save(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
     // BOTH edge orientations from ONE evaluation of the (potentially
     // expensive) upstream pair pipeline: explode duplicates each row
     // inside the same scan — `pairs.union(pairs.swapped)` would plant the
@@ -57,13 +68,14 @@ object ClusterDedup {
       )
       .select(col("se.src").as("src"), col("se.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+    val edges = save(e)
 
-    var labels = e
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = save(
+      edges
+        .select(col("src").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+    )
 
     var converged = false
     var iter = 0
@@ -72,7 +84,7 @@ object ClusterDedup {
       // round's PREVIOUS label through the aggregation (min over the
       // single tagged row), so convergence needs no extra join below
       val idType = pairs.schema(aCol).dataType
-      val msgs = e
+      val msgs = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"), lit(null).cast(idType).as("__self"))
       val minimized = labels
@@ -88,10 +100,10 @@ object ClusterDedup {
           col("label") === col("__lid")
         )
         .select(col("id"), col("__ll").as("label"), (col("__ll") =!= col("__old")).as("__chg"))
-        .localCheckpoint()
+      val saved = save(next)
       // probe reads the just-checkpointed frame — no recomputation, no join
-      converged = next.where(col("__chg")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      converged = saved.where(col("__chg")).isEmpty
+      labels = saved.select(col("id"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -35,6 +35,26 @@ class ClusterDedupSpec extends SparkSpec {
     assert(labels.size == 41 && labels.values.forall(_ == 0L))
   }
 
+  test("reliable checkpointDir variant: identical labels, checkpoint files written") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMapOf(ClusterDedup.connectedComponents(pairs, "id_a", "id_b"))
+    val dir = tempDir("cc-reliable")
+    val reliable = toMapOf(
+      ClusterDedup.connectedComponents(pairs, "id_a", "id_b", checkpointDir = Some(dir))
+    )
+    assert(reliable == local)
+    // the reliable path must actually have materialized into the dir
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty, "no checkpoint files written")
+  }
+
   test("assignClusters: singletons self-cluster, survivors are the min member") {
     val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
     val pairs = Seq((2L, 3L)).toDF("id_a", "id_b")
