@@ -62,4 +62,51 @@ object CdcRouter {
   /** Drop DUPLICATE rows (reference P5: filter ROUTER_GROUP != "DUPLICATE"). */
   def dropDuplicates(routed: DataFrame): DataFrame =
     routed.where(col(RouterCol) =!= Duplicate)
+
+  /** Skew-hardened variant of [[route]] for feeds where one business key
+    * dominates (a mass-default key, a tombstone value): a plain
+    * equi-join shuffles every hot-key row into ONE task. AQE's skew-join
+    * split handles sort-merge cases adaptively, but it only fires on
+    * runtime size thresholds and not for every join strategy — this is
+    * the deterministic fix for a KNOWN hot key pattern.
+    *
+    * The feed side gets a salt from its row FINGERPRINT (already unique
+    * per logical row, so hot-key rows spread uniformly across `nSalts`
+    * buckets with no RNG); the historic side replicates each probe row
+    * `nSalts` times via explode. Join on (key, salt): left-join
+    * semantics, match results, and routing are IDENTICAL to [[route]]
+    * (CdcSkewSpec pins equality); the hot key's rows now land on
+    * `nSalts` tasks. Cost: historic shuffles nSalts-fold — use only
+    * when historic is too big to broadcast yet far smaller than the
+    * skewed feed, the regime where the hot task is the bottleneck.
+    */
+  def routeSalted(
+      feed: DataFrame,
+      historic: DataFrame,
+      feedKey: String,
+      feedHash: String,
+      histKey: String,
+      histHash: String,
+      probeOnHash: Boolean = false,
+      nSalts: Int = 16
+  ): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val sf = feed.withColumn("__salt_f", pmod(hash(feed(feedHash)), lit(nSalts)))
+    val sh = historic.withColumn("__salt_h", explode(array((0 until nSalts).map(lit): _*)))
+    val joined = sf.join(
+      sh,
+      sf(feedKey) === sh(histKey) && sf("__salt_f") === sh("__salt_h"),
+      "left"
+    )
+    val missProbe: Column =
+      if (probeOnHash) sh(histHash).isNull else sh(histKey).isNull
+    joined
+      .withColumn(
+        RouterCol,
+        when(missProbe, Insert)
+          .when(sf(feedHash) === sh(histHash), Duplicate)
+          .otherwise(Update)
+      )
+      .drop("__salt_f", "__salt_h")
+  }
 }

@@ -78,6 +78,61 @@ object CdcQueries {
       Some(s"$RoutedSql\nSELECT ssi, src_hash, router_group FROM routed")
     ),
 
+    // ---- J1 skew hardening: the same probe-and-route under a 100x hot
+    //      business key (half the feed collapses onto one key), routed
+    //      through the SALTED join — results must equal plain routing;
+    //      CdcSkewSpec pins the equality and the salt spread ----
+    Q(
+      "cdc_router_skew",
+      (s, dir) => {
+        val feedSkew = Tables
+          .lineitem(s, dir)
+          .select(
+            when(col("l_orderkey") % 2 === 0, "HOT - 0")
+              .otherwise(concat(lit("ORD - "), col("l_orderkey").cast("string")))
+              .as("bk"),
+            Fingerprint.rowHash(Seq(col("l_orderkey"), col("l_linenumber"))).as("fh")
+          )
+        val histSkew = Tables
+          .orders(s, dir)
+          .where(col("o_orderkey") % 3 =!= 0)
+          .select(
+            concat(lit("ORD - "), col("o_orderkey").cast("string")).as("hk"),
+            Fingerprint.rowHash(Seq(col("o_orderkey"), lit(1))).as("hh")
+          )
+          .unionByName(
+            s.range(1)
+              .select(
+                lit("HOT - 0").as("hk"),
+                Fingerprint.rowHash(Seq(lit(0L), lit(1))).as("hh")
+              )
+          )
+        CdcRouter
+          .routeSalted(feedSkew, histSkew, "bk", "fh", "hk", "hh", nSalts = 8)
+          .groupBy(col(CdcRouter.RouterCol).as("router_group"))
+          .agg(count(lit(1)).as("n_rows"), count_distinct(col("bk")).as("n_keys"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT 'ORD - ' || CAST(o_orderkey AS VARCHAR) AS hk,
+             |    md5(concat_ws('||', coalesce(CAST(o_orderkey AS VARCHAR), 'NULL'), '1')) AS hh
+             |  FROM orders WHERE o_orderkey % 3 != 0
+             |  UNION ALL
+             |  SELECT 'HOT - 0', md5(concat_ws('||', '0', '1'))),
+             |feed AS (
+             |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT - 0'
+             |         ELSE 'ORD - ' || CAST(l_orderkey AS VARCHAR) END AS bk,
+             |    md5(concat_ws('||', coalesce(CAST(l_orderkey AS VARCHAR), 'NULL'),
+             |      coalesce(CAST(l_linenumber AS VARCHAR), 'NULL'))) AS fh
+             |  FROM lineitem),
+             |routed AS (
+             |  SELECT bk, CASE WHEN hk IS NULL THEN 'INSERT'
+             |       WHEN fh = hh THEN 'DUPLICATE' ELSE 'UPDATE' END AS router_group
+             |  FROM feed LEFT JOIN hist ON bk = hk)
+             |SELECT router_group, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT bk) AS BIGINT) AS n_keys
+             |FROM routed GROUP BY 1""".stripMargin)
+    ),
+
     // ---- S2/P8: historic snapshot probe — filter + rename projection,
     //      predicates pushed into the scan (replaces the reference's
     //      hand-written SQL, ETL/CSV_Batch_Processing.py:30-45) ----
