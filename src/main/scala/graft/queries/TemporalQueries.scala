@@ -112,6 +112,37 @@ object TemporalQueries {
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
              |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- T3 consumer dedup, oracle-checked batch-wise: latest archive
+    //      row per stream record (reference's correlated MAX subquery,
+    //      ETL/XML_Batch_Processing.py:395-397). The archive fixture
+    //      derives replays from events (event_id mod N collides ~3
+    //      archive rows onto each stream record, archive_id stays the
+    //      monotone event_id) — the WHOLE winning row survives, not
+    //      just the max id. ----
+    Q(
+      "t3_archive_latest",
+      (s, dir) => {
+        val archive = Tables
+          .events(s, dir)
+          .select(
+            (col("event_id") % 3000).as("stream_record_id"),
+            col("event_id").as("archive_id"),
+            col("event_type").as("payload")
+          )
+        graft.streaming.ArchiveStream
+          .latestPerStreamRecord(archive)
+          .select(col("stream_record_id"), col("archive_id"), col("payload"))
+      },
+      Some("""WITH archive AS (
+             |  SELECT event_id % 3000 AS stream_record_id, event_id AS archive_id,
+             |         event_type AS payload
+             |  FROM events),
+             |m AS (SELECT stream_record_id, max(archive_id) AS archive_id
+             |      FROM archive GROUP BY 1)
+             |SELECT a.stream_record_id, a.archive_id, a.payload
+             |FROM archive a JOIN m USING (stream_record_id, archive_id)""".stripMargin)
     )
   )
 }
