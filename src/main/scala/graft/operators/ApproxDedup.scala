@@ -306,7 +306,8 @@ object ApproxDedup {
       text: Column,
       n: Int,
       threshold: Double,
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      persistSets: Option[org.apache.spark.storage.StorageLevel] = None
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     // tokens staged in their own projection (see shinglesOfTokens); the
@@ -316,7 +317,21 @@ object ApproxDedup {
     // hash preserves; see NgramHashes scaladoc) — staged in the next
     // projection so every downstream reference (explode, size, both
     // verify sides) reads one materialized long array
-    val sets = docs
+    //
+    // The sets SUBPLAN appears three times in the final plan (candidate
+    // stage + both verify sides); exchange reuse does not collapse them
+    // (measured: 0 ReusedExchange — AQE plans the subqueries
+    // independently). `persistSets` trades one materialization plus
+    // cache reads for the two recomputations. MEASURED at sf0.1
+    // (local[32], min over 5/3 interleaved reps, see PLANS.md):
+    // default None wins — 3.13 s vs 3.27 s with MEMORY_AND_DISK —
+    // because the shingle derivation is a cheap narrow map over a
+    // column-pruned scan while caching serializes + scans the
+    // materialized arrays three times. The knob exists for the regime
+    // where that flips: docs so large (100 TB text, n-gram arrays >>
+    // scan cost) that recomputing the kernel twice dominates a
+    // columnar cache read.
+    val sets0 = docs
       .withColumn("__toks", TextFunctions.tokens(text))
       // cheap equivalent of size(sh) > 0: pushdown substitutes the
       // filter's aliases all the way back to raw text, so filtering on
@@ -328,6 +343,7 @@ object ApproxDedup {
         array_sort(array_distinct(call_function("graft_ngram_hashes", col("__toks"), lit(n))))
       )
       .select(col(idCol).as("id"), col("__sh").as("sh"), size(col("__sh")).as("sz"))
+    val sets = persistSets.map(sets0.persist).getOrElse(sets0)
 
     // explode_outer, NOT explode: plain explode makes Generate insert a
     // pushable `size(sh) > 0 AND isnotnull(sh)` pre-filter, and pushdown
