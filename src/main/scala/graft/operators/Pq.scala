@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the ANN storage codec for 100 TB memory
+  * budgets (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011).
+  *
+  * A unit-normalized `dim`-vector is split into `M` contiguous
+  * subvectors; each subspace has its own `Ksub`-centroid codebook, and a
+  * vector is stored as M small codes — here M=16 x 4-bit codes = 16
+  * BYTES per 64-float embedding (16x smaller than float32, vs 4x for
+  * int8). Search is ASYMMETRIC (ADC): the query stays full-precision,
+  * per-subspace lookup tables hold dot(query_sub, centroid), and a
+  * corpus vector's approximate dot product is M table lookups over its
+  * CODES — the corpus floats are never touched until a final exact
+  * rerank of the ADC shortlist (the standard two-stage production
+  * shape; on near-isotropic data ADC alone ranks poorly, and the
+  * shortlist+rerank recovers recall 0.92 where raw ADC gives 0.40 —
+  * PqSpec pins both).
+  *
+  * All engine-side math is driver-shipped literals + the codegen'd
+  * `graft_dot` kernel, so the DuckDB oracle reproduces codes bit-wise
+  * (same construction as [[Similarity.ivfTopK]]'s centroids).
+  */
+object Pq {
+
+  /** Stage a unit-normalized double copy of `vecCol` as `outCol`.
+    * Elementwise x / sqrt(dot(v, v)) — same IEEE ops as the oracle's
+    * list_transform over list_dot_product.
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__vd", VectorFunctions.toDouble(col(vecCol)))
+      .withColumn("__nrm", sqrt(VectorFunctions.dotD(col("__vd"), col("__vd"))))
+      .withColumn(outCol, transform(col("__vd"), x => x / col("__nrm")))
+      .drop("__vd", "__nrm")
+
+  /** Per-subspace argmin-L2 assignment score: for centroid c,
+    * argmin ||x - c||^2 == argmax (dot(x, c) - ||c||^2 / 2). The
+    * half-norm is a DRIVER-computed literal, so both engines evaluate
+    * the identical expression tree.
+    */
+  private def scoreArr(sub: Column, book: Seq[Array[Double]]): Column =
+    array(book.map { c =>
+      val halfNorm = c.map(x => x * x).sum / 2.0
+      VectorFunctions.planeDot(sub, c) - lit(halfNorm)
+    }: _*)
+
+  /** Train `m` per-subspace codebooks (each `ksub` centroids of
+    * dim/m values) with plain L2 Lloyd iterations — ONE distributed
+    * job per round for ALL subspaces (explode to (subspace, cell,
+    * subvector), then a (m, cell)-keyed partial-aggregated sum).
+    * Deterministic md5-ordered init takes the same `ksub` sample rows
+    * for every subspace. Vectors are normalized before training —
+    * PQ here approximates COSINE via dot products on unit vectors.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int
+  ): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val v = withNormalized(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("__vec")),
+      "__vec",
+      "vn"
+    ).select(col("id"), col("vn"))
+
+    val init: Array[Array[Double]] = v
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(ksub)
+      .select(col("vn"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(init.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+    var books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(mi => (0 until ksub).map(j => init(j).slice(mi * sub, (mi + 1) * sub)))
+
+    val sumCols = (0 until sub).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    for (_ <- 1 to iters) {
+      val perSub = (0 until m).map { mi =>
+        val sv = slice(col("vn"), mi * sub + 1, sub)
+        struct(
+          lit(mi).as("m"),
+          (array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi"))) - 1)
+            .cast("int")
+            .as("cell"),
+          sv.as("sv")
+        )
+      }
+      val staged = (0 until m).foldLeft(v) { (df, mi) =>
+        df.withColumn(s"__sc$mi", scoreArr(slice(col("vn"), mi * sub + 1, sub), books(mi)))
+      }
+      val rows = staged
+        .select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.m").as("m"), col("a.cell").as("cell"), col("a.sv").as("sv"))
+        .groupBy(col("m"), col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), Array.tabulate(sub)(i => r.getDouble(3 + i))))
+        .toMap
+      books = (0 until m).map { mi =>
+        (0 until ksub).map { c =>
+          rows.get((mi, c)) match {
+            case Some((n, s)) if n > 0 => s.map(_ / n)
+            case _                     => books(mi)(c)
+          }
+        }
+      }
+    }
+    books.map(_.toSeq)
+  }
+
+  /** Encode: add int code columns pq0..pq{M-1} (argmin L2 per subspace,
+    * FIRST-max tiebreak like ivfTopK's cell assignment) plus the staged
+    * normalized vector as `vnCol` for callers that rerank. Narrow map
+    * stage: M * Ksub compiled dot products per row.
+    */
+  def withCodes(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Seq[Seq[Array[Double]]],
+      vnCol: String = "vn"
+  ): DataFrame = {
+    val m   = codebooks.size
+    val sub = codebooks.head.head.length
+    val staged = (0 until m).foldLeft(withNormalized(df, vecCol, vnCol)) { (d, mi) =>
+      d.withColumn(s"__sc$mi", scoreArr(slice(col(vnCol), mi * sub + 1, sub), codebooks(mi)))
+    }
+    val codes = (0 until m).map { mi =>
+      (array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi"))) - 1)
+        .cast("int")
+        .as(s"pq$mi")
+    }
+    staged.select(df.columns.map(col) ++ Seq(col(vnCol)) ++ codes: _*)
+  }
+
+  /** Two-stage PQ ANN: ADC shortlist over codes, exact cosine rerank.
+    *
+    *   1. corpus side: codes only (M ints per row after the one-time
+    *      encode — at scale this is the frame that fits in memory);
+    *   2. queries broadcast with per-subspace LUTs (Ksub dots each);
+    *      approximate dot = sum of M `element_at` lookups — no corpus
+    *      floats touched;
+    *   3. top-`shortlist` per query by ADC score (WindowGroupLimit);
+    *   4. rerank: join the shortlist pairs BACK to the corpus vectors
+    *      by id (the disk fetch in production) and take exact-cosine
+    *      top-k.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) like the other ANN paths.
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Seq[Seq[Array[Double]]],
+      shortlist: Int
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m   = codebooks.size
+    val sub = codebooks.head.head.length
+
+    val encoded = withCodes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
+      "__vec",
+      codebooks,
+      vnCol = "c_vn"
+    )
+    val codes   = encoded.select(col("neighbor_id") +: (0 until m).map(i => col(s"pq$i")): _*)
+    val vectors = encoded.select(col("neighbor_id"), col("c_vn"))
+
+    val qLuts = (0 until m).foldLeft(
+      withNormalized(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "__qv",
+        "q_vn"
+      )
+    ) { (d, mi) =>
+      d.withColumn(
+        s"__lut$mi",
+        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+      )
+    }.select(col("query_id") +: col("q_vn") +: (0 until m).map(i => col(s"__lut$i")): _*)
+
+    val adc = (0 until m)
+      .map(i => element_at(col(s"__lut$i"), col(s"pq$i") + 1))
+      .reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = codes
+      .join(broadcast(qLuts), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("q_vn"), col("neighbor_id"))
+
+    // exact rerank on the shortlist only — unit vectors, so cosine = dot
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(vectors, "neighbor_id")
+      .withColumn("cos", VectorFunctions.dotD(col("q_vn"), col("c_vn")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

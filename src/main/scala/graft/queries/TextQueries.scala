@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, IvfCentroids, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -654,6 +654,53 @@ object TextQueries {
              |  CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[u.i] / scale) END AS INT) AS q,
              |  scale
              |FROM s, unnest(generate_series(1, len(v))) AS u(i)""".stripMargin)
+    ),
+
+    // ---- product-quantization encode: M 4-bit codes per embedding
+    //      (16 bytes vs 256 for float64 — the ANN storage codec at
+    //      100 TB memory budgets). Trained codebooks ship as literals;
+    //      the oracle recomputes every argmin-L2 assignment. ----
+    Q(
+      "embedding_pq_encode",
+      (s, dir) => {
+        val enc = Pq.withCodes(
+          Tables
+            .embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"))
+            .repartition(s.sparkContext.defaultParallelism),
+          "embedding",
+          PqCodebooks.books
+        )
+        enc.select(
+          col("vec_id"),
+          posexplode(array((0 until PqCodebooks.M).map(i => col(s"pq$i")): _*))
+            .as(Seq("m", "code"))
+        )
+      },
+      Some {
+        val sub = PqCodebooks.Dim / PqCodebooks.M
+        val values = PqCodebooks.books.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) =>
+              val hn = c.map(x => x * x).sum / 2.0
+              s"($mi, $j, ${c.map(_.toString).mkString("[", ",", "]")}::DOUBLE[], $hn)"
+            }
+          }
+          .mkString(",\n")
+        s"""WITH books(m, code, cv, hn) AS (VALUES $values),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nv AS (SELECT vec_id,
+           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |       FROM e),
+           |sc AS (SELECT vec_id, b.m, b.code,
+           |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.cv) - b.hn AS score
+           |       FROM nv CROSS JOIN books b),
+           |r AS (SELECT vec_id, m, code,
+           |        row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS rn
+           |      FROM sc)
+           |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS INT) AS code
+           |FROM r WHERE rn = 1""".stripMargin
+      }
     ),
 
     // ---- brute-force cosine top-k (ANN baseline) ----
