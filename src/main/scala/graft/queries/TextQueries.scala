@@ -703,6 +703,77 @@ object TextQueries {
       }
     ),
 
+    // ---- PQ two-stage ANN: ADC shortlist over codes + exact rerank.
+    //      The oracle rebuilds codes, per-query LUT arrays, and the ADC
+    //      score as the SAME fixed left-to-right 16-term sum (SQL SUM()
+    //      over rows has no defined order and could flip low bits). ----
+    Q(
+      "ann_knn_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Pq.topK(
+            corpus = emb
+              .select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK,
+            codebooks = PqCodebooks.books,
+            shortlist = 50
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some {
+        val m   = PqCodebooks.M
+        val sub = PqCodebooks.Dim / PqCodebooks.M
+        val values = PqCodebooks.books.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) =>
+              val hn = c.map(x => x * x).sum / 2.0
+              s"($mi, $j, ${c.map(_.toString).mkString("[", ",", "]")}::DOUBLE[], $hn)"
+            }
+          }
+          .mkString(",\n")
+        val codePivot = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+        val lutPivot  = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN arr END) AS a$i").mkString(", ")
+        val adcExpr   = (0 until m).map(i => s"a$i[c$i + 1]").mkString(" + ")
+        s"""WITH books(m, code, cv, hn) AS (VALUES $values),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nv AS (SELECT vec_id,
+           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |       FROM e),
+           |sc AS (SELECT vec_id, b.m, b.code,
+           |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.cv) - b.hn AS score
+           |       FROM nv CROSS JOIN books b),
+           |codes AS (SELECT vec_id, m, code FROM (
+           |    SELECT vec_id, m, code,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |codep AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+           |q AS (SELECT vec_id AS query_id, vn AS qvn FROM nv WHERE vec_id % 100 = 0),
+           |lut AS (SELECT q.query_id, b.m, b.code,
+           |          list_dot_product(qvn[b.m*$sub+1 : b.m*$sub+$sub], b.cv) AS d
+           |        FROM q CROSS JOIN books b),
+           |lutarr AS (SELECT query_id, m, list(d ORDER BY code) AS arr FROM lut GROUP BY 1, 2),
+           |lutp AS (SELECT query_id, $lutPivot FROM lutarr GROUP BY query_id),
+           |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, $adcExpr AS adc
+           |        FROM codep c CROSS JOIN lutp l WHERE c.vec_id != l.query_id),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS sr
+           |    FROM adc) WHERE sr <= 50),
+           |rr AS (SELECT s.query_id, s.neighbor_id, list_dot_product(qn.qvn, cn.vn) AS cos
+           |       FROM short s
+           |       JOIN q qn ON qn.query_id = s.query_id
+           |       JOIN nv cn ON cn.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           |  FROM rr) WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     Q(
       "ann_knn_bruteforce",
