@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation: deterministic stratified sampling — the data-mixing
+  * step of a pretraining pipeline ("keep 60% of English web, 90% of
+  * code, 10% of everything else"). The reference's closest analogue is
+  * its per-source routing of feeds into one conformed mart (SURVEY
+  * §2.7); here the strata are data-driven (a column) and the keep
+  * decision must be REPRODUCIBLE across runs, engines, and
+  * repartitioning — no rand().
+  *
+  * Mechanism: the same salted-md5 bucket primitive as the train/val/test
+  * split ([[TextFunctions.splitBucket]]) — bucket(id) in [0, 1000) and a
+  * row survives iff bucket < rate_permille(stratum). Per-stratum rates
+  * ship as a literal when-chain (strata counts are small), so the whole
+  * operator is one codegen'd filter on a narrow map stage: no join, no
+  * shuffle, linear at 100 TB, and the kept set is STABLE under
+  * re-ingestion (same ids survive every run — the property that keeps
+  * incremental pipelines consistent).
+  */
+object Curation {
+  val RateDenominator = 1000
+
+  /** Keep each row of `df` iff its salted id-bucket falls under its
+    * stratum's per-mille rate. Unknown strata use `defaultPermille`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      ratesPermille: Map[String, Int],
+      defaultPermille: Int,
+      salt: String
+  ): DataFrame = {
+    require(
+      (ratesPermille.values ++ Seq(defaultPermille)).forall(r => r >= 0 && r <= RateDenominator),
+      s"rates must be in [0, $RateDenominator] per-mille"
+    )
+    val rate: Column = ratesPermille.toSeq
+      .sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, r).otherwise(acc)
+      }
+    df.where(TextFunctions.splitBucket(col(idCol), RateDenominator, salt) < rate)
+  }
+}

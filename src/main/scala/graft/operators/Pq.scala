@@ -197,17 +197,23 @@ object Pq {
       .map(i => element_at(col(s"__lut$i"), col(s"pq$i") + 1))
       .reduce(_ + _)
     val ws = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    // project down to (query_id, neighbor_id, adc) BEFORE the ranking
+    // window: the sort would otherwise spill rows carrying the query
+    // vector and all M LUT arrays (~300 doubles each) — the ids+score
+    // projection keeps the shuffle/sort narrow, and the query vector
+    // rejoins from the tiny broadcast side at rerank
     val short = codes
-      .join(broadcast(qLuts), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
+      .join(broadcast(qLuts.drop("q_vn")), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
       .withColumn("srank", row_number().over(ws))
       .where(col("srank") <= shortlist)
-      .select(col("query_id"), col("q_vn"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
 
     // exact rerank on the shortlist only — unit vectors, so cosine = dot
     val wk = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     short
       .join(vectors, "neighbor_id")
+      .join(broadcast(qLuts.select(col("query_id"), col("q_vn"))), "query_id")
       .withColumn("cos", VectorFunctions.dotD(col("q_vn"), col("c_vn")))
       .withColumn("rank", row_number().over(wk))
       .where(col("rank") <= k)

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
+import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -104,6 +104,19 @@ object TextQueries {
   // with probed corpus fraction (22 of 64 buckets here)
   private val AnnPlanes     = 6
   private val AnnProbeDepth = 2
+
+  /** Trained IVF centroid VALUES rows — shared by every oracle that
+    * mirrors the coarse quantizer (ann_knn_ivf, embedding_cluster_sizes).
+    */
+  private lazy val ivfCentsValuesSql: String =
+    IvfCentroids.cells.zipWithIndex
+      .map { case (cv, i) => s"($i, ${cv.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString(", ")
+
+  // stratified-sampling mix: per-language keep rates (per-mille)
+  private val MixRates   = Map("en" -> 600, "zh" -> 250, "es" -> 500, "de" -> 900)
+  private val MixDefault = 100
+  private val MixSalt    = "mix-v1"
   private def annProbeMasks: Seq[Int] =
     Seq(0) ++
       (if (AnnProbeDepth >= 1) (0 until AnnPlanes).map(1 << _) else Seq.empty) ++
@@ -600,6 +613,75 @@ object TextQueries {
              |      FROM documents)""".stripMargin)
     ),
 
+    // ---- corpus curation: deterministic stratified sampling (the
+    //      data-mixing step — per-language keep rates, salted-md5
+    //      buckets, reproducible under re-ingestion; one codegen'd
+    //      filter, no join, no shuffle) ----
+    Q(
+      "curation_stratified_sample",
+      (s, dir) =>
+        Curation.stratifiedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          idCol = "doc_id",
+          stratumCol = "lang",
+          ratesPermille = MixRates,
+          defaultPermille = MixDefault,
+          salt = MixSalt
+        ),
+      Some {
+        val cases = MixRates.toSeq.sorted
+          .map { case (l, r) => s"WHEN '$l' THEN $r" }
+          .mkString(" ")
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |    CAST('0x' || substr(md5('$MixSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           |      % ${Curation.RateDenominator} AS bucket,
+           |    CASE lang $cases ELSE $MixDefault END AS rate
+           |  FROM documents)
+           |WHERE bucket < rate""".stripMargin
+      }
+    ),
+
+    // ---- corpus clustering summary over the TRAINED coarse quantizer:
+    //      per-cell population + best dot (domain-mixing diagnostics;
+    //      max, not avg — float max is order-exact across engines,
+    //      float sums are not) ----
+    Q(
+      "embedding_cluster_sizes",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn(
+            "__cd",
+            array(IvfCentroids.cells.map(c => VectorFunctions.planeDot(col("embedding"), c)): _*)
+          )
+          .select(
+            (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell"),
+            array_max(col("__cd")).as("d")
+          )
+          .groupBy("cell")
+          // micro-unit rounding: DuckDB's list_dot_product can differ
+          // from graft_dot by 1 ulp on long accumulations (observed on
+          // 2/16 cells), so raw doubles are not hash-comparable — the
+          // 1e-6 grid absorbs ulp noise while keeping the diagnostic
+          .agg(
+            count(lit(1)).as("n"),
+            round(max(col("d")) * 1e6).cast("long").as("max_dot_micro")
+          ),
+      Some(
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ad AS (SELECT vec_id, cell, list_dot_product(v, cv) AS d,
+           |         row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY list_dot_product(v, cv) DESC, cell) AS rn
+           |       FROM e CROSS JOIN cents)
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(round(max(d) * 1000000) AS BIGINT) AS max_dot_micro
+           |FROM ad WHERE rn = 1 GROUP BY 1""".stripMargin
+      )
+    ),
+
     // ---- embedding-cosine near-dup (random-hyperplane LSH + exact verify) ----
     Q(
       "dedup_embedding_cosine",
@@ -873,14 +955,7 @@ object TextQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
       },
       Some {
-        // centroid VALUES table from the SAME trained Scala constants
-        val cents = IvfCentroids.cells
-          .zipWithIndex
-          .map { case (cv, i) =>
-            s"($i, ${cv.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
-          }
-          .mkString(", ")
-        s"""WITH cents(cell, cv) AS (VALUES $cents),
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |ad AS (SELECT vec_id, v, cell, list_dot_product(v, cv) AS d,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY list_dot_product(v, cv) DESC, cell) AS rn

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs =
+    (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("id", "lang")
+
+  test("stratified sample: per-stratum rates hold, unknown strata use the default") {
+    val kept = Curation
+      .stratifiedSample(docs, "id", "lang", Map("en" -> 500, "de" -> 100), 900, "t-v1")
+      .groupBy("lang")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    // ~334 docs per stratum; salted md5 buckets approximate the rate
+    assert(kept("en") > 120 && kept("en") < 220, s"en kept ${kept("en")} of ~334 at 50%")
+    assert(kept("de") > 10 && kept("de") < 60, s"de kept ${kept("de")} of ~333 at 10%")
+    assert(kept("xx") > 260, s"xx (default 90%) kept ${kept("xx")} of ~333")
+  }
+
+  test("sample is deterministic and stable under repartitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation
+        .stratifiedSample(df, "id", "lang", Map("en" -> 500), 300, "t-v1")
+        .select("id").as[Long].collect().toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(13))
+    assert(a == b)
+    assert(a.nonEmpty)
+    // re-running with the same salt keeps the SAME survivors (incremental
+    // pipelines depend on this); a different salt draws a different set
+    val c = ids(docs)
+    assert(c == a)
+    val other = Curation
+      .stratifiedSample(docs, "id", "lang", Map("en" -> 500), 300, "t-v2")
+      .select("id").as[Long].collect().toSet
+    assert(other != a)
+  }
+
+  test("rate 0 drops a stratum entirely; rate 1000 keeps it entirely") {
+    val kept = Curation
+      .stratifiedSample(docs, "id", "lang", Map("en" -> 0, "de" -> 1000), 0, "t-v1")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("en") && !kept.contains("xx"))
+    assert(kept("de") == docs.where(col("lang") === "de").count())
+  }
+}
