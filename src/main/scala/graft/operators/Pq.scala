@@ -219,4 +219,103 @@ object Pq {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** IVF-PQ — the composed 100 TB ANN index (the FAISS IVFPQ shape):
+    * the trained coarse quantizer PARTITIONS the corpus into cells
+    * (only nProbe/C of the corpus is ever touched per query), PQ codes
+    * provide the in-cell ADC scoring (16 bytes per vector in the
+    * scan), and an exact rerank of the per-query shortlist recovers
+    * full-precision ordering. Both stages reuse the shipped artifacts
+    * ([[IvfCentroids]], [[PqCodebooks]]).
+    *
+    * Cell assignment runs on the normalized vector — argmax dot is
+    * invariant to the positive per-vector scale, so cells are identical
+    * to [[Similarity.ivfTopK]]'s raw-vector assignment.
+    *
+    * Plan shape: corpus side is one narrow map stage (C cell dots +
+    * M*Ksub code dots per row, all compiled `graft_dot`); queries fan
+    * out only nProbe-fold and broadcast; the ADC join is an equi-join
+    * on `cell`; the shortlist window sees only (ids, adc); the rerank
+    * fetches shortlist vectors by id join-back.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m   = codebooks.size
+    val sub = codebooks.head.head.length
+
+    def cellDots(v: Column): Column =
+      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+
+    val encoded = withCodes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
+      "__vec",
+      codebooks,
+      vnCol = "c_vn"
+    ).withColumn("__cd", cellDots(col("c_vn")))
+    val codes = encoded.select(
+      col("neighbor_id") +:
+        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell") +:
+        (0 until m).map(i => col(s"pq$i")): _*
+    )
+    val vectors = encoded.select(col("neighbor_id"), col("c_vn"))
+
+    // query side: nProbe best cells + per-subspace LUTs, all broadcast
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("celldot").desc, col("cell").asc)
+    val qBase = (0 until m).foldLeft(
+      withNormalized(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "__qv",
+        "q_vn"
+      ).withColumn("__cd", cellDots(col("q_vn")))
+    ) { (d, mi) =>
+      d.withColumn(
+        s"__lut$mi",
+        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+      )
+    }
+    val qProbes = qBase
+      .select(
+        col("query_id") +: posexplode_outer(col("__cd")).as(Seq("cell", "celldot")) +:
+          (0 until m).map(i => col(s"__lut$i")): _*
+      )
+      .where(col("cell").isNotNull)
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nProbe)
+      .drop("rn", "celldot")
+
+    val adc = (0 until m)
+      .map(i => element_at(col(s"__lut$i"), col(s"pq$i") + 1))
+      .reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = codes
+      .join(broadcast(qProbes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(vectors, "neighbor_id")
+      .join(
+        broadcast(qBase.select(col("query_id"), col("q_vn"))),
+        "query_id"
+      )
+      .withColumn("cos", VectorFunctions.dotD(col("q_vn"), col("c_vn")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
 }

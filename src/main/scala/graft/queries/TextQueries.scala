@@ -856,6 +856,90 @@ object TextQueries {
       }
     ),
 
+    // ---- IVF-PQ: the composed 100 TB index — trained cells prune the
+    //      corpus (nProbe/C touched), PQ codes score candidates (ADC,
+    //      16 bytes/vector), exact rerank restores precision ----
+    Q(
+      "ann_knn_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Pq.ivfPqTopK(
+            corpus = emb
+              .select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK,
+            centroids = IvfCentroids.cells,
+            codebooks = PqCodebooks.books,
+            nProbe = IvfProbe,
+            shortlist = 50
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some {
+        val m   = PqCodebooks.M
+        val sub = PqCodebooks.Dim / PqCodebooks.M
+        val pqValues = PqCodebooks.books.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) =>
+              val hn = c.map(x => x * x).sum / 2.0
+              s"($mi, $j, ${c.map(_.toString).mkString("[", ",", "]")}::DOUBLE[], $hn)"
+            }
+          }
+          .mkString(",\n")
+        val codePivot = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+        val lutPivot  = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN arr END) AS a$i").mkString(", ")
+        val adcExpr   = (0 until m).map(i => s"a$i[c$i + 1]").mkString(" + ")
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
+           |books(m, code, bv, hn) AS (VALUES $pqValues),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nv AS (SELECT vec_id,
+           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |       FROM e),
+           |cellad AS (SELECT vec_id, c.cell, list_dot_product(vn, c.cv) AS d,
+           |            row_number() OVER (PARTITION BY vec_id
+           |              ORDER BY list_dot_product(vn, c.cv) DESC, c.cell) AS rn
+           |          FROM nv CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cell FROM cellad WHERE rn = 1),
+           |sc AS (SELECT vec_id, b.m, b.code,
+           |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) - b.hn AS score
+           |       FROM nv CROSS JOIN books b),
+           |codes AS (SELECT vec_id, m, code FROM (
+           |    SELECT vec_id, m, code,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |codep AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+           |q AS (SELECT vec_id AS query_id, vn AS qvn FROM nv WHERE vec_id % 100 = 0),
+           |probes AS (SELECT vec_id AS query_id, cell FROM cellad
+           |           WHERE vec_id % 100 = 0 AND rn <= $IvfProbe),
+           |lut AS (SELECT q.query_id, b.m, b.code,
+           |          list_dot_product(qvn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) AS d
+           |        FROM q CROSS JOIN books b),
+           |lutarr AS (SELECT query_id, m, list(d ORDER BY code) AS arr FROM lut GROUP BY 1, 2),
+           |lutp AS (SELECT query_id, $lutPivot FROM lutarr GROUP BY query_id),
+           |adc AS (SELECT p.query_id, cp.vec_id AS neighbor_id, $adcExpr AS adc
+           |        FROM codep cp
+           |        JOIN assign a ON a.vec_id = cp.vec_id
+           |        JOIN probes p ON p.cell = a.cell
+           |        JOIN lutp l ON l.query_id = p.query_id
+           |        WHERE cp.vec_id != p.query_id),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS sr
+           |    FROM adc) WHERE sr <= 50),
+           |rr AS (SELECT s.query_id, s.neighbor_id, list_dot_product(qn.qvn, cn.vn) AS cos
+           |       FROM short s
+           |       JOIN q qn ON qn.query_id = s.query_id
+           |       JOIN nv cn ON cn.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           |  FROM rr) WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     Q(
       "ann_knn_bruteforce",

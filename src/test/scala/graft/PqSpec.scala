@@ -63,5 +63,18 @@ class PqSpec extends SparkSpec {
     assert(reranked >= 0.84, f"PQ rerank recall regressed: $reranked%.3f (measured 0.92)")
     assert(adcOnly >= 0.30, f"raw ADC recall collapsed: $adcOnly%.3f (measured 0.40)")
     assert(reranked > adcOnly, "rerank must improve on raw ADC ordering")
+
+    // composed IVF-PQ: cell pruning caps recall at the IVF ceiling
+    // (0.84 at nProbe 4); PQ shortlist + rerank inside probed cells
+    // should stay close to it
+    val ivfpq = recall(topSets(
+      graft.operators.Pq.ivfPqTopK(
+        corpus, queries, "vec_id", "embedding", K,
+        graft.operators.IvfCentroids.cells, PqCodebooks.books,
+        nProbe = 4, shortlist = 50
+      )
+    ))
+    info(f"IVF-PQ recall@5: $ivfpq%.3f")
+    assert(ivfpq >= 0.72, f"IVF-PQ recall regressed: $ivfpq%.3f")
   }
 }
