@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
+import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -117,6 +117,8 @@ object TextQueries {
   private val MixRates   = Map("en" -> 600, "zh" -> 250, "es" -> 500, "de" -> 900)
   private val MixDefault = 100
   private val MixSalt    = "mix-v1"
+  // BM25 query: two common terms + one rare (idf spread on this corpus)
+  private val Bm25Terms = Seq("join", "vector", "dup")
   private def annProbeMasks: Seq[Int] =
     Seq(0) ++
       (if (AnnProbeDepth >= 1) (0 until AnnPlanes).map(1 << _) else Seq.empty) ++
@@ -611,6 +613,53 @@ object TextQueries {
              |FROM (SELECT doc_id,
              |        CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $SplitBuckets AS bucket
              |      FROM documents)""".stripMargin)
+    ),
+
+    // ---- BM25 relevance scoring vs a fixed query-term set: one
+    //      stats aggregation row broadcast back over one scoring scan —
+    //      document data never shuffles. Score on the 1e-6 grid (ln()
+    //      may differ in the last ulp across engines). ----
+    Q(
+      "text_bm25_score",
+      (s, dir) =>
+        Bm25
+          .scoreAll(
+            Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+            idCol = "doc_id",
+            text = col("text"),
+            terms = Bm25Terms,
+            k1 = 1.2,
+            b = 0.75
+          )
+          .withColumnRenamed("id", "doc_id"),
+      Some {
+        val dfCols = Bm25Terms.zipWithIndex
+          .map { case (t, i) =>
+            s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+          }
+          .mkString(",\n")
+        val tfCols = Bm25Terms.zipWithIndex
+          .map { case (t, i) => s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i" }
+          .mkString(",\n")
+        val termExprs = Bm25Terms.indices
+          .map { i =>
+            s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
+              s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))"
+          }
+          .mkString(" + ")
+        val tfOut = Bm25Terms.indices.map(i => s"CAST(tf$i AS INT) AS tf$i").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+           |$dfCols
+           |FROM d),
+           |x AS (SELECT doc_id, dl, n, sumdl, ${Bm25Terms.indices.map(i => s"df$i").mkString(", ")},
+           |$tfCols
+           |FROM d CROSS JOIN st)
+           |SELECT doc_id, CAST(dl AS INT) AS dl, $tfOut,
+           |  CAST(round(($termExprs) * 1000000) AS BIGINT) AS bm25_micro
+           |FROM x""".stripMargin
+      }
     ),
 
     // ---- corpus curation: deterministic stratified sampling (the
