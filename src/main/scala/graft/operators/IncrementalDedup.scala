@@ -92,6 +92,40 @@ object IncrementalDedup {
   def readStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("id"), col("band").cast("int").as("band"), col("sig"))
 
+  /** The at-scale store: a catalog table BUCKETED by the join keys
+    * (band, sig) — the bucket spec must equal the join keys EXACTLY for
+    * Spark to adopt the scan's partitioning (a subset bucket key, e.g.
+    * sig alone, co-locates rows but is not shuffle-compatible with the
+    * (band, sig) requirement, and BOTH sides re-shuffle). With the
+    * exact spec the store side of every batch-vs-store join reads its
+    * pre-hash-partitioned buckets straight into the sort-merge join and
+    * only the small daily batch shuffles (adapted to the store's bucket
+    * count); the corpus-sized store never re-shuffles, every batch,
+    * forever. This is the "pre-shuffle once at write time" upgrade the
+    * parquet store's scaladoc promises; BucketedStoreSpec pins the
+    * plan (exactly one fewer Exchange than the unbucketed store).
+    */
+  def writeStoreBucketed(
+      bandSigs: DataFrame,
+      table: String,
+      path: String,
+      nBuckets: Int
+  ): Unit =
+    bandSigs.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, "band", "sig")
+      .sortBy("band", "sig")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Append one batch's band rows to the bucketed store table. */
+  def appendToStoreBucketed(bandSigs: DataFrame, table: String): Unit =
+    bandSigs.write.mode("append").format("parquet").insertInto(table)
+
+  def readStoreTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select(col("id"), col("band"), col("sig"))
+
   /** All near-dup candidate pairs INVOLVING the new batch:
     * within-batch LSH pairs UNION batch-vs-store band-join pairs,
     * normalized to (id_a < id_b) and deduplicated ONCE over the union.

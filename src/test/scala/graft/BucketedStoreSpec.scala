@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.IncrementalDedup
+import org.apache.spark.sql.functions._
+
+/** Pins the at-scale property of the BUCKETED signature store: the
+  * store side of the batch-vs-store join reads pre-hash-partitioned
+  * buckets from disk and never shuffles — only the (small) batch side
+  * exchanges. On a 100 TB corpus that is the difference between
+  * re-shuffling the whole store every day and never touching it.
+  */
+class BucketedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 3
+  private val NumHashes = 8
+  private val RowsPerBand = 2
+
+  private def bands(docs: org.apache.spark.sql.DataFrame) =
+    IncrementalDedup.bandSignatures(docs, "id", col("text"), N, NumHashes, RowsPerBand)
+
+  test("bucketed store: join plan shuffles the batch side only, results unchanged") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "the quick brown fox jumps over dogs"),
+      (3L, "completely unrelated corpus document text")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over dogs"),
+      (11L, "fresh batch content with novel words")
+    ).toDF("id", "text")
+
+    val dir   = tempDir("bucketed-store")
+    val table = "graft_sig_store_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = 8)
+
+    val store = IncrementalDedup.readStoreTable(spark, table)
+    val pairs = IncrementalDedup.incrementalPairs(bands(batch), store)
+
+    // force the sort-merge path (broadcast would hide the exchange
+    // question entirely — valid at test scale, wrong at store scale)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def planOf(storeSide: org.apache.spark.sql.DataFrame): String =
+        IncrementalDedup
+          .incrementalPairs(bands(batch), storeSide)
+          .queryExecution
+          .executedPlan
+          .toString
+      val bucketedPlan = planOf(store)
+      assert(bucketedPlan.contains("Bucketed: true"), s"store scan not bucketed:\n$bucketedPlan")
+      // differential: the SAME pipeline over an unbucketed copy of the
+      // store needs exactly one more Exchange — the store side's join
+      // shuffle, which the bucketed scan eliminates
+      val flatDir = tempDir("flat-store")
+      IncrementalDedup.writeStore(bands(corpus), flatDir)
+      val flatPlan = planOf(IncrementalDedup.readStore(spark, flatDir))
+      def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(
+        exchanges(bucketedPlan) == exchanges(flatPlan) - 1,
+        s"expected one fewer Exchange with the bucketed store " +
+          s"(${exchanges(bucketedPlan)} vs ${exchanges(flatPlan)}):\n$bucketedPlan\n---\n$flatPlan"
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // correctness unchanged vs the plain parquet store
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("bucketed store append: next batch sees prior batches as corpus") {
+    val corpus = Seq((1L, "the quick brown fox jumps over dogs")).toDF("id", "text")
+    val b1     = Seq((10L, "fresh batch content with novel words")).toDF("id", "text")
+    val b2     = Seq((20L, "fresh batch content with novel words")).toDF("id", "text")
+    val dir    = tempDir("bucketed-append")
+    val table  = "graft_sig_store_append_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = 4)
+
+    val p1 = IncrementalDedup
+      .incrementalPairs(bands(b1), IncrementalDedup.readStoreTable(spark, table))
+      .as[(Long, Long)].collect().toSet
+    assert(p1.isEmpty) // novel content matches nothing yet
+    IncrementalDedup.appendToStoreBucketed(bands(b1), table)
+
+    val p2 = IncrementalDedup
+      .incrementalPairs(bands(b2), IncrementalDedup.readStoreTable(spark, table))
+      .as[(Long, Long)].collect().toSet
+    assert(p2 == Set((10L, 20L))) // b2 dups b1 via the store
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+}
