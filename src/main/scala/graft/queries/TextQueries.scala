@@ -615,6 +615,61 @@ object TextQueries {
              |      FROM documents)""".stripMargin)
     ),
 
+    // ---- repetition statistics (the Gopher-style quality filters:
+    //      duplicate-trigram ratio + single-token concentration,
+    //      Rae et al. 2021 §A1.1). Trigram dup counting is a narrow
+    //      map stage over hashed windows; the top-token count is the
+    //      LINEAR formulation (explode -> two-level agg, one shuffle)
+    //      — the per-doc HOF nested-loop would be O(dl^2). Flag via
+    //      integer cross-multiplication (>=20% duplicate trigrams). ----
+    Q(
+      "text_repetition_stats",
+      (s, dir) => {
+        val toks = Tables
+          .documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+          .withColumn("n_toks", size(col("__toks")))
+          .withColumn("__tri", call_function("graft_ngram_hashes", col("__toks"), lit(3)))
+          .withColumn("n_tri", size(col("__tri")))
+          .withColumn("n_dup_tri", size(col("__tri")) - size(array_distinct(col("__tri"))))
+        val top = toks
+          .select(col("doc_id"), explode(col("__toks")).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("top_tok_n"))
+        toks
+          .select(col("doc_id"), col("n_toks"), col("n_tri"), col("n_dup_tri"))
+          .join(top, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("n_toks"),
+            col("n_tri"),
+            col("n_dup_tri"),
+            coalesce(col("top_tok_n"), lit(0L)).as("top_tok_n"),
+            (col("n_tri") > 0 && col("n_dup_tri") * 5 >= col("n_tri")).cast("int").as("is_repetitive")
+          )
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+             |    CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS INT) AS n_tri,
+             |    CAST(CASE WHEN len(toks) >= 3 THEN (len(toks) - 2) -
+             |      len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+             |      ELSE 0 END AS INT) AS n_dup_tri
+             |  FROM t),
+             |tc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+             |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_n
+             |        FROM (SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+             |        GROUP BY 1)
+             |SELECT b.doc_id, n_toks, n_tri, n_dup_tri,
+             |  coalesce(top_tok_n, 0) AS top_tok_n,
+             |  CAST(CASE WHEN n_tri > 0 AND n_dup_tri * 5 >= n_tri THEN 1 ELSE 0 END AS INT)
+             |    AS is_repetitive
+             |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin)
+    ),
+
     // ---- BM25 relevance scoring vs a fixed query-term set: one
     //      stats aggregation row broadcast back over one scoring scan —
     //      document data never shuffles. Score on the 1e-6 grid (ln()
