@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Pq, PqCodebooks, Similarity}
+import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -613,6 +613,37 @@ object TextQueries {
              |FROM (SELECT doc_id,
              |        CAST('0x' || substr(md5('$SplitSalt:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $SplitBuckets AS bucket
              |      FROM documents)""".stripMargin)
+    ),
+
+    // ---- training-sequence packing (concat-then-chunk metadata):
+    //      per-language streams pack in parallel, one running-sum
+    //      window each; assignments are stable under re-runs ----
+    Q(
+      "corpus_pack_sequences",
+      (s, dir) =>
+        Packing.packSequences(
+          Tables
+            .documents(s, dir)
+            .select(
+              col("doc_id"),
+              col("lang"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens")
+            ),
+          idCol = "doc_id",
+          streamCol = "lang",
+          nTokensCol = "n_tokens",
+          budget = 512
+        ),
+      Some("""SELECT doc_id, lang, n_tokens,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(start_tok // 512 AS BIGINT) AS seq_no
+             |FROM (
+             |  SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |  FROM (SELECT doc_id, lang,
+             |          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             |        FROM documents))""".stripMargin)
     ),
 
     // ---- repetition statistics (the Gopher-style quality filters:
