@@ -30,12 +30,17 @@ object Pq {
 
   /** Stage a unit-normalized double copy of `vecCol` as `outCol`.
     * Elementwise x / sqrt(dot(v, v)) — same IEEE ops as the oracle's
-    * list_transform over list_dot_product.
+    * list_transform over list_dot_product. An all-zero vector stays
+    * all-zero (0/0 would be NaN, and NaN ordering differs between
+    * engines — zero keeps the downstream argmax deterministic).
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
     df.withColumn("__vd", VectorFunctions.toDouble(col(vecCol)))
       .withColumn("__nrm", sqrt(VectorFunctions.dotD(col("__vd"), col("__vd"))))
-      .withColumn(outCol, transform(col("__vd"), x => x / col("__nrm")))
+      .withColumn(
+        outCol,
+        transform(col("__vd"), x => when(col("__nrm") === 0.0, 0.0).otherwise(x / col("__nrm")))
+      )
       .drop("__vd", "__nrm")
 
   /** Per-subspace argmin-L2 assignment score: for centroid c,

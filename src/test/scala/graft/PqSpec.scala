@@ -29,6 +29,16 @@ class PqSpec extends SparkSpec {
       .as[Double]
       .collect()
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-9))
+    // an all-zero vector must not produce NaN codes (0/0): it stays the
+    // zero vector and its argmax is the min-half-norm centroid — finite
+    // and deterministic
+    val zero = Seq((99L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val zcodes = Pq
+      .withCodes(zero, "embedding", books)
+      .select(array((0 until 8).map(i => col(s"pq$i")): _*))
+      .as[Seq[Int]]
+      .head()
+    assert(zcodes.forall(c => c >= 0 && c < 8))
   }
 
   test("shipped PqCodebooks: ADC shortlist + exact rerank hits the recall floor") {
