@@ -416,6 +416,36 @@ object RelationalQueries {
       }
     ),
 
+    // ---- DQ: exact grouped quartiles (distribution profiling beyond
+    //      bounds). percentile() sorts within each group — fine for
+    //      bounded groups; at 100 TB unbounded-cardinality profiling
+    //      switches to approx_percentile, which has no cross-engine
+    //      oracle. Micro-grid output: the linear-interpolation step is
+    //      the one float op that may differ in the last ulp. ----
+    Q(
+      "dq_quantiles",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile(col("l_quantity"), lit(0.25)).as("__q1"),
+            percentile(col("l_quantity"), lit(0.5)).as("__q2"),
+            percentile(col("l_quantity"), lit(0.75)).as("__q3")
+          )
+          .select(
+            col("l_returnflag"),
+            round(col("__q1") * 1e6).cast("long").as("q1_micro"),
+            round(col("__q2") * 1e6).cast("long").as("q2_micro"),
+            round(col("__q3") * 1e6).cast("long").as("q3_micro")
+          ),
+      Some("""SELECT l_returnflag,
+             |CAST(round(quantile_cont(l_quantity, 0.25) * 1000000) AS BIGINT) AS q1_micro,
+             |CAST(round(quantile_cont(l_quantity, 0.5) * 1000000) AS BIGINT) AS q2_micro,
+             |CAST(round(quantile_cont(l_quantity, 0.75) * 1000000) AS BIGINT) AS q3_micro
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
     // ---- DQ: referential integrity via LEFT ANTI join — lineitems whose
     //      order is missing from a (deliberately filtered) parent set ----
     Q(
