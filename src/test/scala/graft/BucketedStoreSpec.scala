@@ -85,10 +85,17 @@ class BucketedStoreSpec extends SparkSpec {
     assert(p1.isEmpty) // novel content matches nothing yet
     IncrementalDedup.appendToStoreBucketed(bands(b1), table)
 
-    val p2 = IncrementalDedup
-      .incrementalPairs(bands(b2), IncrementalDedup.readStoreTable(spark, table))
-      .as[(Long, Long)].collect().toSet
-    assert(p2 == Set((10L, 20L))) // b2 dups b1 via the store
+    // post-append correctness must hold on the SORT-MERGE path too: if
+    // insertInto silently broke the bucket layout, a bucketed-scan join
+    // would misalign rows and drop pairs — broadcast would mask that
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val appended = IncrementalDedup
+        .incrementalPairs(bands(b2), IncrementalDedup.readStoreTable(spark, table))
+      assert(appended.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      val p2 = appended.as[(Long, Long)].collect().toSet
+      assert(p2 == Set((10L, 20L))) // b2 dups b1 via the store
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
