@@ -63,6 +63,8 @@ object Multimodal {
     * decoded raster returns these exact bytes.
     */
   private[graft] def encodeGrayPng(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"image dims must be positive, got ${w}x$h")
+    require(pixels.nonEmpty, "at least one source pixel byte required")
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val full = Array.tabulate(w * h)(i => pixels(i % pixels.length))
     img.getRaster.setDataElements(0, 0, w, h, full)

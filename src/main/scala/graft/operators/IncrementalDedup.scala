@@ -119,9 +119,18 @@ object IncrementalDedup {
       .option("path", path)
       .saveAsTable(table)
 
-  /** Append one batch's band rows to the bucketed store table. */
+  /** Append one batch's band rows to the bucketed store table.
+    * insertInto matches columns by POSITION, so the frame is projected
+    * to the table's (id, band, sig) order first — a caller-reordered
+    * frame would otherwise write sig values into the band column.
+    */
   def appendToStoreBucketed(bandSigs: DataFrame, table: String): Unit =
-    bandSigs.write.mode("append").format("parquet").insertInto(table)
+    bandSigs
+      .select(col("id"), col("band"), col("sig"))
+      .write
+      .mode("append")
+      .format("parquet")
+      .insertInto(table)
 
   def readStoreTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select(col("id"), col("band"), col("sig"))
