@@ -42,11 +42,24 @@ object Bench {
     // failed-only queries report -1 (the old sentinel) and are excluded
     // from the total so a crash cannot read as a fast suite
     val results = names.map(n => n -> best.getOrElse(n, -1.0)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms resolution keeps the one-line JSON short enough to survive a
+    // bounded tail capture of the driver's log
+    def fmt(v: Double): String = if (v < 0) "-1" else (math.round(v * 10000) / 10000.0).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failures = failed.keys.toSeq.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}"""
+    // survive stdout truncation: persist the result next to the repo bench seals
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // stop Spark FIRST so its shutdown logging cannot land after the result
+    // line — the driver tail-captures stdout and must see this line last
     spark.stop()
+    System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

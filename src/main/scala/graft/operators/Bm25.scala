@@ -45,9 +45,12 @@ object Bm25 {
       .select(col(idCol).as("id"), TextFunctions.tokens(text).as("__toks"))
       .withColumn("dl", size(col("__toks")))
 
+    // coalesce keeps the stats row well-defined on an empty corpus
+    // (sum over zero rows is NULL; avgdl would otherwise poison scores
+    // if a caller ever joined these stats against a non-empty frame)
     val statCols =
       count(lit(1)).cast("double").as("n") +:
-        sum(col("dl")).cast("double").as("sumdl") +:
+        coalesce(sum(col("dl")), lit(0L)).cast("double").as("sumdl") +:
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(col("__toks"), t), 1).otherwise(0)).cast("double").as(s"df$i")
         }

@@ -385,7 +385,10 @@ object TextQueries {
         // batch = every 5th doc (the "new" 20%); corpus = the rest
         val corpus = docs.where(col("doc_id") % 5 =!= 0)
         val batch  = docs.where(col("doc_id") % 5 === 0)
-        val store  = s"/tmp/graft_sigstore/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // namespaced by applicationId so concurrent harness processes
+        // benchmarking the same data dir cannot race on one store path
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${s.sparkContext.applicationId}/" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh, deterministic store
         IncrementalDedup.writeStore(
@@ -652,7 +655,12 @@ object TextQueries {
     //      map stage over hashed windows; the top-token count is the
     //      LINEAR formulation (explode -> two-level agg, one shuffle)
     //      — the per-doc HOF nested-loop would be O(dl^2). Flag via
-    //      integer cross-multiplication (>=20% duplicate trigrams). ----
+    //      integer cross-multiplication (>=20% duplicate trigrams).
+    //      Distinct-trigram counting runs over 64-bit XXH64 hashes
+    //      (graft_ngram_hashes) while the oracle distincts exact
+    //      strings: a hash collision would undercount Spark-side and
+    //      fail the compare. Same accepted ~2^-64-per-pair risk as the
+    //      jaccard path — see the NgramHashes scaladoc. ----
     Q(
       "text_repetition_stats",
       (s, dir) => {
@@ -907,7 +915,8 @@ object TextQueries {
         s"""WITH books(m, code, cv, hn) AS (VALUES $values),
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |nv AS (SELECT vec_id,
-           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |         CASE WHEN list_dot_product(v, v) = 0 THEN list_transform(v, x -> 0.0)
+           |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
            |       FROM e),
            |sc AS (SELECT vec_id, b.m, b.code,
            |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.cv) - b.hn AS score
@@ -958,7 +967,8 @@ object TextQueries {
         s"""WITH books(m, code, cv, hn) AS (VALUES $values),
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |nv AS (SELECT vec_id,
-           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |         CASE WHEN list_dot_product(v, v) = 0 THEN list_transform(v, x -> 0.0)
+           |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
            |       FROM e),
            |sc AS (SELECT vec_id, b.m, b.code,
            |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.cv) - b.hn AS score
@@ -1031,7 +1041,8 @@ object TextQueries {
            |books(m, code, bv, hn) AS (VALUES $pqValues),
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |nv AS (SELECT vec_id,
-           |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           |         CASE WHEN list_dot_product(v, v) = 0 THEN list_transform(v, x -> 0.0)
+           |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
            |       FROM e),
            |cellad AS (SELECT vec_id, c.cell, list_dot_product(vn, c.cv) AS d,
            |            row_number() OVER (PARTITION BY vec_id
