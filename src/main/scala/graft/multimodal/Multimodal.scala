@@ -83,10 +83,42 @@ object Multimodal {
     * Division is (sample / 255.0).toFloat — double math, ONE float
     * rounding — so the oracle's CAST(b / 255.0 AS FLOAT) matches bit-wise.
     */
-  private[graft] def decodeLuminance(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    if (img == null) None
-    else {
+  private[graft] def decodeLuminance(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    new LuminanceDecoder().decode(payload)
+
+  /** Reusable per-partition decoder. `ImageIO.read`'s convenience path
+    * pays two hidden per-image costs that dominate small-image batches:
+    * a disk-backed `FileCacheImageInputStream` (a temp FILE per image)
+    * and a full service-registry scan to pick a reader. This holds ONE
+    * PNG reader (the corpus format) and memory-backed streams, falling
+    * back to the generic path for non-PNG payloads. Decoded values are
+    * identical — only stream/reader setup changes.
+    */
+  private[graft] final class LuminanceDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // memory-backed streams JVM-wide
+    private val pngReader: Option[javax.imageio.ImageReader] = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      if (it.hasNext) Some(it.next()) else None
+    }
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      val img =
+        if (isPng(payload) && pngReader.isDefined) {
+          val r = pngReader.get
+          val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            r.setInput(in, true, true)
+            r.read(0)
+          } catch { case _: Exception => null } finally in.close()
+        } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some(luminanceOf(img))
+    }
+
+    private def luminanceOf(img: java.awt.image.BufferedImage): (Int, Int, Array[Float]) = {
       val raster = img.getRaster
       val w = img.getWidth
       val h = img.getHeight
@@ -108,7 +140,7 @@ object Multimodal {
         }
         y += 1
       }
-      Some((w, h, out))
+      (w, h, out)
     }
   }
 
@@ -175,11 +207,13 @@ object Multimodal {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // per-partition codec init: ONE reader + memory-backed streams
+        // amortized over every image this task decodes
+        val dec = new LuminanceDecoder()
         it.grouped(batchSize).flatMap { batch =>
-          // per-batch init would go here (codec/model handle)
           batch.iterator.flatMap {
             case (id, payload) if payload != null =>
-              decodeLuminance(payload).map { case (w, h, lum) => (id, lum, w * h) }
+              dec.decode(payload).map { case (w, h, lum) => (id, lum, w * h) }
             case _ => None
           }
         }
@@ -200,10 +234,11 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
+        val dec = new LuminanceDecoder()
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap {
             case (id, modality, payload) if payload != null =>
-              decodeLuminance(payload).map { case (srcW, srcH, lum) =>
+              dec.decode(payload).map { case (srcW, srcH, lum) =>
                 val px = Array.tabulate(w * h) { i =>
                   val sx = ((i % w) * srcW) / w
                   val sy = ((i / w) * srcH) / h
