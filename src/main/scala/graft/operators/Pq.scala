@@ -58,9 +58,16 @@ object Pq {
     * dim/m values) with plain L2 Lloyd iterations — ONE distributed
     * job per round for ALL subspaces (explode to (subspace, cell,
     * subvector), then a (m, cell)-keyed partial-aggregated sum).
-    * Deterministic md5-ordered init takes the same `ksub` sample rows
-    * for every subspace. Vectors are normalized before training —
-    * PQ here approximates COSINE via dot products on unit vectors.
+    * Deterministic md5-ordered init samples the same rows for every
+    * subspace, but each subspace takes its first `ksub` DISTINCT
+    * subvectors from the sample (duplicate subvectors in one subspace
+    * would seed duplicate centroids, and the first-max assignment
+    * tiebreak would leave the copies as permanently dead codes). If the
+    * sample has fewer than `ksub` distinct subvectors the remainder
+    * fills with duplicates — the dead-code possibility then is real but
+    * so is the degenerate corpus. Vectors are normalized before
+    * training — PQ here approximates COSINE via dot products on unit
+    * vectors.
     */
   def train(
       corpus: DataFrame,
@@ -72,22 +79,46 @@ object Pq {
       iters: Int
   ): Seq[Seq[Array[Double]]] = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val sub = dim / m
     val v = withNormalized(
       corpus.select(col(idCol).as("id"), col(vecCol).as("__vec")),
       "__vec",
       "vn"
     ).select(col("id"), col("vn"))
+    lloyd(v, dim, m, ksub, iters)
+  }
 
-    val init: Array[Array[Double]] = v
+  /** The shared Lloyd core over an already-staged `(id, vn)` frame —
+    * `vn` is used EXACTLY as given (no renormalization), so residual
+    * training can feed non-unit vectors through the same loop.
+    */
+  private def lloyd(
+      v: DataFrame,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int
+  ): Seq[Seq[Array[Double]]] = {
+    val sub = dim / m
+    // oversample so per-subspace dedup has replacement rows to draw from
+    val sample: Array[Array[Double]] = v
       .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(ksub)
+      .limit(math.max(ksub * 4, ksub + 16))
       .select(col("vn"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(init.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
-    var books: IndexedSeq[IndexedSeq[Array[Double]]] =
-      (0 until m).map(mi => (0 until ksub).map(j => init(j).slice(mi * sub, (mi + 1) * sub)))
+    require(sample.length >= ksub, s"corpus has fewer than ksub=$ksub vectors")
+    var books: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map { mi =>
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      sample.iterator
+        .map(r => r.slice(mi * sub, (mi + 1) * sub).toSeq)
+        .foreach(s => if (seen.size < ksub) seen += s)
+      val distinct = seen.toIndexedSeq.map(_.toArray)
+      // fewer than ksub distinct subvectors: fill back with sample rows
+      // (duplicates) to keep the codebook shape — degenerate-corpus path
+      val filled = (distinct ++ (0 until ksub).map(j =>
+        sample(j % sample.length).slice(mi * sub, (mi + 1) * sub))).take(ksub)
+      filled
+    }
 
     val sumCols = (0 until sub).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
     for (_ <- 1 to iters) {
@@ -123,6 +154,210 @@ object Pq {
       }
     }
     books.map(_.toSeq)
+  }
+
+  /** Train RESIDUAL codebooks (the FAISS IVFPQ encoding): each vector is
+    * first assigned to its coarse IVF cell, and the codebooks quantize
+    * `vn - centroid(cell)` instead of `vn`. Residuals concentrate the
+    * codebook budget on WITHIN-cell variance (the coarse quantizer
+    * already explains the between-cell part), which is what lifts ADC
+    * ordering quality at the same code size.
+    */
+  def trainResidual(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      centroids: Seq[Array[Double]]
+  ): Seq[Seq[Array[Double]]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val v = withResidual(
+      withNormalized(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("__vec")),
+        "__vec",
+        "vn"
+      ),
+      "vn",
+      centroids,
+      "__res"
+    ).select(col("id"), col("__res").as("vn"))
+    lloyd(v, dim, m, ksub, iters)
+  }
+
+  /** Stage `outCol` = vnCol - centroid(assigned cell). Cell assignment
+    * is the same argmax-dot / first-max tiebreak as [[Similarity.ivfTopK]];
+    * the chosen centroid is staged as its own projected column before the
+    * zip_with so the argmax is evaluated once, not once per element.
+    */
+  private def withResidual(
+      df: DataFrame,
+      vnCol: String,
+      centroids: Seq[Array[Double]],
+      outCol: String
+  ): DataFrame =
+    df.withColumn("__cd", array(centroids.map(c => VectorFunctions.planeDot(col(vnCol), c)): _*))
+      .withColumn("__cell", (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
+      .withColumn(
+        "__cent",
+        element_at(array(centroids.map(c => array(c.map(lit): _*)): _*), col("__cell") + 1)
+      )
+      .withColumn(outCol, zip_with(col(vnCol), col("__cent"), (a, b) => a - b))
+      .drop("__cd", "__cell", "__cent")
+
+  /** Per-(subspace, code) dot products against every cell centroid's
+    * subvector — DRIVER-computed literals (left-to-right sums), shared
+    * verbatim with the SQL oracle so residual scores are bit-identical
+    * across engines: score(residual_sub, cv) decomposes as
+    * dot(vn_sub, cv) - dot(cent_sub, cv) - ||cv||^2/2, and the middle
+    * term is this table. Indexed [mi][code][cell].
+    */
+  def cellCodeDots(
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]]
+  ): Seq[Seq[Array[Double]]] = {
+    val sub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, mi) =>
+      book.map { cv =>
+        centroids.map { cent =>
+          val cs = cent.slice(mi * sub, (mi + 1) * sub)
+          (0 until sub).foldLeft(0.0)((acc, i) => acc + cs(i) * cv(i))
+        }.toArray
+      }
+    }
+  }
+
+  /** Encode with RESIDUAL codes: adds the assigned IVF `cellCol` plus
+    * int code columns pq0..pq{M-1} where code = argmin-L2 of
+    * (vn - centroid(cell)) per subspace. The residual is never
+    * materialized: the score decomposes into the raw subspace dot minus
+    * the [[cellCodeDots]] literal for the assigned cell (identical
+    * IEEE ops on both engines). The staged normalized vector survives
+    * as `vnCol` for rerank callers.
+    */
+  def withResidualCodes(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      vnCol: String = "vn",
+      cellCol: String = "cell"
+  ): DataFrame = {
+    val m    = codebooks.size
+    val sub  = codebooks.head.head.length
+    val ccd  = cellCodeDots(centroids, codebooks)
+    val base = withNormalized(df, vecCol, vnCol)
+      .withColumn("__cd", array(centroids.map(c => VectorFunctions.planeDot(col(vnCol), c)): _*))
+      .withColumn(cellCol, (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
+    val staged = (0 until m).foldLeft(base) { (d, mi) =>
+      d.withColumn(
+        s"__sc$mi",
+        array(codebooks(mi).zipWithIndex.map { case (cv, c) =>
+          val halfNorm = cv.map(x => x * x).sum / 2.0
+          VectorFunctions.planeDot(slice(col(vnCol), mi * sub + 1, sub), cv) -
+            element_at(array(ccd(mi)(c).map(lit): _*), col(cellCol) + 1) -
+            lit(halfNorm)
+        }: _*)
+      )
+    }
+    val codes = (0 until m).map { mi =>
+      (array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi"))) - 1)
+        .cast("int")
+        .as(s"pq$mi")
+    }
+    staged.select(df.columns.map(col) ++ Seq(col(vnCol), col(cellCol)) ++ codes: _*)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the full FAISS IVFPQ shape. Same
+    * plan as [[ivfPqTopK]] (cells prune, ADC equi-join on cell,
+    * shortlist window over (ids, adc), exact rerank) with two changes:
+    * corpus codes quantize the residual, and the ADC score adds the
+    * query-to-centroid dot back in:
+    *   dot(q, v) ~ dot(q, cent(cell)) + sum_m LUT_m[code_m]
+    * (the probe side already carries dot(q, cent) — it is the probe
+    * ranking key). Residual codebooks make the second term a tighter
+    * estimate of dot(q, v - cent), so the shortlist ordering — and with
+    * it recall at a fixed shortlist — improves at identical cost.
+    */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      nProbe: Int,
+      shortlist: Int
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m   = codebooks.size
+    val sub = codebooks.head.head.length
+
+    def cellDots(v: Column): Column =
+      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+
+    val encoded = withResidualCodes(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
+      "__vec",
+      centroids,
+      codebooks,
+      vnCol = "c_vn"
+    )
+    val codes   = encoded.select(
+      col("neighbor_id") +: col("cell") +: (0 until m).map(i => col(s"pq$i")): _*
+    )
+    val vectors = encoded.select(col("neighbor_id"), col("c_vn"))
+
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("celldot").desc, col("cell").asc)
+    val qBase = (0 until m).foldLeft(
+      withNormalized(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+        "__qv",
+        "q_vn"
+      ).withColumn("__cd", cellDots(col("q_vn")))
+    ) { (d, mi) =>
+      d.withColumn(
+        s"__lut$mi",
+        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+      )
+    }
+    val qProbes = qBase
+      .select(
+        col("query_id") +: posexplode_outer(col("__cd")).as(Seq("cell", "celldot")) +:
+          (0 until m).map(i => col(s"__lut$i")): _*
+      )
+      .where(col("cell").isNotNull)
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nProbe)
+      .drop("rn")
+
+    // celldot leads the fixed left-to-right sum (oracle mirrors the order)
+    val adc = (col("celldot") +: (0 until m)
+      .map(i => element_at(col(s"__lut$i"), col(s"pq$i") + 1))).reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = codes
+      .join(broadcast(qProbes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(vectors, "neighbor_id")
+      .join(
+        broadcast(qBase.select(col("query_id"), col("q_vn"))),
+        "query_id"
+      )
+      .withColumn("cos", VectorFunctions.dotD(col("q_vn"), col("c_vn")))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Encode: add int code columns pq0..pq{M-1} (argmin L2 per subspace,

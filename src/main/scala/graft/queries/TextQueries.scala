@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, Similarity}
+import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -100,6 +100,15 @@ object TextQueries {
   private val EmbeddingDim = 64
   private val CosMin      = 0.3
   private val IvfProbe    = 4
+  // the composed IVF-PQ indexes probe deeper: recall is ceiling-limited
+  // by cell coverage (nProbe 4 caps at 0.84, nProbe 8 at 0.92 on this
+  // corpus — PLANS.md), and the ADC stage is cheap enough that probing
+  // 8/16 cells is the right operating point for a >= 0.90 target
+  private val IvfPqProbe     = 8
+  // residual ADC orders slightly worse than raw on this isotropic corpus
+  // (see PLANS.md: residuals are LARGER than the unit vectors); a deeper
+  // shortlist recovers the ceiling at unchanged asymptotic cost
+  private val ResidShortlist = 80
   // ANN-LSH tuning: fewer planes + depth-2 multi-probe — recall rises
   // with probed corpus fraction (22 of 64 buckets here)
   private val AnnPlanes     = 6
@@ -1018,7 +1027,7 @@ object TextQueries {
             k = KnnK,
             centroids = IvfCentroids.cells,
             codebooks = PqCodebooks.books,
-            nProbe = IvfProbe,
+            nProbe = IvfPqProbe,
             shortlist = 50
           )
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
@@ -1059,7 +1068,7 @@ object TextQueries {
            |codep AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
            |q AS (SELECT vec_id AS query_id, vn AS qvn FROM nv WHERE vec_id % 100 = 0),
            |probes AS (SELECT vec_id AS query_id, cell FROM cellad
-           |           WHERE vec_id % 100 = 0 AND rn <= $IvfProbe),
+           |           WHERE vec_id % 100 = 0 AND rn <= $IvfPqProbe),
            |lut AS (SELECT q.query_id, b.m, b.code,
            |          list_dot_product(qvn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) AS d
            |        FROM q CROSS JOIN books b),
@@ -1075,6 +1084,108 @@ object TextQueries {
            |    SELECT query_id, neighbor_id,
            |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS sr
            |    FROM adc) WHERE sr <= 50),
+           |rr AS (SELECT s.query_id, s.neighbor_id, list_dot_product(qn.qvn, cn.vn) AS cos
+           |       FROM short s
+           |       JOIN q qn ON qn.query_id = s.query_id
+           |       JOIN nv cn ON cn.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rnk FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           |  FROM rr) WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
+    // ---- IVF-PQ with RESIDUAL encoding (the FAISS IVFPQ codec): codes
+    //      quantize vn - centroid(cell); ADC adds dot(q, centroid) back.
+    //      The oracle never materializes residuals either: the score
+    //      decomposes as dot(vn_sub, bv) - ccd(cell,m,code) - hn with
+    //      ccd a DRIVER-computed literal table shared verbatim by both
+    //      engines (bit-identical ops). ----
+    Q(
+      "ann_knn_ivfpq_residual",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Pq.ivfPqResidualTopK(
+            corpus = emb
+              .select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = KnnK,
+            centroids = IvfCentroids.cells,
+            codebooks = PqResidualCodebooks.books,
+            nProbe = IvfPqProbe,
+            shortlist = ResidShortlist
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some {
+        val m   = PqResidualCodebooks.M
+        val sub = PqResidualCodebooks.Dim / PqResidualCodebooks.M
+        val pqValues = PqResidualCodebooks.books.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) =>
+              val hn = c.map(x => x * x).sum / 2.0
+              s"($mi, $j, ${c.map(_.toString).mkString("[", ",", "]")}::DOUBLE[], $hn)"
+            }
+          }
+          .mkString(",\n")
+        // driver-computed dot(centroid_sub, codeword) literals, indexed
+        // (m, code, cell) — both engines subtract the same doubles
+        val ccd = Pq.cellCodeDots(IvfCentroids.cells, PqResidualCodebooks.books)
+        val ccdValues = ccd.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.flatMap { case (cells, j) =>
+              cells.zipWithIndex.map { case (d, cell) => s"($mi, $j, $cell, $d)" }
+            }
+          }
+          .mkString(",\n")
+        val codePivot = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+        val lutPivot  = (0 until m).map(i => s"MAX(CASE WHEN m = $i THEN arr END) AS a$i").mkString(", ")
+        val adcExpr   = (0 until m).map(i => s"a$i[c$i + 1]").mkString(" + ")
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
+           |books(m, code, bv, hn) AS (VALUES $pqValues),
+           |ccd(m, code, cell, d) AS (VALUES $ccdValues),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nv AS (SELECT vec_id,
+           |         CASE WHEN list_dot_product(v, v) = 0 THEN list_transform(v, x -> 0.0)
+           |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+           |       FROM e),
+           |cellad AS (SELECT vec_id, c.cell, list_dot_product(vn, c.cv) AS d,
+           |            row_number() OVER (PARTITION BY vec_id
+           |              ORDER BY list_dot_product(vn, c.cv) DESC, c.cell) AS rn
+           |          FROM nv CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cell FROM cellad WHERE rn = 1),
+           |sc AS (SELECT nv.vec_id, b.m, b.code,
+           |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) - cc.d - b.hn AS score
+           |       FROM nv
+           |       JOIN assign a ON a.vec_id = nv.vec_id
+           |       CROSS JOIN books b
+           |       JOIN ccd cc ON cc.m = b.m AND cc.code = b.code AND cc.cell = a.cell),
+           |codes AS (SELECT vec_id, m, code FROM (
+           |    SELECT vec_id, m, code,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |codep AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id),
+           |q AS (SELECT vec_id AS query_id, vn AS qvn FROM nv WHERE vec_id % 100 = 0),
+           |probes AS (SELECT vec_id AS query_id, cell, d FROM cellad
+           |           WHERE vec_id % 100 = 0 AND rn <= $IvfPqProbe),
+           |lut AS (SELECT q.query_id, b.m, b.code,
+           |          list_dot_product(qvn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) AS d
+           |        FROM q CROSS JOIN books b),
+           |lutarr AS (SELECT query_id, m, list(d ORDER BY code) AS arr FROM lut GROUP BY 1, 2),
+           |lutp AS (SELECT query_id, $lutPivot FROM lutarr GROUP BY query_id),
+           |adc AS (SELECT p.query_id, cp.vec_id AS neighbor_id, p.d + $adcExpr AS adc
+           |        FROM codep cp
+           |        JOIN assign a ON a.vec_id = cp.vec_id
+           |        JOIN probes p ON p.cell = a.cell
+           |        JOIN lutp l ON l.query_id = p.query_id
+           |        WHERE cp.vec_id != p.query_id),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS sr
+           |    FROM adc) WHERE sr <= $ResidShortlist),
            |rr AS (SELECT s.query_id, s.neighbor_id, list_dot_product(qn.qvn, cn.vn) AS cos
            |       FROM short s
            |       JOIN q qn ON qn.query_id = s.query_id
