@@ -56,6 +56,57 @@ object TemporalQueries {
              |  ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate""".stripMargin)
     ),
 
+    // ---- skew-hardened as-of join on a HOT-KEY fixture: 75% of events
+    //      collapse onto one user (the mass-default-key shape), and the
+    //      bucketed variant — windows over (key, day bucket) + carry-in —
+    //      must produce exactly the plain as-of semantics the DuckDB
+    //      ASOF LEFT JOIN defines. TemporalOpsSpec additionally pins
+    //      enrichBucketed == enrich row-for-row. ----
+    Q(
+      "t_asof_enrich_skew",
+      (s, dir) => {
+        val ev = Tables
+          .events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          // hot fixture: 3 of every 4 events land on user 7
+          .withColumn("user_id", when(col("event_id") % 4 =!= 0, lit(7L)).otherwise(col("user_id")))
+        val vw = Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val vers = Tables
+          .orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("__rn", row_number().over(vw))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+        AsOfJoin
+          .enrichBucketed(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate",
+            bucketSeconds = 86400L)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_orderpriority").as("asof_priority")
+          )
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id,
+             |         CASE WHEN event_id % 4 != 0 THEN 7 ELSE user_id END AS user_id,
+             |         ts
+             |  FROM events),
+             |vers AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+             |        FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id,
+             |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       v.o_orderkey AS asof_orderkey,
+             |       v.o_orderpriority AS asof_priority
+             |FROM ev e ASOF LEFT JOIN vers v
+             |  ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate""".stripMargin)
+    ),
+
     // ---- gap-based sessionization over the event log ----
     Q(
       "t_event_sessionize",

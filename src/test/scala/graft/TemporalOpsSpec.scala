@@ -50,6 +50,65 @@ class TemporalOpsSpec extends SparkSpec {
     assert(plan.contains("Window"))
   }
 
+  test("asof bucketed: equals the plain as-of row-for-row, including on a hot key") {
+    // edge fixture: carry-in across empty buckets, version exactly at an
+    // event instant, events before any version, keys with no versions
+    val versions = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (1L, ts("2024-01-02 00:00:00"), "v2"),
+      (2L, ts("2024-01-05 00:00:00"), "w1")
+    ).toDF("k", "vts", "payload")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")),
+      (11L, 1L, ts("2024-01-02 00:00:00")),
+      (12L, 1L, ts("2023-12-31 23:59:59")),
+      (13L, 2L, ts("2024-01-06 00:00:00")), // carry-in over an empty Jan-05->06 boundary
+      (14L, 3L, ts("2024-01-06 00:00:00")),
+      (15L, 1L, ts("2024-01-09 00:00:00"))  // several empty buckets after v2
+    ).toDF("event_id", "k", "ets")
+    for (width <- Seq(3600L, 86400L, 7L * 86400L)) {
+      val plain = AsOfJoin
+        .enrich(events, versions, "k", "ets", "k", "vts")
+        .select("event_id", "payload").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val bucketed = AsOfJoin
+        .enrichBucketed(events, versions, "k", "ets", "k", "vts", bucketSeconds = width)
+        .select("event_id", "payload").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(bucketed == plain, s"bucketed (width=$width) diverged from plain as-of")
+    }
+
+    // hot-key fixture at data scale: 75% of events on one key
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("user_id", when(col("event_id") % 4 =!= 0, lit(7L)).otherwise(col("user_id")))
+    val vers = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .dropDuplicates("o_custkey", "o_orderdate")
+    val plainHot = AsOfJoin
+      .enrich(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
+      .select("event_id", "o_orderkey").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val bucketedHot = AsOfJoin
+      .enrichBucketed(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate", bucketSeconds = 86400L)
+      .select("event_id", "o_orderkey").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bucketedHot == plainHot, "bucketed as-of diverged on the hot-key fixture")
+  }
+
+  test("asof bucketed: the forward-fill window partitions by key AND bucket") {
+    val versions = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("vts"), col("o_orderkey"))
+      .dropDuplicates("k", "vts")
+    val events = Tables.events(spark, Sf).select(col("user_id").as("k"), col("ts"), col("event_id"))
+    val plan = AsOfJoin
+      .enrichBucketed(events, versions, "k", "ts", "k", "vts", bucketSeconds = 86400L)
+      .queryExecution.executedPlan.toString
+    // the main fill window must key on (__k, __b) — a key-only window
+    // would put the hot key back on one task
+    assert(
+      plan.contains("windowspecdefinition(__k#") || plan.contains("windowspecdefinition(__k,"),
+      s"expected a window spec in the plan:\n$plan"
+    )
+    assert(plan.contains("__b"), s"expected the bucket column in the plan:\n$plan")
+  }
+
   test("sessionize: gaps strictly over the threshold start new sessions") {
     val events = Seq(
       (1L, 100L, ts("2024-01-01 10:00:00")),
