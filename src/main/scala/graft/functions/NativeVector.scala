@@ -288,6 +288,30 @@ object GraftExtensions {
         }
         SigAgreePairs(children.head, mb)
       }
+    ),
+    (
+      FunctionIdentifier("graft_subword_counts"),
+      new ExpressionInfo(classOf[SubwordCounts].getName, "graft_subword_counts"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 3,
+          s"graft_subword_counts expects (words, startVocab, contVocab), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def vocabLit(e: Expression, what: String): Seq[String] = e match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString.split(" ").filter(_.nonEmpty).toSeq
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_subword_counts $what must be a space-joined string literal, got $other"
+            )
+        }
+        SubwordCounts(
+          children.head,
+          vocabLit(children(1), "startVocab"),
+          vocabLit(children(2), "contVocab")
+        )
+      }
     )
   )
 }

@@ -122,6 +122,47 @@ object TextQueries {
       .map { case (cv, i) => s"($i, ${cv.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])" }
       .mkString(", ")
 
+  // WordPiece vocabulary for the subword queries — word-START pieces and
+  // CONTINUATION pieces (raw forms; the "##" convention is implicit in
+  // the split). Single-char coverage makes tokenization total EXCEPT
+  // 'q' at word start: "query" exercises the char-level-UNK path
+  // deterministically. Shared verbatim with the SQL oracle.
+  private val SubwordStartPieces: Seq[String] =
+    Seq("scan", "tab", "val", "wind", "bat", "cust", "str", "the", "col", "agg") ++
+      "abcdefghijklmnoprstuvwy".map(_.toString)
+  private val SubwordContPieces: Seq[String] =
+    Seq("le", "ue", "ow", "er", "an", "umn", "ry", "ta", "in") ++
+      "abcdefghijklmnopqrstuvwy".map(_.toString)
+  private def subwordVocabSql: String =
+    (SubwordStartPieces.map(p => s"('$p', false)") ++
+      SubwordContPieces.map(p => s"('$p', true)")).mkString(", ")
+  // shared oracle CTE chain: greedy longest-match lengths are
+  // precomputed per (distinct word, position) OUTSIDE the recursion
+  // (DuckDB bans non-inner joins/aggregates in the recursive member),
+  // then the recursion walks each word with a plain inner join
+  private def subwordTermSql: String =
+    s"""vocab(raw, cont) AS (VALUES $subwordVocabSql),
+       |words AS (
+       |  SELECT doc_id, t.w
+       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |pos AS (SELECT w, CAST(p AS INT) AS pos
+       |        FROM dw, LATERAL unnest(generate_series(1, len(w))) AS g(p)),
+       |matches AS (SELECT p.w, p.pos, MAX(len(v.raw)) AS plen
+       |            FROM pos p JOIN vocab v
+       |              ON v.cont = (p.pos > 1) AND substr(p.w, p.pos, len(v.raw)) = v.raw
+       |            GROUP BY 1, 2),
+       |best AS (SELECT p.w, p.pos, COALESCE(m.plen, 1) AS plen,
+       |                CASE WHEN m.plen IS NULL THEN 1 ELSE 0 END AS isunk
+       |         FROM pos p LEFT JOIN matches m ON m.w = p.w AND m.pos = p.pos),
+       |step(w, pos, np, nu) AS (
+       |  SELECT w, 1, 0, 0 FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + b.plen, s.np + 1, s.nu + b.isunk
+       |  FROM step s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |term AS (SELECT w, np, nu FROM step WHERE pos > len(w))""".stripMargin
+
   // stratified-sampling mix: per-language keep rates (per-mille)
   private val MixRates   = Map("en" -> 600, "zh" -> 250, "es" -> 500, "de" -> 900)
   private val MixDefault = 100
@@ -656,6 +697,85 @@ object TextQueries {
              |  FROM (SELECT doc_id, lang,
              |          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
              |        FROM documents))""".stripMargin)
+    ),
+
+    // ---- vocab-driven subword tokenization (WordPiece greedy longest
+    //      match, char-level UNK): real training-cost metering over a
+    //      broadcast vocabulary. Spark side is ONE narrow map stage
+    //      (native kernel); the oracle re-derives every count with a
+    //      recursive CTE over the same vocab literals. ----
+    Q(
+      "text_subword_stats",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+          .withColumn(
+            "__sw",
+            call_function(
+              "graft_subword_counts",
+              col("__toks"),
+              lit(SubwordStartPieces.mkString(" ")),
+              lit(SubwordContPieces.mkString(" "))
+            )
+          )
+          .select(
+            col("doc_id"),
+            size(col("__toks")).as("n_words"),
+            element_at(col("__sw"), 1).as("n_pieces"),
+            element_at(col("__sw"), 2).as("n_unk"),
+            element_at(col("__sw"), 3).as("max_pieces")
+          ),
+      Some(s"""WITH RECURSIVE $subwordTermSql,
+             |agg AS (SELECT wo.doc_id,
+             |          CAST(sum(t.np) AS INT) AS n_pieces,
+             |          CAST(sum(t.nu) AS INT) AS n_unk,
+             |          CAST(max(t.np) AS INT) AS max_pieces
+             |        FROM words wo JOIN term t ON t.w = wo.w GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+             |       a.n_pieces, a.n_unk, a.max_pieces
+             |FROM documents d JOIN agg a ON a.doc_id = d.doc_id""".stripMargin)
+    ),
+
+    // ---- sequence packing metered by REAL subword counts: the packing
+    //      budget consumes the wordpiece tokenization above instead of
+    //      whitespace token counts — the actual pretraining batch cost ----
+    Q(
+      "corpus_pack_subword",
+      (s, dir) =>
+        Packing.packSequences(
+          Tables
+            .documents(s, dir)
+            .select(
+              col("doc_id"),
+              col("lang"),
+              element_at(
+                call_function(
+                  "graft_subword_counts",
+                  TextFunctions.tokens(col("text")),
+                  lit(SubwordStartPieces.mkString(" ")),
+                  lit(SubwordContPieces.mkString(" "))
+                ),
+                1
+              ).as("n_subtok")
+            ),
+          idCol = "doc_id",
+          streamCol = "lang",
+          nTokensCol = "n_subtok",
+          budget = 1024
+        ),
+      Some(s"""WITH RECURSIVE $subwordTermSql,
+             |agg AS (SELECT wo.doc_id, CAST(sum(t.np) AS INT) AS n_subtok
+             |        FROM words wo JOIN term t ON t.w = wo.w GROUP BY 1)
+             |SELECT doc_id, lang, n_subtok,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(start_tok // 1024 AS BIGINT) AS seq_no
+             |FROM (
+             |  SELECT d.doc_id, d.lang, a.n_subtok,
+             |    sum(a.n_subtok) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+             |      ROWS UNBOUNDED PRECEDING) - a.n_subtok AS start_tok
+             |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id)""".stripMargin)
     ),
 
     // ---- repetition statistics (the Gopher-style quality filters:
