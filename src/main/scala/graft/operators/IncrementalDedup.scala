@@ -119,21 +119,108 @@ object IncrementalDedup {
       .option("path", path)
       .saveAsTable(table)
 
-  /** Append one batch's band rows to the bucketed store table.
-    * insertInto matches columns by POSITION, so the frame is projected
-    * to the table's (id, band, sig) order first — a caller-reordered
-    * frame would otherwise write sig values into the band column.
+  /** The store table's catalog bucket spec as (numBuckets, bucketCols),
+    * or None for an unbucketed table.
     */
-  def appendToStoreBucketed(bandSigs: DataFrame, table: String): Unit =
+  def storeBucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String])] = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    meta.bucketSpec.map(bs => (bs.numBuckets, bs.bucketColumnNames.toSeq))
+  }
+
+  /** Fail-loud check that `table` is bucketed EXACTLY as the join
+    * contract requires: `expectedBuckets` buckets on exactly
+    * (band, sig). A store whose layout drifted — different bucket
+    * count after a careless rewrite, or a subset bucket key — would
+    * not error on its own: Spark silently plans the full store-side
+    * shuffle the bucketing exists to eliminate, every batch, forever.
+    * The mismatch must surface as an exception, not a slow plan.
+    */
+  def requireStoreBucketed(spark: SparkSession, table: String, expectedBuckets: Int): Unit =
+    storeBucketSpec(spark, table) match {
+      case Some((n, cols)) if n == expectedBuckets && cols == Seq("band", "sig") => ()
+      case Some((n, cols)) =>
+        throw new IllegalStateException(
+          s"signature store '$table' bucket layout mismatch: found $n buckets on " +
+            s"(${cols.mkString(", ")}), expected $expectedBuckets on (band, sig) — " +
+            "the store-side join would silently re-shuffle; rewrite the store " +
+            "(writeStoreBucketed) instead of appending across layouts"
+        )
+      case None =>
+        throw new IllegalStateException(
+          s"signature store '$table' is not bucketed — expected $expectedBuckets " +
+            "buckets on (band, sig)"
+        )
+    }
+
+  /** Append one batch's band rows to the bucketed store table, after a
+    * fail-loud layout check against the bucket count the caller's
+    * pipeline was built for ([[requireStoreBucketed]]). insertInto
+    * matches columns by POSITION, so the frame is projected to the
+    * table's (id, band, sig) order first — a caller-reordered frame
+    * would otherwise write sig values into the band column.
+    */
+  def appendToStoreBucketed(bandSigs: DataFrame, table: String, expectedBuckets: Int): Unit = {
+    requireStoreBucketed(bandSigs.sparkSession, table, expectedBuckets)
     bandSigs
       .select(col("id"), col("band"), col("sig"))
       .write
       .mode("append")
       .format("parquet")
       .insertInto(table)
+  }
 
   def readStoreTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table).select(col("id"), col("band"), col("sig"))
+
+  /** Compact the bucketed store in place: every [[appendToStoreBucketed]]
+    * writes `nBuckets` new files (one per bucket per batch), so a year of
+    * daily batches reads 365 small files per bucket. Rewriting the table
+    * through a staging table with the SAME bucket spec collapses each
+    * bucket to one file; the swap is drop + rename, and the bucket
+    * layout (and with it the no-reshuffle join plan) survives —
+    * BucketedStoreSpec pins files-per-bucket == 1, plan shape, and row
+    * equality after compaction.
+    */
+  def compactStoreBucketed(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalStateException(s"cannot compact '$table': not a bucketed table")
+    )
+    val oldPath = new org.apache.hadoop.fs.Path(meta.location)
+    val tmpTable = s"${table}__compact"
+    val tmpPath  = new org.apache.hadoop.fs.Path(
+      oldPath.getParent,
+      s"${oldPath.getName}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
+    )
+    // one sorted writer per bucket: repartition on the bucket keys with
+    // numPartitions == numBuckets so each task owns one output bucket.
+    // Read the FILES, not the table: reading via the catalog lets the
+    // planner elide this repartition (the bucketed scan claims to
+    // satisfy it) and then DisableUnnecessaryBucketedScan drops the
+    // bucketed read anyway — leaving arbitrary file splits and a
+    // tasks-x-buckets file explosion. A plain parquet scan forces the
+    // real shuffle, whose hash IS the bucket-id function, so each task
+    // holds exactly one output bucket.
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    spark.read
+      .parquet(oldPath.toString)
+      .select(col("id"), col("band"), col("sig"))
+      .repartition(spec.numBuckets, col("band"), col("sig"))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(spec.numBuckets, "band", "sig")
+      .sortBy("band", "sig")
+      .option("path", tmpPath.toString)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    val fs = oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldPath, true)
+    ()
+  }
 
   /** All near-dup candidate pairs INVOLVING the new batch:
     * within-batch LSH pairs UNION batch-vs-store band-join pairs,

@@ -83,7 +83,7 @@ class BucketedStoreSpec extends SparkSpec {
       .incrementalPairs(bands(b1), IncrementalDedup.readStoreTable(spark, table))
       .as[(Long, Long)].collect().toSet
     assert(p1.isEmpty) // novel content matches nothing yet
-    IncrementalDedup.appendToStoreBucketed(bands(b1), table)
+    IncrementalDedup.appendToStoreBucketed(bands(b1), table, expectedBuckets = 4)
 
     // post-append correctness must hold on the SORT-MERGE path too: if
     // insertInto silently broke the bucket layout, a bucketed-scan join
@@ -96,6 +96,87 @@ class BucketedStoreSpec extends SparkSpec {
       val p2 = appended.as[(Long, Long)].collect().toSet
       assert(p2 == Set((10L, 20L))) // b2 dups b1 via the store
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("append across bucket layouts fails loudly instead of degrading to a shuffle") {
+    val corpus = Seq((1L, "the quick brown fox jumps over dogs")).toDF("id", "text")
+    val b1     = Seq((10L, "fresh batch content with novel words")).toDF("id", "text")
+    val dir    = tempDir("bucketed-mismatch")
+    val table  = "graft_sig_store_mismatch_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = 8)
+
+    // a pipeline built for a different bucket count must be rejected
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.appendToStoreBucketed(bands(b1), table, expectedBuckets = 4)
+    }
+    assert(ex.getMessage.contains("bucket layout mismatch"))
+    // and nothing may have been written by the failed append
+    assert(IncrementalDedup.readStoreTable(spark, table)
+      .where(col("id") === 10L).count() == 0)
+
+    // an unbucketed table under the same API is equally loud
+    val flatTable = "graft_sig_store_flat_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $flatTable")
+    bands(corpus).write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/flat").saveAsTable(flatTable)
+    val ex2 = intercept[IllegalStateException] {
+      IncrementalDedup.appendToStoreBucketed(bands(b1), flatTable, expectedBuckets = 8)
+    }
+    assert(ex2.getMessage.contains("not bucketed"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $flatTable")
+  }
+
+  test("compaction collapses per-batch files to one per bucket and keeps the no-reshuffle plan") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely unrelated corpus document text")
+    ).toDF("id", "text")
+    val dir   = tempDir("bucketed-compact")
+    val table = "graft_sig_store_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val NB = 4
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = NB)
+    // three daily appends -> up to 4 files per bucket accumulate
+    for (i <- 1 to 3) {
+      val b = Seq((100L + i, s"daily batch number $i with its own words")).toDF("id", "text")
+      IncrementalDedup.appendToStoreBucketed(bands(b), table, expectedBuckets = NB)
+    }
+    val before = IncrementalDedup.readStoreTable(spark, table)
+      .as[(Long, Int, String)].collect().toSet
+
+    def dataFiles(t: String): Seq[java.io.File] = {
+      val loc = new java.io.File(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      loc.listFiles().toSeq.filter(f => f.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles(table).size > NB, "fixture must accumulate multiple files per bucket")
+
+    IncrementalDedup.compactStoreBucketed(spark, table)
+
+    // rows unchanged, one file per non-empty bucket, layout intact
+    val after = IncrementalDedup.readStoreTable(spark, table)
+      .as[(Long, Int, String)].collect().toSet
+    assert(after == before, "compaction changed the store contents")
+    assert(dataFiles(table).size <= NB, s"expected <= $NB files after compaction")
+    assert(IncrementalDedup.storeBucketSpec(spark, table).contains((NB, Seq("band", "sig"))))
+
+    // the no-reshuffle join plan survives the rewrite
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq((200L, "the quick brown fox jumps over dogs")).toDF("id", "text")
+      val plan = IncrementalDedup
+        .incrementalPairs(bands(probe), IncrementalDedup.readStoreTable(spark, table))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"compacted store scan not bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // a further append still passes the layout gate
+    IncrementalDedup.appendToStoreBucketed(
+      Seq((300L, "post compaction append works")).toDF("id", "text").transform(bands),
+      table, expectedBuckets = NB)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
