@@ -1,0 +1,198 @@
+package graft.jobs
+
+import graft.Tables
+import graft.conform.{Durations, SourcePipelines}
+import graft.queries.ConformQueries
+import graft.sinks.{AuditSink, SnapshotSink}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Orchestrated end-to-end run of the FULL reference operating mode —
+  * feed -> per-source conform -> CDC route -> SCD2 upsert -> audit — for
+  * all THREE sources against a pre-seeded snapshot
+  * (`ETL/CSV_Batch_Processing.py:337-393` and siblings; SURVEY §2.11).
+  *
+  * The oracle gate checks operators one at a time; this harness times
+  * and verifies the composed chain the reference actually runs in
+  * production. Two loads per source:
+  *
+  *   1. SEED: 80% of the keyspace (keys with k % 5 != 0) — builds the
+  *      active snapshot the real increment probes;
+  *   2. INCREMENT: the full keyspace, with keys k % 7 == 0 carrying a
+  *      mutated status (hash change -> UPDATE route), k % 5 == 0 new
+  *      (INSERT), and everything else byte-identical (DUPLICATE) — the
+  *      exact three-way route mix of a real day-2 load.
+  *
+  * Every count the summary emits is a deterministic function of the
+  * orders keyspace, so the driver's rows/schema check and JobMainSpec's
+  * audit-count assertions both pin it.
+  */
+object PipelineE2e {
+
+  private val SeedTs = "2024-01-01 00:00:00"
+  private val IncTs  = "2024-02-01 00:00:00"
+
+  /** CSV ("AT&T") feed synthesized from orders — the 13 raw columns of
+    * the reference feed; `variant` mutates CALL_STATUS for k % 7 == 0
+    * so load 2 routes those keys as UPDATEs.
+    */
+  private def csvFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val k = col("o_orderkey")
+    val status =
+      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
+        .otherwise(col("o_orderstatus"))
+    o.select(
+      k.cast("int").as("TICKET_IDENTIFIER"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_NAME"),
+      concat(date_format(col("o_orderdate"), "MMddyyyy"), lit("103000")).as("DATE_OF_CALL"),
+      status.as("CALL_STATUS"),
+      col("o_orderpriority").as("CALL_TYPE"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
+      (k % 100 + 1).cast("string").as("DURATION"),
+      (k % 37).cast("string").as("WORK_TIME"),
+      col("o_orderstatus").as("TICKET_STATUS"),
+      when(k % 2 === 0, "1").otherwise("0").as("RESOLVED_IN_FIRST_CONTACT"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("RESOLUTION_CATEGORY"),
+      when(k % 3 === 0, "BEST").when(k % 3 === 1, "GOOD").otherwise("BAD").as("RATING")
+    )
+  }
+
+  /** JSON ("AMAZON") feed — 13 columns, mutation on STATUS_OF_CUSTOMER_INCIDENT. */
+  private def jsonFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val k = col("o_orderkey")
+    val status =
+      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
+        .otherwise(col("o_orderstatus"))
+    o.select(
+      k.cast("int").as("INTERACTION_ID"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_PSEUDO_NAME"),
+      concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 10:30:00")).as("CONTACT_DATE"),
+      col("o_orderstatus").as("INTERACTION_STATUS"),
+      col("o_orderpriority").as("INTERACTION_TYPE"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
+      (k % 100 + 1).cast("int").as("INTERACTION_DURATION"),
+      (k % 100 + 1 + k % 37).cast("int").as("TOTAL_TIME"),
+      status.as("STATUS_OF_CUSTOMER_INCIDENT"),
+      when(k % 2 === 0, "yes").otherwise("NO").as("RESOLVED_IN_FIRST_CONTACT"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION_TYPE"),
+      (k % 10 + 1).cast("int").as("RATING")
+    )
+  }
+
+  /** XML ("UBER") feed — 14 columns, mutation on STATUS_OF_INTERACTION. */
+  private def xmlFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val k = col("o_orderkey")
+    val status =
+      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
+        .otherwise(col("o_orderstatus"))
+    o.select(
+      k.cast("int").as("SUPPORT_IDENTIFIER"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("CONTACT_REGARDING"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_CODE"),
+      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("DATE_OF_INTERACTION"),
+      status.as("STATUS_OF_INTERACTION"),
+      col("o_orderpriority").as("TYPE_OF_INTERACTION"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("CUSTOMER_TYPE"),
+      Durations.secondsToHms(k % 7200 + 30).as("CONTACT_DURATION"),
+      Durations.secondsToHms(k % 3600).as("AFTER_CONTACT_WORK_TIME"),
+      col("o_orderstatus").as("INCIDENT_STATUS"),
+      when(k % 2 === 0, "true").otherwise("FALSE").as("FIRST_CONTACT_RESOLUTION"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION"),
+      ((k % 5) + 1).cast("string").as("RATING"),
+      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("TIME_STAMP")
+    )
+  }
+
+  private def dims(s: SparkSession): SourcePipelines.Dims = {
+    import s.implicits._
+    SourcePipelines.Dims(
+      agents = ConformQueries.Agents.toDF("PSEUDO_CODE", "AGENT_ID"),
+      supportAreas = ConformQueries.Areas.toDF("SUPPORT_AREA_NAME", "SUPPORT_AREA_ID"),
+      customerTypes = ConformQueries.CustTypes.toDF("CUSTOMER_TYPE_NAME", "CUSTOMER_TYPE_ID")
+    )
+  }
+
+  /** Route + SCD2 upsert + audit — the shared job tail
+    * ([[JobEnv.loadIncrement]] without the config plumbing).
+    */
+  private def loadTail(
+      spark: SparkSession,
+      martDir: String,
+      auditDir: String,
+      conformed: DataFrame,
+      dataLoadId: Long,
+      ts: String
+  ): graft.sinks.AuditCounts = {
+    val snapshot = SnapshotSink.readSnapshot(
+      spark,
+      martDir,
+      StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
+    )
+    val routed = BatchPipeline.route(conformed, snapshot)
+    val counts = SnapshotSink.upsert(
+      spark, martDir, routed, BatchPipeline.SsiCol,
+      lit(ts), lit("2099-12-31 00:00:00"), validCol = Some("IS_VALID_DATA"))
+    AuditSink.record(spark, auditDir, dataLoadId, s"e2e_$dataLoadId", "SUCCESS", ts, ts, counts)
+    counts
+  }
+
+  /** Run seed + increment for all three sources under `workDir`;
+    * returns the 3-row summary (source, seed/increment audit counts,
+    * post-increment active and total mart rows).
+    */
+  def run(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+    val d = dims(spark)
+
+    val sources: Seq[(String, Int => DataFrame, DataFrame => DataFrame, DataFrame => DataFrame)] =
+      Seq(
+        ("csv",
+          (v: Int) => csvFeed(spark, dir, v),
+          (f: DataFrame) => SourcePipelines.conformCsv(f, d, 1, 1001L, SeedTs,
+            Seq(col("DATE_OF_CALL").desc)),
+          (f: DataFrame) => SourcePipelines.conformCsv(f, d, 1, 1002L, IncTs,
+            Seq(col("DATE_OF_CALL").desc))),
+        ("json",
+          (v: Int) => jsonFeed(spark, dir, v),
+          (f: DataFrame) => SourcePipelines.conformJson(f, d, 2, 2001L, SeedTs,
+            Seq(col("CONTACT_DATE").desc)),
+          (f: DataFrame) => SourcePipelines.conformJson(f, d, 2, 2002L, IncTs,
+            Seq(col("CONTACT_DATE").desc))),
+        ("xml",
+          (v: Int) => xmlFeed(spark, dir, v),
+          (f: DataFrame) => SourcePipelines.conformXml(f, d, 3, 3001L, SeedTs,
+            Seq(col("DATE_OF_INTERACTION").desc)),
+          (f: DataFrame) => SourcePipelines.conformXml(f, d, 3, 3002L, IncTs,
+            Seq(col("DATE_OF_INTERACTION").desc)))
+      )
+
+    val rows = sources.map { case (name, feed, conformSeed, conformInc) =>
+      val mart  = s"$workDir/$name/mart"
+      val audit = s"$workDir/$name/audit"
+      val keyCol = name match {
+        case "csv"  => "TICKET_IDENTIFIER"
+        case "json" => "INTERACTION_ID"
+        case _      => "SUPPORT_IDENTIFIER"
+      }
+      val seed = loadTail(spark, mart, audit,
+        conformSeed(feed(1).where(col(keyCol) % 5 =!= 0)), 1L, SeedTs)
+      val inc  = loadTail(spark, mart, audit, conformInc(feed(2)), 2L, IncTs)
+      // one aggregation pass for both post-increment mart counts
+      val stat = spark.read.parquet(mart)
+        .agg(
+          count(lit(1)).as("total"),
+          coalesce(sum(when(col("ACTIVE_FLAG") === 1, 1L).otherwise(0L)), lit(0L)).as("actives"))
+        .head()
+      (name, seed.total, inc.total, inc.valid, stat.getLong(1), stat.getLong(0))
+    }
+    rows.toDF("source", "seed_rows", "inc_rows", "inc_valid", "active_rows", "mart_rows")
+  }
+}

@@ -101,6 +101,41 @@ class JobMainSpec extends SparkSpec {
     assert(audits.toSeq == Seq((1001L, 2L, 2L, 1000L), (1002L, 2L, 2L, 1000L)))
   }
 
+  test("pipeline_e2e harness at sf0.1: audit counts are exact keyspace functions for all 3 sources") {
+    val dir  = "/root/testdata/sf0.1"
+    val work = tempDir("graft_e2e_spec")
+    val out = graft.jobs.PipelineE2e
+      .run(spark, dir, work)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(out.keySet == Set("csv", "json", "xml"))
+
+    // every emitted count is a pure function of the orders keyspace:
+    // seed = keys with k%5 != 0; increment = all keys with k%7 == 0
+    // mutated (UPDATE), k%5 == 0 new (INSERT), the rest DUPLICATE
+    val k     = col("o_orderkey")
+    val keys  = spark.read.parquet(s"$dir/orders.parquet").select(k).distinct()
+    val n     = keys.count()
+    val nSeed = keys.where(k % 5 =!= 0).count()
+    val nUpd  = keys.where(k % 7 === 0 && k % 5 =!= 0).count()
+    // the audit counts the LOADED batch — inserts + updates, duplicates
+    // dropped (the reference's TOTAL_UPSERT_COUNT semantics)
+    val nLoaded = (n - nSeed) + nUpd
+    for (src <- Seq("csv", "json", "xml")) {
+      val r = out(src)
+      assert(r.getLong(1) == nSeed, s"$src seed_rows: ${r.getLong(1)} != $nSeed")
+      assert(r.getLong(2) == nLoaded,
+        s"$src inc_rows (inserts+updates): ${r.getLong(2)} != $nLoaded")
+      assert(r.getLong(3) == nLoaded, s"$src inc_valid: every synthesized row is valid")
+      assert(r.getLong(4) == n, s"$src active_rows: one active version per key")
+      assert(r.getLong(5) == n + nUpd,
+        s"$src mart_rows: actives plus the closed-out versions of updated keys")
+      // the audit sink recorded both loads
+      assert(AuditSink.read(spark, s"$work/$src/audit").count() == 2)
+    }
+  }
+
   test("partitioned mart layout: mart.partitionBy lays out hive dirs, reads stay correct") {
     val dir = tempDir("graft_job_part")
     writeDims(s"$dir/dims")
