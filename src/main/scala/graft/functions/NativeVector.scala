@@ -312,6 +312,33 @@ object GraftExtensions {
           vocabLit(children(2), "contVocab")
         )
       }
+    ),
+    (
+      FunctionIdentifier("graft_bpe_counts"),
+      new ExpressionInfo(classOf[BpeCounts].getName, "graft_bpe_counts"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 2,
+          s"graft_bpe_counts expects (words, merges), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        // merges ride as one string literal: pairs joined by '\n',
+        // the two symbols of a pair by '\t' (whitespace-tokenized
+        // corpora can never produce symbols containing either)
+        val merges = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+              val parts = line.split("\t", -1)
+              require(parts.length == 2, s"malformed merge rule '$line'")
+              (parts(0), parts(1))
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_bpe_counts merges must be a string literal, got $other"
+            )
+        }
+        BpeCounts(children.head, merges)
+      }
     )
   )
 }

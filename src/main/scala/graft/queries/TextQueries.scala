@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -776,6 +776,72 @@ object TextQueries {
              |    sum(a.n_subtok) OVER (PARTITION BY d.lang ORDER BY d.doc_id
              |      ROWS UNBOUNDED PRECEDING) - a.n_subtok AS start_tok
              |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id)""".stripMargin)
+    ),
+
+    // ---- CORPUS-LEARNED BPE tokenization (Sennrich et al. 2016): the
+    //      learning half of the subword story — merges trained from the
+    //      corpus by the distributed-count + weighted-merge trainer
+    //      (Bpe.train, shipped as the BpeMerges artifact; BpeSpec
+    //      retrains live and pins exact equality). The oracle applies
+    //      the SAME ranked merges as a recursive replace() chain over
+    //      <>-wrapped symbols (one replace per rank IS the left-to-
+    //      right non-overlapping pass — a completed pass cannot create
+    //      a new adjacency for its own rule). ----
+    Q(
+      "text_bpe_stats",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+          .withColumn(
+            "__bpe",
+            call_function(
+              "graft_bpe_counts",
+              col("__toks"),
+              lit(BpeMerges.merges.map { case (x, y) => s"$x\t$y" }.mkString("\n"))
+            )
+          )
+          .select(
+            col("doc_id"),
+            size(col("__toks")).as("n_words"),
+            element_at(col("__bpe"), 1).as("n_pieces"),
+            element_at(col("__bpe"), 2).as("n_multi"),
+            element_at(col("__bpe"), 3).as("max_piece_len")
+          ),
+      Some {
+        val mvals = BpeMerges.merges.zipWithIndex
+          .map { case ((x, y), i) => s"(${i + 1}, '<$x><$y>', '<$x$y>')" }
+          .mkString(", ")
+        val k = BpeMerges.merges.size
+        s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $mvals),
+           |words AS (
+           |  SELECT doc_id, t.w
+           |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t),
+           |dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
+           |wrapped AS (SELECT w, '<' || array_to_string(string_split_regex(w, ''), '><') || '>' AS s
+           |            FROM dw),
+           |step(w, rank, s) AS (
+           |  SELECT w, 1, s FROM wrapped
+           |  UNION ALL
+           |  SELECT st.w, st.rank + 1, replace(st.s, m.pat, m.rep)
+           |  FROM step st JOIN merges m ON m.rank = st.rank
+           |  WHERE st.rank <= $k),
+           |toks AS (SELECT w, regexp_extract_all(s, '<([^>]+)>', 1) AS ts
+           |         FROM step WHERE rank = $k + 1),
+           |wc AS (SELECT w, len(ts) AS np,
+           |              len(list_filter(ts, t -> len(t) > 1)) AS nm,
+           |              COALESCE(list_max(list_transform(ts, t -> len(t))), 0) AS ml
+           |       FROM toks),
+           |agg AS (SELECT wo.doc_id,
+           |          CAST(COALESCE(sum(c.np), 0) AS INT) AS n_pieces,
+           |          CAST(COALESCE(sum(c.nm), 0) AS INT) AS n_multi,
+           |          CAST(COALESCE(max(c.ml), 0) AS INT) AS max_piece_len
+           |        FROM words wo LEFT JOIN wc c ON c.w = wo.w GROUP BY 1)
+           |SELECT d.doc_id,
+           |       CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+           |       a.n_pieces, a.n_multi, a.max_piece_len
+           |FROM documents d JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+      }
     ),
 
     // ---- repetition statistics (the Gopher-style quality filters:
