@@ -71,4 +71,27 @@ object Contamination {
         ).otherwise(0)
       )
   }
+
+  /** The REMOVAL half: `docs` with contaminated documents filtered out —
+    * the anti-join a training pipeline actually runs after the report.
+    * Documents too short to shingle (< n tokens) cannot be contaminated
+    * and are KEPT (they never enter the overlap computation). The
+    * contaminated-id side is a left-anti join: typically a tiny
+    * fraction of the corpus, so AQE broadcasts it; the corpus side
+    * streams through untouched either way.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      text: Column,
+      refDocs: DataFrame,
+      refText: Column,
+      n: Int,
+      threshMil: Int
+  ): DataFrame = {
+    val contaminatedIds = ngramOverlap(docs, idCol, text, refDocs, refText, n, threshMil)
+      .where(col("contaminated") === 1)
+      .select(col("id").as("__contam_id"))
+    docs.join(contaminatedIds, docs(idCol) === col("__contam_id"), "left_anti")
+  }
 }

@@ -522,6 +522,49 @@ object TextQueries {
              |FROM m""".stripMargin)
     ),
 
+    // ---- decontamination REMOVAL: the anti-join the pipeline actually
+    //      runs after the overlap report — corpus minus contaminated
+    //      docs; too-short docs (no shingles) survive by definition ----
+    Q(
+      "contamination_filtered",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        Contamination
+          .decontaminate(
+            all.where(col("doc_id") % 10 =!= 0).repartition(s.sparkContext.defaultParallelism),
+            "doc_id",
+            col("text"),
+            all.where(col("doc_id") % 10 === 0),
+            col("text"),
+            n = 3,
+            threshMil = 500
+          )
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      },
+      Some("""WITH ct AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 3),
+             |csh AS (
+             |  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+             |  FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
+             |rt AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+             |rsh AS (
+             |  SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+             |  FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
+             |contam AS (
+             |  SELECT doc_id FROM (
+             |    SELECT c.doc_id, count(*) AS n_shingles, count(r.s) AS n_overlap
+             |    FROM csh c LEFT JOIN rsh r ON c.s = r.s
+             |    GROUP BY c.doc_id)
+             |  WHERE n_overlap * 1000 >= 500 * n_shingles)
+             |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+             |FROM documents d
+             |WHERE d.doc_id % 10 != 0
+             |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)
+    ),
+
     // ---- MinHash Jaccard estimation over LSH candidates (signature
     //      agreement fraction — the cheap scorer when exact verify is
     //      too expensive; unbiased estimator of true Jaccard) ----

@@ -124,6 +124,13 @@ class ApproxDedupSpec extends SparkSpec {
       .collect()
       .sortBy(_._1)
     assert(got.toSeq == Seq((1L, 3, 2, 1), (2L, 3, 0, 0)))
+
+    // removal half: contaminated doc 1 dropped; clean doc 2 AND the
+    // too-short doc 3 (no shingles, cannot be contaminated) survive
+    val kept = graft.operators.Contamination
+      .decontaminate(corpus, "id", col("text"), ref, col("text"), n = 3, threshMil = 500)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
   }
 
   test("ngramJaccardPairs: exact jaccard on shared-shingle candidates") {
