@@ -154,5 +154,12 @@ object TextFunctions {
     * the 60-bit md5-prefix construction ([[Fingerprint.hexToLong]]).
     */
   def splitBucket(id: Column, nBuckets: Int, salt: String): Column =
-    pmod(Fingerprint.hexToLong(md5(concat(lit(s"$salt:"), id.cast("string")))), lit(nBuckets.toLong))
+    pmod(splitHash(id, salt), lit(nBuckets.toLong))
+
+  /** The raw 60-bit salted id hash behind [[splitBucket]] — exposed for
+    * callers that need the full hash (e.g. shuffle-order ranks), not
+    * just a bucket.
+    */
+  def splitHash(id: Column, salt: String): Column =
+    Fingerprint.hexToLong(md5(concat(lit(s"$salt:"), id.cast("string"))))
 }

@@ -46,4 +46,39 @@ object Curation {
       }
     df.where(TextFunctions.splitBucket(col(idCol), RateDenominator, salt) < rate)
   }
+
+  /** Deterministic corpus SHUFFLE assignment — the standard way to
+    * randomize 100 TB of training data: give every row a pseudorandom
+    * but reproducible position (shard, pos_in_shard) derived from a
+    * salted md5 of its id, instead of any RNG.
+    *
+    *   - `shard` = salted-hash bucket (pure map stage, no shuffle):
+    *     rows scatter uniformly across `nShards` output streams;
+    *   - `pos_in_shard` = rank of the row's hash inside its shard (one
+    *     window shuffle on shard) — reading each shard in pos order
+    *     yields a uniformly shuffled stream.
+    *
+    * Scale shape: per-shard windows sort in parallel (pick nShards ≥
+    * cluster parallelism); no global total order exists to funnel
+    * through one task. Same id + same salt → same position on any
+    * engine, rerun, or cluster size; a new `salt` is an independent
+    * reshuffle (epoch 2 of training). Hash ties (astronomically rare)
+    * break by id, so the order is total and engine-portable.
+    */
+  def shuffleAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = TextFunctions.splitHash(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

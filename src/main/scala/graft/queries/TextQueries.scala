@@ -711,6 +711,30 @@ object TextQueries {
              |      FROM documents)""".stripMargin)
     ),
 
+    // ---- deterministic corpus shuffle: reproducible pseudorandom
+    //      (shard, pos) per row from a salted md5 — the RNG-free way to
+    //      randomize training order; per-shard windows rank in parallel,
+    //      a new salt is an independent epoch reshuffle ----
+    Q(
+      "corpus_shuffle_assign",
+      (s, dir) =>
+        Curation
+          .shuffleAssign(
+            Tables.documents(s, dir).select(col("doc_id")),
+            idCol = "doc_id",
+            nShards = 8,
+            salt = "shuffle-v1"
+          )
+          .select(col("doc_id"), col("shard"), col("pos_in_shard")),
+      Some("""SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+             |    AS pos_in_shard
+             |FROM (SELECT doc_id,
+             |        CAST('0x' || substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+             |        CAST(CAST('0x' || substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS INT) AS shard
+             |      FROM documents)""".stripMargin)
+    ),
+
     // ---- training-sequence packing (concat-then-chunk metadata):
     //      per-language streams pack in parallel, one running-sum
     //      window each; assignments are stable under re-runs ----

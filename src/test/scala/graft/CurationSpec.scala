@@ -43,6 +43,30 @@ class CurationSpec extends SparkSpec {
     assert(other != a)
   }
 
+  test("shuffleAssign: total reproducible order, uniform shards, salt = new epoch") {
+    val n = 200L
+    val docs2 = spark.range(n).toDF("id")
+    val a = Curation.shuffleAssign(docs2, "id", nShards = 4, salt = "ep-1")
+      .select("id", "shard", "pos_in_shard")
+      .as[(Long, Int, Long)].collect()
+    // every row placed exactly once; positions within a shard are 1..k
+    assert(a.length == n)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // shards are roughly uniform (md5 on 200 ids: no shard empty or >2x mean)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    assert(sizes.values.forall(s => s > 20 && s < 100), s"skewed shards: $sizes")
+    // deterministic: identical rerun; different salt reorders
+    val b = Curation.shuffleAssign(docs2, "id", 4, "ep-1")
+      .select("id", "shard", "pos_in_shard").as[(Long, Int, Long)].collect()
+    assert(b.sortBy(_._1).toSeq == a.sortBy(_._1).toSeq)
+    val c = Curation.shuffleAssign(docs2, "id", 4, "ep-2")
+      .select("id", "shard", "pos_in_shard").as[(Long, Int, Long)].collect()
+    assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+  }
+
   test("rate 0 drops a stratum entirely; rate 1000 keeps it entirely") {
     val kept = Curation
       .stratifiedSample(docs, "id", "lang", Map("en" -> 0, "de" -> 1000), 0, "t-v1")
