@@ -54,7 +54,12 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      // never fail the bench for the backstop, but never fail SILENTLY
+      // either — a cwd without tools/ would otherwise disable the
+      // truncation insurance with no trace
+      case e: Throwable => System.err.println(s"[bench] result file backstop failed: $e")
+    }
     // stop Spark FIRST so its shutdown logging cannot land after the result
     // line — the driver tail-captures stdout and must see this line last
     spark.stop()

@@ -37,6 +37,15 @@ case class BpeCounts(
 
   @transient private lazy val rules: Array[(String, String)] = merges.toArray
 
+  // per-distinct-word memo: corpora are Zipf-distributed, so the same few
+  // thousand words repeat millions of times per partition — cache the
+  // 24-pass merge result per word (the same distinct-word trick the
+  // oracle's dw CTE and the trainer's weighted vocab use). Capped so a
+  // pathological all-unique corpus cannot grow the map unboundedly.
+  // Expressions deserialize per task, so the map is single-threaded.
+  private val CacheCap = 1 << 16
+  @transient private lazy val memo = new java.util.HashMap[String, Array[Int]]()
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -62,20 +71,29 @@ case class BpeCounts(
       if (!arr.isNullAt(wi)) {
         val w = arr.getUTF8String(wi).toString
         if (w.nonEmpty) {
-          var syms: Array[String] = w.map(_.toString).toArray
-          var r = 0
-          while (r < rules.length) {
-            syms = graft.operators.Bpe.applyMerge(syms, rules(r))
-            r += 1
+          var counts = memo.get(w)
+          if (counts == null) {
+            var syms: Array[String] = w.map(_.toString).toArray
+            var r = 0
+            while (r < rules.length) {
+              syms = graft.operators.Bpe.applyMerge(syms, rules(r))
+              r += 1
+            }
+            var m = 0
+            var ml = 0
+            var i = 0
+            while (i < syms.length) {
+              val len = syms(i).length
+              if (len > 1) m += 1
+              if (len > ml) ml = len
+              i += 1
+            }
+            counts = Array(syms.length, m, ml)
+            if (memo.size < CacheCap) memo.put(w, counts)
           }
-          pieces += syms.length
-          var i = 0
-          while (i < syms.length) {
-            val len = syms(i).length
-            if (len > 1) multi += 1
-            if (len > maxLen) maxLen = len
-            i += 1
-          }
+          pieces += counts(0)
+          multi += counts(1)
+          if (counts(2) > maxLen) maxLen = counts(2)
         }
       }
       wi += 1

@@ -105,6 +105,10 @@ object Multimodal {
         p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a
 
     def decode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+      // BOTH paths map corrupt/undecodable payloads to None — ImageIO.read
+      // returns null for unrecognized bytes but THROWS for recognized-but-
+      // truncated ones, and the two paths must present one contract
+      // ("undecodable payloads are dropped, as a decoder would skip them")
       val img =
         if (isPng(payload) && pngReader.isDefined) {
           val r = pngReader.get
@@ -114,7 +118,10 @@ object Multimodal {
             r.setInput(in, true, true)
             r.read(0)
           } catch { case _: Exception => null } finally in.close()
-        } else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } else {
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        }
       if (img == null) None else Some(luminanceOf(img))
     }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Point-in-time (as-of) join: each event row is enriched with the
   * version row that was ACTIVE at the event's timestamp — the natural
@@ -123,8 +123,6 @@ object AsOfJoin {
     require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
     val epType = StructType(events.schema.fields)
     val vpType = StructType(versions.schema.fields.filter(f => vPayloadCols.contains(f.name)))
-    val tsType = versions.schema(versions.schema.fieldIndex(vTsCol)).dataType
-    val lastType = StructType(Seq(StructField("t", tsType), StructField("p", vpType)))
 
     def bucketOf(ts: Column): Column =
       floor(ts.cast("timestamp").cast("double") / bucketSeconds.toDouble).cast("long")
@@ -148,18 +146,22 @@ object AsOfJoin {
       )
       .withColumn("__b", bucketOf(col("__ts")))
 
-    // last version per (key, bucket): (ts, payload) struct max orders by
-    // ts first; (key, ts) uniqueness makes the max unambiguous
+    // last version per (key, bucket): max_by orders by ts ALONE, so the
+    // payload struct never needs to be orderable (maps etc. stay legal,
+    // exactly as in [[enrich]]); (key, ts) uniqueness makes it unambiguous
     val perBucketLast = v
       .groupBy(col("__k"), col("__b"))
-      .agg(max(struct(col("__ts").as("t"), col("__vp").as("p"))).as("__last"))
+      .agg(max_by(col("__vp"), col("__ts")).as("__last"))
     val evBuckets = e
       .select(col("__k"), col("__b"))
       .distinct()
-      .withColumn("__last", lit(null).cast(lastType))
+      .withColumn("__last", lit(null).cast(vpType))
     // carry-in = most recent version from strictly earlier buckets; the
     // frame is ONE row per (key, bucket), so the per-key window is
-    // bounded by the bucket count, never by the hot key's row count
+    // bounded by the bucket count, never by the hot key's row count.
+    // The combine sees at most one non-null __last per (key, bucket)
+    // (versions side is already grouped), so first(ignoreNulls) is
+    // deterministic.
     val wc = Window
       .partitionBy(col("__k"))
       .orderBy(col("__b"))
@@ -167,9 +169,9 @@ object AsOfJoin {
     val carry = perBucketLast
       .unionByName(evBuckets)
       .groupBy(col("__k"), col("__b"))
-      .agg(max(col("__last")).as("__last"))
-      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wc))
-      .select(col("__k"), col("__b"), col("__carry.p").as("__carryp"))
+      .agg(first(col("__last"), ignoreNulls = true).as("__last"))
+      .withColumn("__carryp", last(col("__last"), ignoreNulls = true).over(wc))
+      .select(col("__k"), col("__b"), col("__carryp"))
 
     val w = Window
       .partitionBy(col("__k"), col("__b"))

@@ -45,9 +45,10 @@ object Bm25 {
       .select(col(idCol).as("id"), TextFunctions.tokens(text).as("__toks"))
       .withColumn("dl", size(col("__toks")))
 
-    // coalesce keeps the stats row well-defined on an empty corpus
-    // (sum over zero rows is NULL; avgdl would otherwise poison scores
-    // if a caller ever joined these stats against a non-empty frame)
+    // keep the stats row well-defined on an empty corpus: sum over zero
+    // rows is NULL (coalesced here), and the avgdl denominator below
+    // guards n=0 — a caller joining empty-corpus stats against a
+    // non-empty frame gets finite scores, not NULL/NaN poison
     val statCols =
       count(lit(1)).cast("double").as("n") +:
         coalesce(sum(col("dl")), lit(0L)).cast("double").as("sumdl") +:
@@ -67,8 +68,12 @@ object Bm25 {
     // one term's contribution; operation order mirrored verbatim in SQL
     def term(i: Int): Column = {
       val idf = log(lit(1.0) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      // avgdl guards n=0 (empty-corpus stats joined externally): the
+      // branch is never taken on a non-empty corpus, so the evaluated
+      // arithmetic — and the oracle mirror — is unchanged there
+      val avgdl = when(col("n") === 0.0, lit(1.0)).otherwise(col("sumdl") / col("n"))
       val norm = col(s"tf$i") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / (col("sumdl") / col("n")))
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
       idf * (col(s"tf$i") * lit(k1 + 1.0)) / norm
     }
     val score = terms.indices.map(term).reduce(_ + _)

@@ -190,9 +190,14 @@ object IncrementalDedup {
     )
     val oldPath = new org.apache.hadoop.fs.Path(meta.location)
     val tmpTable = s"${table}__compact"
-    val tmpPath  = new org.apache.hadoop.fs.Path(
+    // derive the staging location from the STABLE base name (strip any
+    // prior compaction suffix) — deriving from the current location would
+    // stack a suffix per compaction until the path segment overflows the
+    // filesystem's name limit
+    val baseName = oldPath.getName.replaceAll("__compact_[0-9a-f]{8}$", "")
+    val tmpPath = new org.apache.hadoop.fs.Path(
       oldPath.getParent,
-      s"${oldPath.getName}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
+      s"${baseName}__compact_${java.util.UUID.randomUUID().toString.take(8)}"
     )
     // one sorted writer per bucket: repartition on the bucket keys with
     // numPartitions == numBuckets so each task owns one output bucket.
@@ -215,8 +220,17 @@ object IncrementalDedup {
       .sortBy("band", "sig")
       .option("path", tmpPath.toString)
       .saveAsTable(tmpTable)
-    spark.sql(s"DROP TABLE $table")
+    // catalog swaps have no atomic rename-over, so order the two renames
+    // rename-ASIDE first (mirroring SnapshotSink's .bak discipline):
+    // every crash point leaves both the old data (as <table>__old or the
+    // original name) and the compacted data (as the staging table)
+    // catalog-registered and recoverable by a rename — nothing is
+    // dropped until the new table is in place under the real name
+    val asideTable = s"${table}__old"
+    spark.sql(s"DROP TABLE IF EXISTS $asideTable")
+    spark.sql(s"ALTER TABLE $table RENAME TO $asideTable")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    spark.sql(s"DROP TABLE $asideTable")
     val fs = oldPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldPath, true)
     ()

@@ -17,8 +17,8 @@ object PipelineQueries {
     Q(
       "pipeline_e2e",
       (s, dir) => {
-        val work = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_${s.sparkContext.applicationId}/" +
-          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // per-application workspace with age-based GC of prior runs
+        val work = TmpWorkspace.scoped(s, "graft_e2e", dir)
         PipelineE2e.run(s, dir, work)
       },
       None

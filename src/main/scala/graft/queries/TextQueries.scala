@@ -435,10 +435,9 @@ object TextQueries {
         // batch = every 5th doc (the "new" 20%); corpus = the rest
         val corpus = docs.where(col("doc_id") % 5 =!= 0)
         val batch  = docs.where(col("doc_id") % 5 === 0)
-        // namespaced by applicationId so concurrent harness processes
-        // benchmarking the same data dir cannot race on one store path
-        val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_${s.sparkContext.applicationId}/" +
-          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        // namespaced by applicationId (no cross-process races) with
+        // age-based GC of prior runs' leftovers (no unbounded tmp leak)
+        val store = TmpWorkspace.scoped(s, "graft_sigstore", dir)
         val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(store), true) // fresh, deterministic store
         IncrementalDedup.writeStore(
@@ -876,8 +875,19 @@ object TextQueries {
             element_at(col("__bpe"), 3).as("max_piece_len")
           ),
       Some {
+        // learned symbols come from the corpus, so guard the oracle's
+        // encoding invariants loudly: '<'/'>' would corrupt the wrapped-
+        // symbol representation, quotes the SQL literal. (The kernel
+        // itself has no such restriction — only this oracle encoding.)
+        require(
+          BpeMerges.merges.forall { case (x, y) =>
+            !(x + y).exists(c => c == '<' || c == '>')
+          },
+          "BPE oracle wrapped-symbol encoding cannot represent '<' or '>' in merge symbols"
+        )
+        def esc(s: String) = s.replace("'", "''")
         val mvals = BpeMerges.merges.zipWithIndex
-          .map { case ((x, y), i) => s"(${i + 1}, '<$x><$y>', '<$x$y>')" }
+          .map { case ((x, y), i) => s"(${i + 1}, '<${esc(x)}><${esc(y)}>', '<${esc(x + y)}>')" }
           .mkString(", ")
         val k = BpeMerges.merges.size
         s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $mvals),

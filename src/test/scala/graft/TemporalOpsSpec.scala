@@ -80,9 +80,18 @@ class TemporalOpsSpec extends SparkSpec {
     val ev = Tables.events(spark, Sf)
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("user_id", when(col("event_id") % 4 =!= 0, lit(7L)).otherwise(col("user_id")))
+    // deterministic (key, ts) dedup — dropDuplicates picks an arbitrary
+    // row and the frame is evaluated once per collect below, so a
+    // nondeterministic pick could legitimately differ between the two
+    // jobs and fail the equality spuriously
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
     val vers = spark.read.parquet(s"$Sf/orders.parquet")
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
-      .dropDuplicates("o_custkey", "o_orderdate")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(dw))
+      .where(col("__rn") === 1)
+      .drop("__rn")
     val plainHot = AsOfJoin
       .enrich(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
       .select("event_id", "o_orderkey").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
