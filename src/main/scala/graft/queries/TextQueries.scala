@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -519,6 +519,37 @@ object TextQueries {
              |  CAST(CASE WHEN n_overlap * 1000 >= 500 * n_shingles
              |       THEN 1 ELSE 0 END AS INT) AS contaminated
              |FROM m""".stripMargin)
+    ),
+
+    // ---- exact substring-level dedup (Lee et al. 2022): repeated
+    //      token SPANS corpus-wide — the memorization risk doc-level
+    //      dedup cannot see. Window hashes from the native kernel;
+    //      oracle re-derives with exact span strings (same accepted
+    //      ~2^-64 collision risk as the jaccard path). ----
+    Q(
+      "dedup_repeated_spans",
+      (s, dir) =>
+        SubstringDedup
+          .repeatedSpans(
+            Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+            "doc_id",
+            col("text"),
+            n = 8
+          )
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH dt AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 8),
+             |w AS (
+             |  SELECT doc_id, array_to_string(t[u.i : u.i + 7], ' ') AS s
+             |  FROM dt, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+             |c AS (SELECT s, count(*) AS mult FROM w GROUP BY s HAVING count(*) > 1)
+             |SELECT w.doc_id,
+             |  CAST(count(*) AS INT) AS n_windows,
+             |  CAST(sum(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_dup_windows,
+             |  CAST(coalesce(max(c.mult), 1) AS BIGINT) AS max_multiplicity
+             |FROM w LEFT JOIN c ON c.s = w.s
+             |GROUP BY w.doc_id""".stripMargin)
     ),
 
     // ---- decontamination REMOVAL: the anti-join the pipeline actually

@@ -133,6 +133,29 @@ class ApproxDedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("repeatedSpans: span-level dup counts, cross-doc and within-doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),     // 6 windows of 4; shares "a b c d" with doc 2
+      (2L, "x a b c d y z w"),       // 5 windows
+      (3L, "p p q p p q p p q p p"), // within-doc repetition: "p p q p" x2 etc.
+      (4L, "q r s")                  // too short, excluded
+    ).toDF("id", "text")
+    val got = graft.operators.SubstringDedup
+      .repeatedSpans(docs, "id", col("text"), n = 4)
+      .as[(Long, Int, Int, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) == ((6, 1, 2L)))
+    assert(got(2L) == ((5, 1, 2L)))
+    // doc 3 windows: ppqp, pqpp, qppq, ppqp, pqpp, qppq, ppqp, pqp p? ->
+    // 8 windows; "p p q p" x3, "p q p p" x2, "q p p q" x2, last "q p p" ...
+    // exact: tokens p p q p p q p p q p p -> windows at 1..8:
+    // ppqp pqpp qppq ppqp pqpp qppq ppqp pqpp -> ppqp x3, pqpp x3, qppq x2
+    assert(got(3L) == ((8, 8, 3L)))
+    assert(!got.contains(4L))
+  }
+
   test("ngramJaccardPairs: exact jaccard on shared-shingle candidates") {
     val df = Seq(
       (1L, "a b c d"), // shingles {abc, bcd}
