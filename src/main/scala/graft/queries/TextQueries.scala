@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, PqResidualCodebooks, Similarity, SubstringDedup}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -140,11 +140,11 @@ object TextQueries {
   // precomputed per (distinct word, position) OUTSIDE the recursion
   // (DuckDB bans non-inner joins/aggregates in the recursive member),
   // then the recursion walks each word with a plain inner join
-  private def subwordTermSql: String =
+  private def subwordTermSql(source: String = "documents"): String =
     s"""vocab(raw, cont) AS (VALUES $subwordVocabSql),
        |words AS (
        |  SELECT doc_id, t.w
-       |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t),
+       |  FROM $source, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t),
        |dw AS (SELECT DISTINCT w FROM words),
        |pos AS (SELECT w, CAST(p AS INT) AS pos
        |        FROM dw, LATERAL unnest(generate_series(1, len(w))) AS g(p)),
@@ -521,6 +521,100 @@ object TextQueries {
              |FROM m""".stripMargin)
     ),
 
+    // ---- the COMPOSED training-data prep chain (the LLM-data twin of
+    //      pipeline_e2e, but fully SQL-expressible): quality/lang gate ->
+    //      exact dedup survivor election -> decontamination -> train
+    //      split -> reproducible shuffle -> subword-metered packing.
+    //      The oracle chains the SAME CTE fragments its component
+    //      queries verify individually. ----
+    Q(
+      "corpus_prep_e2e",
+      (s, dir) => {
+        val all = Tables.documents(s, dir)
+        CorpusPrep
+          .prepare(
+            docs = all.where(col("doc_id") % 10 =!= 0).repartition(s.sparkContext.defaultParallelism),
+            idCol = "doc_id",
+            textCol = "text",
+            langCol = "lang",
+            refDocs = all.where(col("doc_id") % 10 === 0),
+            refTextCol = "text",
+            minQuality = 40,
+            contamN = 3,
+            contamThreshMil = 500,
+            splitSalt = "prep-v1",
+            trainPermille = 900,
+            nShards = 8,
+            shuffleSalt = "prep-v1",
+            startVocab = SubwordStartPieces,
+            contVocab = SubwordContPieces,
+            packBudget = 1024
+          )
+          .drop("text")
+      },
+      Some {
+        val hitExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          val cond = ms.map(m => s"x = '$m'").mkString(" OR ")
+          s"CAST(len(list_filter(string_split(text, ' '), x -> $cond)) AS INT) AS h_$lang"
+        }
+        val langs = TextFunctions.LangMarkers.map(_._1)
+        val best  = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH RECURSIVE
+           |corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 != 0),
+           |hh AS (SELECT doc_id, lang, text, ${hitExprs.mkString(", ")} FROM corpus),
+           |bb AS (SELECT *, $best AS best FROM hh),
+           |scored AS (SELECT doc_id, lang, text,
+           |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
+           |    40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+           |    + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+           |          / CAST(len(string_split(text,' ')) AS DOUBLE)
+           |    + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           |          / CAST(length(text) AS DOUBLE)) END AS INT) AS quality,
+           |  CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lid
+           |  FROM bb),
+           |filt AS (SELECT * FROM scored WHERE quality >= 40 AND lid != 'und'),
+           |ex AS (SELECT doc_id, lang, text, quality FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           |      ORDER BY doc_id) AS rn
+           |    FROM filt) WHERE rn = 1),
+           |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex
+           |       WHERE len(string_split(text, ' ')) >= 3),
+           |csh AS (SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+           |        FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
+           |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |       WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+           |rsh AS (SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+           |        FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
+           |contam AS (SELECT doc_id FROM (
+           |    SELECT c.doc_id, count(*) AS n_shingles, count(r.s) AS n_overlap
+           |    FROM csh c LEFT JOIN rsh r ON c.s = r.s GROUP BY c.doc_id)
+           |  WHERE n_overlap * 1000 >= 500 * n_shingles),
+           |keep AS (SELECT * FROM ex
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+           |    AND CAST('0x' || substr(md5('prep-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 900),
+           |sh AS (SELECT doc_id, lang, text, quality,
+           |  CAST(h % 8 AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard
+           |  FROM (SELECT *,
+           |    CAST('0x' || substr(md5('prep-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |    FROM keep)),
+           |${subwordTermSql("sh")},
+           |agg AS (SELECT wo.doc_id, CAST(sum(t.np) AS INT) AS n_subtok
+           |        FROM words wo JOIN term t ON t.w = wo.w GROUP BY 1),
+           |tok AS (SELECT s.doc_id, s.lang, s.quality, s.shard, s.pos_in_shard, a.n_subtok
+           |        FROM sh s JOIN agg a ON a.doc_id = s.doc_id)
+           |SELECT doc_id, lang, quality, n_subtok, shard, pos_in_shard,
+           |  CAST(start_tok AS BIGINT) AS start_tok,
+           |  CAST(start_tok // 1024 AS BIGINT) AS seq_no
+           |FROM (SELECT *,
+           |  sum(n_subtok) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) - n_subtok AS start_tok
+           |  FROM tok)""".stripMargin
+      }
+    ),
+
     // ---- exact substring-level dedup (Lee et al. 2022): repeated
     //      token SPANS corpus-wide — the memorization risk doc-level
     //      dedup cannot see. Window hashes from the native kernel;
@@ -823,7 +917,7 @@ object TextQueries {
             element_at(col("__sw"), 2).as("n_unk"),
             element_at(col("__sw"), 3).as("max_pieces")
           ),
-      Some(s"""WITH RECURSIVE $subwordTermSql,
+      Some(s"""WITH RECURSIVE ${subwordTermSql()},
              |agg AS (SELECT wo.doc_id,
              |          CAST(sum(t.np) AS INT) AS n_pieces,
              |          CAST(sum(t.nu) AS INT) AS n_unk,
@@ -862,7 +956,7 @@ object TextQueries {
           nTokensCol = "n_subtok",
           budget = 1024
         ),
-      Some(s"""WITH RECURSIVE $subwordTermSql,
+      Some(s"""WITH RECURSIVE ${subwordTermSql()},
              |agg AS (SELECT wo.doc_id, CAST(sum(t.np) AS INT) AS n_subtok
              |        FROM words wo JOIN term t ON t.w = wo.w GROUP BY 1)
              |SELECT doc_id, lang, n_subtok,
