@@ -102,6 +102,10 @@ object AsOfJoin {
     * floors are monotone), and equal-ts version-before-event ordering
     * only matters within a bucket, where the (ts, isVersion DESC) sort
     * preserves it — so the composition is exactly [[enrich]]'s contract.
+    * Like [[enrich]], the contract REQUIRES unique (key, ts) on the
+    * version side; a violating frame is ambiguous on either path (here
+    * the max_by pick is additionally run-order-dependent), so dedup
+    * with `Dedup.latestPerKey` first.
     *
     * Cost: ~4 shuffles vs 1 (versions agg, event-bucket distinct, carry
     * window, main window+join) — the price of bounding every partition.

@@ -41,7 +41,9 @@ object Bpe {
   ): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val vocab: Seq[(String, Long)] = docs
-      .select(explode(split(text, " ")).as("w"))
+      // the SHARED tokenizer: trainer and apply kernel must see the same
+      // token stream or the vocab silently skews from what gets applied
+      .select(explode(graft.functions.TextFunctions.tokens(text)).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))

@@ -227,7 +227,18 @@ object IncrementalDedup {
     // catalog-registered and recoverable by a rename — nothing is
     // dropped until the new table is in place under the real name
     val asideTable = s"${table}__old"
-    spark.sql(s"DROP TABLE IF EXISTS $asideTable")
+    // a PRIOR crashed compaction may have left the aside table (and its
+    // full pre-compaction data copy) behind — reclaim the files before
+    // dropping the external entry, or the copy leaks forever
+    if (spark.catalog.tableExists(asideTable)) {
+      val stale = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(asideTable))
+          .location)
+      spark.sql(s"DROP TABLE $asideTable")
+      if (stale != oldPath && stale != tmpPath)
+        stale.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(stale, true)
+    }
     spark.sql(s"ALTER TABLE $table RENAME TO $asideTable")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     spark.sql(s"DROP TABLE $asideTable")

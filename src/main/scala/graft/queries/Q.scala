@@ -14,22 +14,29 @@ final case class Q(
 /** Per-application scratch directories for queries that materialize
   * state (signature stores, SCD2 marts). Namespacing by applicationId
   * keeps concurrent harness processes from racing on one path; the
-  * age-based sweep of SIBLING application dirs keeps repeated runs from
-  * leaking tmp space forever (concurrent runs are minutes old, far
-  * inside the retention window, so the sweep can never race a live one).
+  * age-based sweep of OTHER applications' dirs keeps repeated runs from
+  * leaking tmp space forever. The current application's dir is never
+  * swept (regardless of age — a directory's mtime does not track nested
+  * writes, so age alone cannot prove liveness for ourselves) and is
+  * re-touched on every call, so sibling processes see a soak run's
+  * workspace as fresh for as long as it keeps allocating.
   */
 object TmpWorkspace {
-  private val RetainMillis = 6L * 3600 * 1000
+  private val RetainMillis = 12L * 3600 * 1000
 
   def scoped(s: SparkSession, family: String, dataDir: String): String = {
+    val appId = s.sparkContext.applicationId
     val parent = new java.io.File(System.getProperty("java.io.tmpdir"), family)
     parent.mkdirs()
-    val cutoff = System.currentTimeMillis() - RetainMillis
+    val now = System.currentTimeMillis()
+    val cutoff = now - RetainMillis
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-      if (f.lastModified() < cutoff) deleteRecursively(f)
+      if (f.getName != appId && f.lastModified() < cutoff) deleteRecursively(f)
     }
-    s"${parent.getAbsolutePath}/${s.sparkContext.applicationId}/" +
-      dataDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val own = new java.io.File(parent, appId)
+    own.mkdirs()
+    own.setLastModified(now)
+    s"${own.getAbsolutePath}/" + dataDir.replaceAll("[^a-zA-Z0-9]", "_")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

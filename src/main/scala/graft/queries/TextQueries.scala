@@ -163,6 +163,26 @@ object TextQueries {
        |  WHERE s.pos <= len(s.w)),
        |term AS (SELECT w, np, nu FROM step WHERE pos > len(w))""".stripMargin
 
+  // shared contamination oracle fragments (ONE definition for the
+  // overlap query, the removal query, and the composed prep chain —
+  // a threshold or shingle-construction change must hit all three):
+  // corpus trigram sets from `corpusSource`, reference trigram set from
+  // the held-out doc_id % 10 == 0 slice
+  private def contamShinglesSql(corpusSource: String): String =
+    s"""ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM $corpusSource
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |csh AS (SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+       |        FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
+       |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |       WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
+       |rsh AS (SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
+       |        FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i))""".stripMargin
+  private def contamIdsSql: String =
+    """contam AS (SELECT doc_id FROM (
+      |    SELECT c.doc_id, count(*) AS n_shingles, count(r.s) AS n_overlap
+      |    FROM csh c LEFT JOIN rsh r ON c.s = r.s GROUP BY c.doc_id)
+      |  WHERE n_overlap * 1000 >= 500 * n_shingles)""".stripMargin
+
   // stratified-sampling mix: per-language keep rates (per-mille)
   private val MixRates   = Map("en" -> 600, "zh" -> 250, "es" -> 500, "de" -> 900)
   private val MixDefault = 100
@@ -498,18 +518,7 @@ object TextQueries {
           threshMil = 500
         ).withColumnRenamed("id", "doc_id")
       },
-      Some("""WITH ct AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |  WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 3),
-             |csh AS (
-             |  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-             |  FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
-             |rt AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
-             |rsh AS (
-             |  SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-             |  FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
+      Some(s"""WITH ${contamShinglesSql("(SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0)")},
              |m AS (
              |  SELECT c.doc_id, CAST(count(*) AS INT) AS n_shingles,
              |         CAST(count(r.s) AS INT) AS n_overlap
@@ -550,7 +559,6 @@ object TextQueries {
             contVocab = SubwordContPieces,
             packBudget = 1024
           )
-          .drop("text")
       },
       Some {
         val hitExprs = TextFunctions.LangMarkers.map { case (lang, ms) =>
@@ -579,18 +587,8 @@ object TextQueries {
            |      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
            |      ORDER BY doc_id) AS rn
            |    FROM filt) WHERE rn = 1),
-           |ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex
-           |       WHERE len(string_split(text, ' ')) >= 3),
-           |csh AS (SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-           |        FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
-           |rt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-           |       WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
-           |rsh AS (SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-           |        FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
-           |contam AS (SELECT doc_id FROM (
-           |    SELECT c.doc_id, count(*) AS n_shingles, count(r.s) AS n_overlap
-           |    FROM csh c LEFT JOIN rsh r ON c.s = r.s GROUP BY c.doc_id)
-           |  WHERE n_overlap * 1000 >= 500 * n_shingles),
+           |${contamShinglesSql("ex")},
+           |$contamIdsSql,
            |keep AS (SELECT * FROM ex
            |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
            |    AND CAST('0x' || substr(md5('prep-v1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 900),
@@ -665,24 +663,8 @@ object TextQueries {
           )
           .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
       },
-      Some("""WITH ct AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |  WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 3),
-             |csh AS (
-             |  SELECT DISTINCT doc_id, t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-             |  FROM ct, unnest(generate_series(1, len(t)-2)) AS u(i)),
-             |rt AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-             |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3),
-             |rsh AS (
-             |  SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS s
-             |  FROM rt, unnest(generate_series(1, len(t)-2)) AS u(i)),
-             |contam AS (
-             |  SELECT doc_id FROM (
-             |    SELECT c.doc_id, count(*) AS n_shingles, count(r.s) AS n_overlap
-             |    FROM csh c LEFT JOIN rsh r ON c.s = r.s
-             |    GROUP BY c.doc_id)
-             |  WHERE n_overlap * 1000 >= 500 * n_shingles)
+      Some(s"""WITH ${contamShinglesSql("(SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0)")},
+             |$contamIdsSql
              |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
              |FROM documents d
              |WHERE d.doc_id % 10 != 0
@@ -1020,7 +1002,10 @@ object TextQueries {
            |  SELECT doc_id, t.w
            |  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t),
            |dw AS (SELECT DISTINCT w FROM words WHERE len(w) > 0),
-           |wrapped AS (SELECT w, '<' || array_to_string(string_split_regex(w, ''), '><') || '>' AS s
+           |wrapped AS (SELECT w,
+           |              CASE WHEN w LIKE '%<%' OR w LIKE '%>%'
+           |                   THEN error('bpe oracle wrapped encoding cannot represent < or > in words')
+           |                   ELSE '<' || array_to_string(string_split_regex(w, ''), '><') || '>' END AS s
            |            FROM dw),
            |step(w, rank, s) AS (
            |  SELECT w, 1, s FROM wrapped

@@ -25,8 +25,17 @@ object TrainBpeMain {
     val nMerges = 24
     val merges = Bpe.train(Tables.documents(spark, dir), col("text"), nMerges)
 
+    // learned symbols are corpus-derived: escape Scala-literal
+    // metacharacters or a quoted/backslashed corpus word breaks the
+    // generated source exactly where escaping matters
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c    => c.toString
+      } + "\""
     val rows = merges
-      .map { case (x, y) => s"""    ("$x", "$y")""" }
+      .map { case (x, y) => s"    (${q(x)}, ${q(y)})" }
       .mkString(",\n")
     val src =
       s"""package graft.operators

@@ -48,14 +48,19 @@ class BpeSpec extends SparkSpec {
       .distinct()
       .as[String]
       .collect()
-    words.filter(_.nonEmpty).foreach { w =>
+      .filter(_.nonEmpty)
+    // ONE job for all words: per-word kernel rows vs the driver reference
+    val got = words.toSeq
+      .toDF("w")
+      .select(col("w"),
+        call_function("graft_bpe_counts", array(col("w")), lit(mergesLit)).as("c"))
+      .as[(String, Seq[Int])]
+      .collect()
+      .toMap
+    words.foreach { w =>
       val toks = Bpe.tokenize(w, BpeMerges.merges)
       val exp  = Seq(toks.size, toks.count(_.length > 1), toks.map(_.length).max)
-      val got = Seq(Tuple1(Seq(w)))
-        .toDF("ws")
-        .select(call_function("graft_bpe_counts", col("ws"), lit(mergesLit)).as("c"))
-        .collect().head.getSeq[Int](0)
-      assert(got == exp, s"kernel diverged on '$w': $got vs $exp (pieces $toks)")
+      assert(got(w) == exp, s"kernel diverged on '$w': ${got(w)} vs $exp (pieces $toks)")
     }
   }
 }
