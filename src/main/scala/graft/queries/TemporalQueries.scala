@@ -194,6 +194,60 @@ object TemporalQueries {
              |      FROM archive GROUP BY 1)
              |SELECT a.stream_record_id, a.archive_id, a.payload
              |FROM archive a JOIN m USING (stream_record_id, archive_id)""".stripMargin)
+    ),
+
+    // ---- interval/range join via time-bucket decomposition: per-user
+    //      daily activity spans probed by OTHER users' events. A naive
+    //      `ts BETWEEN lo AND hi` join has no equi-key and plans as a
+    //      nested loop; RangeJoin turns it into a bucket equi-join
+    //      (see RangeJoin scaladoc for the cost model). Spans with zero
+    //      overlap survive via the left count-join back. ----
+    Q(
+      "t_interval_join_bucketed",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val spans = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("span_start"), max(col("ts")).as("span_end"))
+        val probes = ev.select(
+          col("event_id").as("p_event_id"),
+          col("user_id").as("p_user_id"),
+          col("ts").as("p_ts")
+        )
+        graft.operators.RangeJoin
+          .bucketedContainJoin(
+            spans,
+            probes,
+            startCol = "span_start",
+            endCol = "span_end",
+            tsCol = "p_ts",
+            bucketSeconds = 3600L,
+            extraPred = col("p_user_id") =!= col("user_id"),
+            joinType = "left"
+          )
+          .groupBy(col("user_id"), col("day"), col("span_start"), col("span_end"))
+          .agg(count(col("p_event_id")).as("n_other"))
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+            date_format(col("span_start"), "yyyy-MM-dd HH:mm:ss").as("span_start_s"),
+            date_format(col("span_end"), "yyyy-MM-dd HH:mm:ss").as("span_end_s"),
+            col("n_other")
+          )
+      },
+      Some("""WITH spans AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |         min(ts) AS span_start, max(ts) AS span_end
+             |  FROM events GROUP BY 1, 2)
+             |SELECT sp.user_id,
+             |       strftime(sp.day, '%Y-%m-%d') AS day_s,
+             |       strftime(sp.span_start, '%Y-%m-%d %H:%M:%S') AS span_start_s,
+             |       strftime(sp.span_end, '%Y-%m-%d %H:%M:%S') AS span_end_s,
+             |       CAST(count(e.event_id) AS BIGINT) AS n_other
+             |FROM spans sp LEFT JOIN events e
+             |  ON e.ts >= sp.span_start AND e.ts <= sp.span_end
+             | AND e.user_id <> sp.user_id
+             |GROUP BY 1, 2, 3, 4""".stripMargin)
     )
   )
 }

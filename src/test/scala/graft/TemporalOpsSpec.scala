@@ -182,4 +182,64 @@ class TemporalOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__salt"))
   }
+
+  test("range join: bucketed containment equals the naive nested-loop join") {
+    import graft.operators.RangeJoin
+    // intervals crafted to hit boundary cases: exact-start / exact-end
+    // probes (closed interval), a span crossing bucket boundaries, a
+    // zero-width interval, and an interval with no matches at all
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 03:20:00")), // 4 buckets @1h
+      (2L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:00")), // zero-width
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-01 00:30:00"))  // no probes
+    ).toDF("iv_id", "lo", "hi")
+    val probes = Seq(
+      (100L, ts("2024-01-01 00:10:00")), // == lo of iv 1 (inclusive)
+      (101L, ts("2024-01-01 03:20:00")), // == hi of iv 1 (inclusive)
+      (102L, ts("2024-01-01 01:00:00")), // inside iv 1, == iv 2 both ends
+      (103L, ts("2024-01-01 03:20:01")), // just past hi of iv 1
+      (104L, ts("2023-12-31 23:59:59"))  // before everything
+    ).toDF("p_id", "p_ts")
+
+    val bucketed = RangeJoin
+      .bucketedContainJoin(intervals, probes, "lo", "hi", "p_ts", bucketSeconds = 3600L)
+      .select("iv_id", "p_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val naive = intervals
+      .crossJoin(probes)
+      .where(col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+      .select("iv_id", "p_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set((1L, 100L), (1L, 101L), (1L, 102L), (2L, 102L)))
+
+    // left variant: zero-match intervals survive with a 0 count
+    val counts = RangeJoin
+      .bucketedContainJoin(intervals, probes, "lo", "hi", "p_ts",
+        bucketSeconds = 3600L, joinType = "left")
+      .groupBy(col("iv_id"))
+      .agg(count(col("p_id")).as("n"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(counts == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("range join plans an equi-join on the bucket id, not a nested loop") {
+    import graft.operators.RangeJoin
+    val spans = Tables.events(spark, Sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val probes = Tables.events(spark, Sf)
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val plan = RangeJoin
+      .bucketedContainJoin(spans, probes, "lo", "hi", "p_ts", bucketSeconds = 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+  }
 }
