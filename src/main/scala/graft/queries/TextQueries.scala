@@ -1801,6 +1801,86 @@ object TextQueries {
              |md5(text) AS content_md5,
              |lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex
              |FROM documents""".stripMargin)
+    ),
+
+    // ---- PII detection + redaction (pre-ship corpus scrub). The
+    //      documents fixture is synthetic word-salad with no PII, so
+    //      the PII-bearing notes are CONSTRUCTED data-dependently from
+    //      customer columns — identically on both sides — including a
+    //      "spelled-out" decoy that must NOT match. What the oracle
+    //      verifies is the detect/redact regex parity itself. ----
+    Q(
+      "text_pii_redact",
+      (s, dir) => {
+        val note = concat(
+          col("c_name"), lit(" ["), col("c_mktsegment"), lit("]"),
+          when(
+            col("c_acctbal") > 0,
+            concat(
+              lit(" email user"), col("c_custkey").cast("string"),
+              lit("@corp-"), col("c_nationkey").cast("string"), lit(".example.com")
+            )
+          ).otherwise(""),
+          when(
+            col("c_custkey") % 3 === 0,
+            concat(
+              lit(" tel +"), (lit(10) + col("c_nationkey") % 80).cast("string"),
+              lit("-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")
+            )
+          ).otherwise(""),
+          when(
+            col("c_custkey") % 7 === 0,
+            concat(
+              lit(" src 10."), (col("c_nationkey") % 256).cast("string"),
+              lit("."), (col("c_custkey") % 256).cast("string"),
+              lit("."), (expr("c_custkey div 256") % 256).cast("string")
+            )
+          ).otherwise(""),
+          when(col("c_custkey") % 5 === 0, lit(" ping admin at corp dot example"))
+            .otherwise("")
+        )
+        graft.Tables
+          .customer(s, dir)
+          .select(col("c_custkey"), note.as("note"))
+          .select(
+            col("c_custkey"),
+            graft.functions.Pii.emailCount(col("note")).as("n_email"),
+            graft.functions.Pii.phoneCount(col("note")).as("n_phone"),
+            graft.functions.Pii.ipv4Count(col("note")).as("n_ip"),
+            graft.functions.Pii.redact(col("note")).as("redacted")
+          )
+      },
+      Some {
+        import graft.functions.Pii
+        s"""WITH notes AS (
+           |  SELECT c_custkey,
+           |    c_name || ' [' || c_mktsegment || ']'
+           |    || CASE WHEN c_acctbal > 0
+           |         THEN ' email user' || CAST(c_custkey AS VARCHAR)
+           |              || '@corp-' || CAST(c_nationkey AS VARCHAR) || '.example.com'
+           |         ELSE '' END
+           |    || CASE WHEN c_custkey % 3 = 0
+           |         THEN ' tel +' || CAST(10 + (c_nationkey % 80) AS VARCHAR)
+           |              || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END
+           |    || CASE WHEN c_custkey % 7 = 0
+           |         THEN ' src 10.' || CAST(c_nationkey % 256 AS VARCHAR)
+           |              || '.' || CAST(c_custkey % 256 AS VARCHAR)
+           |              || '.' || CAST((c_custkey // 256) % 256 AS VARCHAR)
+           |         ELSE '' END
+           |    || CASE WHEN c_custkey % 5 = 0
+           |         THEN ' ping admin at corp dot example' ELSE '' END AS note
+           |  FROM customer)
+           |SELECT c_custkey,
+           |  CAST(len(regexp_extract_all(note, '${Pii.EmailRe}')) AS INT) AS n_email,
+           |  CAST(len(regexp_extract_all(note, '${Pii.PhoneRe}')) AS INT) AS n_phone,
+           |  CAST(len(regexp_extract_all(note, '${Pii.Ipv4Re}')) AS INT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(note,
+           |    '${Pii.EmailRe}', '[EMAIL]', 'g'),
+           |    '${Pii.PhoneRe}', '[PHONE]', 'g'),
+           |    '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+           |FROM notes""".stripMargin
+      }
     )
   )
 }
