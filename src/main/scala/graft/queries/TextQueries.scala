@@ -1881,6 +1881,46 @@ object TextQueries {
            |    '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
            |FROM notes""".stripMargin
       }
+    ),
+
+    // ---- corpus bigram LM quality score (CCNet-style filter signal).
+    //      Integer-only math (micro-scaled probabilities, div floors)
+    //      so the score is order-free and bit-identical cross-engine;
+    //      <2-token docs score -1 by contract. ----
+    Q(
+      "text_lm_score",
+      (s, dir) => {
+        import graft.operators.LangModel
+        val docs  = Tables.documents(s, dir)
+        val model = LangModel.bigramModel(
+          LangModel.transitions(Tables.documents(s, dir), "doc_id", "text")
+        )
+        LangModel.scoreDocs(
+          LangModel.transitions(docs, "doc_id", "text"),
+          model,
+          "doc_id"
+        )
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |big AS (
+             |  SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |bmodel AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+             |p AS (
+             |  SELECT w1, w2,
+             |         CAST((1000000 * cb) // CAST(sum(cb) OVER (PARTITION BY w1) AS BIGINT)
+             |              AS BIGINT) AS p_micro
+             |  FROM bmodel),
+             |sc AS (
+             |  SELECT b.doc_id, count(*) AS n_trans, CAST(sum(p_micro) AS BIGINT) AS sp
+             |  FROM big b JOIN p USING (w1, w2) GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(sc.n_trans, 0) AS BIGINT) AS n_trans,
+             |       CAST(CASE WHEN sc.n_trans IS NULL THEN -1
+             |                 ELSE sp // sc.n_trans END AS BIGINT) AS score_micro
+             |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)
     )
   )
 }
