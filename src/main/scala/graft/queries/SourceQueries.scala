@@ -96,6 +96,43 @@ object SourceQueries {
       Some(OracleSlice)
     ),
 
+    // ---- S5: ORC round-trip (the second columnar format next to
+    //      parquet). Timestamps and exact cents ride through the ORC
+    //      codec as native TIMESTAMP/BIGINT and come back out
+    //      bit-identical; the oracle reads the original parquet, so a
+    //      codec bug on either leg fails the hash. ----
+    Q(
+      "s5_orc_roundtrip",
+      (s, dir) => {
+        val path = tmpDir("orc", dir)
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("o_orderstatus"),
+            col("o_orderdate"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_cents")
+          )
+          .write
+          .mode("overwrite")
+          .orc(path)
+        s.read
+          .orc(path)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+            col("price_cents")
+          )
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+             |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+             |FROM orders""".stripMargin)
+    ),
+
     // ---- S4: XML string parse with explicit schema (from_xml built-in) ----
     Q(
       "s4_xml_string_parse",
