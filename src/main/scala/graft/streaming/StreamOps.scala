@@ -82,4 +82,48 @@ object StreamOps {
         } else Iterator.empty
       }
   }
+
+  /** Streaming gap-based sessionization — the `session_window` twin of
+    * the batch [[graft.operators.Sessionize]] operator. Sessions for a
+    * key merge while events arrive within `gapDuration` of each other;
+    * the watermark finalizes (and evicts) a session once event time
+    * passes its close + `delayThreshold`, so state stays bounded by the
+    * number of OPEN sessions, not the stream's history.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapDuration: String,
+      delayThreshold: String
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, delayThreshold)
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDuration))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n")
+      )
+
+  /** Watermark-bounded streaming dedup: drops key replays that arrive
+    * within the watermark delay of the first occurrence, with state
+    * evicted as the watermark advances (Spark's
+    * `dropDuplicatesWithinWatermark`). The bounded-state complement to
+    * [[dedupFirstSeen]]: eviction is driven by EVENT time rather than a
+    * processing-time TTL, so a replay horizon expressed in stream time
+    * (the archive re-send window, SURVEY §2.10 T3) maps onto
+    * `delayThreshold` directly.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      delayThreshold: String,
+      keys: Seq[String]
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, delayThreshold)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -63,6 +63,77 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
   }
 
+  test("sessionCounts: session_window merges events within the gap, splits across it") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val out = StreamOps.sessionCounts(
+      stream.toDF().toDF("user_id", "ts"),
+      keyCol = "user_id",
+      tsCol = "ts",
+      gapDuration = "10 minutes",
+      delayThreshold = "5 minutes"
+    )
+    // sessions can MERGE as events arrive, so session_window supports
+    // only append output: a session is emitted once the watermark
+    // passes its close
+    val q = out.writeStream
+      .format("memory")
+      .queryName("sess_counts")
+      .outputMode("append")
+      .start()
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")), // within gap -> same session
+      (1L, ts("2024-01-01 10:30:00")), // 25 min later -> new session
+      (2L, ts("2024-01-01 10:02:00"))
+    )
+    q.processAllAvailable()
+    // push the watermark (12:00 - 5 min delay) past every session close
+    // so the finalized sessions surface in append mode
+    stream.addData((9L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("sess_counts")
+      .select($"user_id", date_format($"session_start", "HH:mm").as("s"), $"n")
+      .as[(Long, String, Long)]
+      .collect()
+      .map { case (u, s, n) => (u, s) -> n }
+      .toMap
+    assert(got == Map(
+      (1L, "10:00") -> 2L, // two merged events, window extends to 10:05+gap
+      (1L, "10:30") -> 1L,
+      (2L, "10:02") -> 1L
+    ))
+  }
+
+  test("dedupWithinWatermark: replays inside the delay are dropped, state is event-time bounded") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.dedupWithinWatermark(
+      stream.toDF().toDF("k", "ts", "payload"),
+      tsCol = "ts",
+      delayThreshold = "10 minutes",
+      keys = Seq("k")
+    )
+    val q = out.writeStream
+      .format("memory")
+      .queryName("wm_dedup")
+      .outputMode("append")
+      .start()
+    stream.addData(
+      (1L, ts("2024-01-01 10:00:00"), "first"),
+      (2L, ts("2024-01-01 10:01:00"), "only")
+    )
+    q.processAllAvailable()
+    // replay of key 1 within the watermark delay -> dropped
+    stream.addData((1L, ts("2024-01-01 10:04:00"), "replay"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_dedup").select($"k", $"payload").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "first", 2L -> "only"))
+  }
+
   test("multimodal resize: real PNG in/out, nearest-neighbor pixels, refreshed metadata") {
     val packed = Multimodal.pack(Seq((1L, "payload-one")).toDF("id", "data"), "id", "data", "image", "img/fake")
     val img    = Multimodal.toImagePayload(packed, w = 4, h = 4)
