@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def all: Seq[Q] =
     RelationalQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++ SourceQueries.qs ++
-      ConformQueries.qs ++ TemporalQueries.qs ++ PipelineQueries.qs
+      ConformQueries.qs ++ TemporalQueries.qs ++ PipelineQueries.qs ++ GraphQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis centrality (PageRank) in exact 64-bit
+  * integer arithmetic — the graph-quality signal family web-corpus
+  * curation uses (Common Crawl publishes harmonic/PageRank centrality
+  * per host and corpus filters key off it).
+  *
+  * Ranks are micro-scaled BIGINTs (start 10^6 per node); one iteration
+  * is rank' = (1-d)·10^6 + d·Σ contrib with every step floored integer
+  * division: contrib = r div outdeg, damped sum = (850·Σ) div 1000.
+  * Integer sums are order-free, so the result is bit-identical across
+  * engines and partitionings — an oracle can replay the exact fixpoint
+  * trajectory, which a float implementation cannot promise.
+  *
+  * Scale shape: per iteration one equi-join of the edge list against
+  * the current ranks (both hash-partitioned on src) and one shuffled
+  * aggregation by dst — the textbook Pregel-as-relational-ops loop.
+  * Edge list, degrees, and node set are `localCheckpoint`ed ONCE
+  * upfront (eager) so the per-iteration plan re-reads materialized
+  * partitions instead of replaying their lineage; each iteration's
+  * ranks checkpoint too, keeping lineage depth O(1) like
+  * [[ClusterDedup]]. Dangling nodes (no out-edges) leak their mass by
+  * design — the simplified PageRank variant — and the oracle mirrors
+  * that choice.
+  */
+object PageRank {
+  val DampMilli = 850        // d = 0.85 as an exact per-mille
+  val InitMicro = 1000000L   // every node starts at 1.0, micro-scaled
+
+  /** `edges`: (src: long, dst: long), directed, deduplicated by the
+    * caller if required. Returns (id, r) after `iterations` rounds.
+    */
+  def ranks(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e   = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nodes = e
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+
+    var r = nodes.withColumn("r", lit(InitMicro))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(deg, "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div outdeg").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit(InitMicro - DampMilli * 1000L) +
+            expr(s"($DampMilli * coalesce(s, 0L)) div 1000")).as("r")
+        )
+        .localCheckpoint()
+    }
+    r
+  }
+}

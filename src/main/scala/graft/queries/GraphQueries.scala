@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** Graph/centrality queries — the link-analysis quality-signal family
+  * of web-corpus curation (Common Crawl ships per-host PageRank /
+  * harmonic centrality; corpus filters consume it). The oracle unrolls
+  * the fixed iteration count into chained CTEs because DuckDB bans
+  * aggregates inside a recursive CTE member; integer-only rank
+  * arithmetic (see [[graft.operators.PageRank]]) makes the two engines
+  * agree exactly, iteration by iteration.
+  */
+object GraphQueries {
+  private val Iterations = 5
+
+  /** Undirected part <-> supplier co-occurrence graph from lineitem,
+    * node ids disambiguated by parity (part = 2k, supplier = 2k+1).
+    * Both edge directions come out of ONE scan via explode (a
+    * union-of-two-selects would plant the lineitem scan twice).
+    */
+  val qs: Seq[Q] = Seq(
+    Q(
+      "graph_pagerank",
+      (s, dir) => {
+        val edges = Tables
+          .lineitem(s, dir)
+          .select(
+            explode(
+              array(
+                struct(
+                  (col("l_partkey") * 2).as("src"),
+                  (col("l_suppkey") * 2 + 1).as("dst")
+                ),
+                struct(
+                  (col("l_suppkey") * 2 + 1).as("src"),
+                  (col("l_partkey") * 2).as("dst")
+                )
+              )
+            ).as("e")
+          )
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .distinct()
+        PageRank.ranks(edges, Iterations).select(col("id"), col("r"))
+      },
+      Some {
+        val init = PageRank.InitMicro
+        val base = PageRank.InitMicro - PageRank.DampMilli * 1000L
+        val d    = PageRank.DampMilli
+        val steps = (1 to Iterations)
+          .map { i =>
+            s"""c$i AS (
+               |  SELECT e.dst AS id, CAST(sum(p.r // d.outdeg) AS BIGINT) AS s
+               |  FROM edges e JOIN deg d ON e.src = d.src
+               |  JOIN it${i - 1} p ON p.id = e.src GROUP BY 1),
+               |it$i AS (
+               |  SELECT n.id, CAST($base + ($d * coalesce(c.s, 0)) // 1000 AS BIGINT) AS r
+               |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+           |    UNION ALL
+           |    SELECT l_suppkey*2+1, l_partkey*2 FROM lineitem)),
+           |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |it0 AS (SELECT id, CAST($init AS BIGINT) AS r FROM nodes),
+           |$steps
+           |SELECT id, r FROM it$Iterations""".stripMargin
+      }
+    )
+  )
+}
