@@ -108,6 +108,34 @@ object StreamOps {
         col("n")
       )
 
+  /** Stream-stream equi-join bounded by an event-time range: each left
+    * event pairs with right events of the same key whose timestamp lies
+    * in `[leftTs - lookback, leftTs]`. Both sides carry watermarks and
+    * the join condition bounds their time skew, so Spark can size the
+    * join state buffers finitely and evict rows as the watermarks
+    * advance — the required shape for an unbounded two-stream join
+    * (an unconstrained stream-stream join would buffer both streams
+    * forever).
+    */
+  def streamStreamLookbackJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      lookback: String,
+      delayThreshold: String
+  ): DataFrame = {
+    val l = left.withWatermark(leftTsCol, delayThreshold)
+    val r = right.withWatermark(rightTsCol, delayThreshold)
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $lookback") &&
+        r(rightTsCol) <= l(leftTsCol)
+    ).drop(r(keyCol))
+  }
+
   /** Watermark-bounded streaming dedup: drops key replays that arrive
     * within the watermark delay of the first occurrence, with state
     * evicted as the watermark advances (Spark's

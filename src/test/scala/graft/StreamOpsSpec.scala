@@ -107,6 +107,42 @@ class StreamOpsSpec extends SparkSpec {
     ))
   }
 
+  test("streamStreamLookbackJoin: pairs within the lookback only, across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views  = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.streamStreamLookbackJoin(
+      clicks.toDF().toDF("k", "cts", "click"),
+      views.toDF().toDF("k", "vts", "view"),
+      keyCol = "k",
+      leftTsCol = "cts",
+      rightTsCol = "vts",
+      lookback = "10 minutes",
+      delayThreshold = "5 minutes"
+    )
+    val q = out.writeStream
+      .format("memory")
+      .queryName("ss_join")
+      .outputMode("append")
+      .start()
+    // views land in an EARLIER micro-batch than the clicks that join them
+    views.addData(
+      (1L, ts("2024-01-01 10:00:00"), "v1"),
+      (1L, ts("2024-01-01 09:45:00"), "v0-too-old"),
+      (2L, ts("2024-01-01 10:02:00"), "v2")
+    )
+    q.processAllAvailable()
+    clicks.addData(
+      (1L, ts("2024-01-01 10:05:00"), "c1"), // joins v1 (5 min back), not v0 (20 min)
+      (2L, ts("2024-01-01 10:01:00"), "c2"), // v2 is AFTER the click -> no match
+      (3L, ts("2024-01-01 10:06:00"), "c3")  // keyless -> no row (inner join)
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_join").select($"click", $"view").as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "v1")))
+  }
+
   test("dedupWithinWatermark: replays inside the delay are dropped, state is event-time bounded") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]
