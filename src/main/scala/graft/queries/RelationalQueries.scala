@@ -461,6 +461,48 @@ object RelationalQueries {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM orders o
              |  WHERE o.o_orderkey % 7 != 0 AND o.o_orderkey = l.l_orderkey)""".stripMargin)
+    ),
+
+    // ---- write-time layout: Z-order curve statistics. Each z-bucket of
+    //      4^6 cells is an ALIGNED 64x64 tile of the (part, supp) grid —
+    //      the exact property that makes per-file min/max stats prune on
+    //      EITHER dimension after clustering files by z (plain sort only
+    //      prunes its leading column). Both dims' spans per bucket come
+    //      out <= 63, and the oracle recomputes the same interleave from
+    //      the same generated expression. ----
+    Q(
+      "layout_zorder_stats",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        Tables
+          .lineitem(s, dir)
+          .select(
+            (col("l_partkey") % 1024).cast("int").as("px"),
+            (col("l_suppkey") % 1024).cast("int").as("py")
+          )
+          .withColumn("z", ZOrder.zValue(col("px"), col("py"), bits = 10))
+          .groupBy(expr("z div 4096").as("zbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("px")).as("x_lo"),
+            max(col("px")).as("x_hi"),
+            min(col("py")).as("y_lo"),
+            max(col("py")).as("y_hi")
+          )
+      },
+      Some {
+        val z = graft.functions.ZOrder.zValueSql("px", "py", bits = 10)
+        s"""WITH pts AS (
+           |  SELECT CAST(l_partkey % 1024 AS INT) AS px,
+           |         CAST(l_suppkey % 1024 AS INT) AS py
+           |  FROM lineitem),
+           |zs AS (SELECT px, py, $z AS z FROM pts)
+           |SELECT z // 4096 AS zbucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       min(px) AS x_lo, max(px) AS x_hi,
+           |       min(py) AS y_lo, max(py) AS y_hi
+           |FROM zs GROUP BY 1""".stripMargin
+      }
     )
   )
 }
