@@ -50,4 +50,34 @@ object Profile {
       .select(explode(array(rows: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** floor(log2(`expr`)) for values >= 1, as a SQL expression valid in
+    * BOTH Spark SQL and DuckDB (a chain of integer comparisons — no
+    * floating log whose ulp behavior could differ between engines).
+    * Values < 1 land in bucket -1 by convention (empty docs).
+    * `maxBits` bounds the value range: values below 2^maxBits bucket
+    * exactly.
+    */
+  def log2BucketSql(expr: String, maxBits: Int = 40): String = {
+    val terms = (1 to maxBits)
+      .map(i => s"(CASE WHEN ($expr) >= ${1L << i} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"(CASE WHEN ($expr) < 1 THEN -1 ELSE $terms END)"
+  }
+
+  /** Log2-bucketed histogram of a non-negative measure: one row per
+    * occupied bucket with count and exact min/max. The distribution-
+    * shape companion to [[profileColumns]] (length histograms are the
+    * standard first look at a text corpus); single shuffled aggregation
+    * on ~64 keys.
+    */
+  def log2Histogram(df: DataFrame, measureCol: String): DataFrame =
+    df.groupBy(
+        org.apache.spark.sql.functions.expr(log2BucketSql(measureCol)).as("bucket")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(measureCol)).as("lo"),
+        max(col(measureCol)).as("hi")
+      )
 }

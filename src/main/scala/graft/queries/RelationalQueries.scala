@@ -503,6 +503,24 @@ object RelationalQueries {
            |       min(py) AS y_lo, max(py) AS y_hi
            |FROM zs GROUP BY 1""".stripMargin
       }
+    ),
+
+    // ---- DQ: log2-bucketed document-length histogram (the first-look
+    //      distribution profile of any text corpus). The bucket
+    //      expression is a chain of integer comparisons generated ONCE
+    //      and evaluated verbatim by both engines — no floating log. ----
+    Q(
+      "dq_length_histogram",
+      (s, dir) =>
+        graft.operators.Profile
+          .log2Histogram(Tables.documents(s, dir).select(col("n_chars")), "n_chars"),
+      Some {
+        val bucket = graft.operators.Profile.log2BucketSql("n_chars")
+        s"""SELECT CAST($bucket AS INT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       min(n_chars) AS lo, max(n_chars) AS hi
+           |FROM documents GROUP BY 1""".stripMargin
+      }
     )
   )
 }
