@@ -32,9 +32,16 @@ object PageRank {
 
   /** `edges`: (src: long, dst: long), directed, deduplicated by the
     * caller if required. Returns (id, r) after `iterations` rounds.
+    *
+    * `checkpointEvery` trades lineage depth against eager
+    * materialization latency: every round is the safest on a lossy
+    * cluster, every 2-3 rounds halves the per-round barrier cost when
+    * iterations are few (each skipped checkpoint leaves one more
+    * join+agg in the recomputation path of the next one).
     */
-  def ranks(edges: DataFrame, iterations: Int): DataFrame = {
+  def ranks(edges: DataFrame, iterations: Int, checkpointEvery: Int = 2): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e   = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val nodes = e
@@ -43,7 +50,7 @@ object PageRank {
       .localCheckpoint()
 
     var r = nodes.withColumn("r", lit(InitMicro))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(deg, "src")
         .join(r.withColumnRenamed("id", "src"), "src")
@@ -57,7 +64,7 @@ object PageRank {
           (lit(InitMicro - DampMilli * 1000L) +
             expr(s"($DampMilli * coalesce(s, 0L)) div 1000")).as("r")
         )
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iterations) r = r.localCheckpoint()
     }
     r
   }
