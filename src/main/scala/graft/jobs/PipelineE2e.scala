@@ -174,25 +174,41 @@ object PipelineE2e {
             Seq(col("DATE_OF_INTERACTION").desc)))
       )
 
-    val rows = sources.map { case (name, feed, conformSeed, conformInc) =>
-      val mart  = s"$workDir/$name/mart"
-      val audit = s"$workDir/$name/audit"
-      val keyCol = name match {
-        case "csv"  => "TICKET_IDENTIFIER"
-        case "json" => "INTERACTION_ID"
-        case _      => "SUPPORT_IDENTIFIER"
-      }
-      val seed = loadTail(spark, mart, audit,
-        conformSeed(feed(1).where(col(keyCol) % 5 =!= 0)), 1L, SeedTs)
-      val inc  = loadTail(spark, mart, audit, conformInc(feed(2)), 2L, IncTs)
-      // one aggregation pass for both post-increment mart counts
-      val stat = spark.read.parquet(mart)
-        .agg(
-          count(lit(1)).as("total"),
-          coalesce(sum(when(col("ACTIVE_FLAG") === 1, 1L).otherwise(0L)), lit(0L)).as("actives"))
-        .head()
-      (name, seed.total, inc.total, inc.valid, stat.getLong(1), stat.getLong(0))
-    }
+    // The three sources write to DISJOINT mart/audit dirs and share only
+    // read-only inputs, so their load chains run CONCURRENTLY — Spark
+    // accepts job submissions from multiple threads and interleaves
+    // stages, which keeps the 32 cores busy while one source sits in a
+    // write barrier (the multi-feed production shape; seed -> increment
+    // order is preserved WITHIN each source's thread).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(sources.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val rows =
+      try {
+        val futures = sources.map { case (name, feed, conformSeed, conformInc) =>
+          Future {
+            val mart  = s"$workDir/$name/mart"
+            val audit = s"$workDir/$name/audit"
+            val keyCol = name match {
+              case "csv"  => "TICKET_IDENTIFIER"
+              case "json" => "INTERACTION_ID"
+              case _      => "SUPPORT_IDENTIFIER"
+            }
+            val seed = loadTail(spark, mart, audit,
+              conformSeed(feed(1).where(col(keyCol) % 5 =!= 0)), 1L, SeedTs)
+            val inc  = loadTail(spark, mart, audit, conformInc(feed(2)), 2L, IncTs)
+            // one aggregation pass for both post-increment mart counts
+            val stat = spark.read.parquet(mart)
+              .agg(
+                count(lit(1)).as("total"),
+                coalesce(sum(when(col("ACTIVE_FLAG") === 1, 1L).otherwise(0L)), lit(0L)).as("actives"))
+              .head()
+            (name, seed.total, inc.total, inc.valid, stat.getLong(1), stat.getLong(0))
+          }
+        }
+        futures.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     rows.toDF("source", "seed_rows", "inc_rows", "inc_valid", "active_rows", "mart_rows")
   }
 }
