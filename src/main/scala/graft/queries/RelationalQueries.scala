@@ -505,6 +505,49 @@ object RelationalQueries {
       }
     ),
 
+    // ---- top-k per group via an ALGEBRAIC typed Aggregator: the
+    //      scale-path alternative to the window idiom (o2/curation_topk).
+    //      Partial aggregation reduces each map task to <= k rows per
+    //      group before the shuffle — only k-row buffers cross the wire,
+    //      where the window shuffles every row into a per-group sort.
+    //      Total (value DESC, id ASC) order makes the result identical
+    //      to the window oracle. ----
+    Q(
+      "o2_topk_grouped_agg",
+      (s, dir) =>
+        graft.operators.TopK
+          .perGroup(
+            Tables
+              .orders(s, dir)
+              .select(
+                col("o_custkey"),
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("price_cents"),
+                col("o_orderkey")
+              ),
+            groupCols = Seq("o_custkey"),
+            valueCol = col("price_cents"),
+            idCol = col("o_orderkey"),
+            k = 3
+          )
+          .select(
+            col("o_custkey"),
+            col("rnk"),
+            col("value").as("price_cents"),
+            col("id").as("o_orderkey")
+          ),
+      Some("""WITH cents AS (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+             |  FROM orders),
+             |ranked AS (
+             |  SELECT o_custkey, price_cents, o_orderkey,
+             |         CAST(row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY price_cents DESC, o_orderkey ASC) AS INT) AS rnk
+             |  FROM cents)
+             |SELECT o_custkey, rnk, price_cents, o_orderkey
+             |FROM ranked WHERE rnk <= 3""".stripMargin)
+    ),
+
     // ---- DQ: log2-bucketed document-length histogram (the first-look
     //      distribution profile of any text corpus). The bucket
     //      expression is a chain of integer comparisons generated ONCE
