@@ -106,8 +106,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * raw SQL resolve to the codegen'd kernel.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator tier: BETWEEN-join -> bucketed range equi-join
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
