@@ -106,12 +106,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // interval side: explode the covered bucket range
       val bkI = AttributeReference("__graft_bk_i", LongType, nullable = false)()
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
-      // stays unresolved post-analysis and fails plan validation
+      // stays unresolved post-analysis and fails plan validation.
+      // Inverted intervals (lo > hi) make Sequence throw at runtime,
+      // where the nested loop it replaces would return no rows — guard
+      // them into an empty bucket list (Explode outer=false then drops
+      // the row, matching inner-join semantics exactly).
+      val loBk = bucket(lo)
+      val hiBk = bucket(hi)
+      val buckets = If(
+        LessThanOrEqual(loBk, hiBk),
+        new Sequence(loBk, hiBk, Literal(1L, LongType))
+          .withTimeZone(conf.sessionLocalTimeZone),
+        Literal.create(Array.empty[Long], org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+      )
       val gen = Generate(
-        Explode(
-          new Sequence(bucket(lo), bucket(hi), Literal(1L, LongType))
-            .withTimeZone(conf.sessionLocalTimeZone)
-        ),
+        Explode(buckets),
         unrequiredChildIndex = Nil,
         outer = false,
         qualifier = None,

@@ -60,6 +60,19 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.count() == 1L)
   }
 
+  test("inverted and null-bound intervals yield no rows instead of crashing") {
+    val iv = Seq(
+      (10L, Some(ts("2024-01-01 05:00:00")), Some(ts("2024-01-01 01:00:00"))), // lo > hi
+      (11L, None, Some(ts("2024-01-01 06:00:00"))),                            // null lo
+      (12L, Some(ts("2024-01-01 00:00:00")), Some(ts("2024-01-01 06:00:00")))  // sane
+    ).toDF("iv_id", "lo", "hi")
+    val pr = Seq((200L, ts("2024-01-01 03:00:00"))).toDF("p_id", "p_ts")
+    val df = pr.join(iv, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"))
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_bk"))
+    // only the sane interval matches; inverted + null-bound drop silently
+    assert(df.select("iv_id", "p_id").as[(Long, Long)].collect().toSet == Set((12L, 200L)))
+  }
+
   test("SQL text goes through the same rewrite") {
     intervals.createOrReplaceTempView("rr_iv")
     probes.createOrReplaceTempView("rr_pr")
