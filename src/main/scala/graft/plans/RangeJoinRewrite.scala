@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite pure range-containment joins into the
   * time-bucket equi-join shape of [[graft.operators.RangeJoin]] —
@@ -81,7 +81,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThan(hi, ts)        => Some((ts, hi))
       case _                          => None
     }
-    def tsTyped(e: Expression) = e.dataType == TimestampType
+    // DATE bounds ride too (cast to timestamp for bucketing; the
+    // original DATE comparison still decides the match)
+    def tsTyped(e: Expression) =
+      e.dataType == TimestampType || e.dataType == DateType
 
     val candidates = for {
       cLo       <- conjuncts
@@ -99,7 +102,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     candidates.headOption.map { case (ts, lo, hi, probeOnLeft) =>
       val b = Literal(bucketSeconds * 1000000L, LongType)
-      def bucket(e: Expression): Expression = IntegralDivide(UnixMicros(e), b)
+      def bucket(e: Expression): Expression = {
+        val asTs =
+          if (e.dataType == DateType)
+            Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+          else e
+        IntegralDivide(UnixMicros(asTs), b)
+      }
 
       val (probe, interval) = if (probeOnLeft) (j.left, j.right) else (j.right, j.left)
 

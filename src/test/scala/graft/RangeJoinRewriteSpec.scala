@@ -73,6 +73,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(df.select("iv_id", "p_id").as[(Long, Long)].collect().toSet == Set((12L, 200L)))
   }
 
+  test("DATE-typed bounds rewrite too (date-date comparisons skip the analyzer's cast)") {
+    val iv = Seq(
+      (1L, "2024-01-10", "2024-01-20"),
+      (2L, "2024-03-01", "2024-03-02")
+    ).toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), to_date(col("lo_s")).as("lo"), to_date(col("hi_s")).as("hi"))
+    val pr = Seq((300L, "2024-01-15"), (301L, "2024-01-20"), (302L, "2024-02-01"))
+      .toDF("p_id", "d_s")
+      .select(col("p_id"), to_date(col("d_s")).as("p_d"))
+    val df = pr.join(iv, col("p_d") >= col("lo") && col("p_d") <= col("hi"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bk"), s"date-bound rewrite did not fire:\n$plan")
+    assert(df.select("iv_id", "p_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 300L), (1L, 301L)))
+  }
+
   test("SQL text goes through the same rewrite") {
     intervals.createOrReplaceTempView("rr_iv")
     probes.createOrReplaceTempView("rr_pr")

@@ -43,6 +43,27 @@ class SketchSpec extends SparkSpec {
       s"approx median $approx has $below values below it, exact mid-rank $mid, allowed slack $allowed")
   }
 
+  test("freqItems returns a superset of the truly frequent values") {
+    val li = Tables.lineitem(spark, Sf)
+    val support = 0.2
+    val found = li.stat
+      .freqItems(Array("l_returnflag"), support)
+      .head()
+      .getSeq[String](0)
+      .toSet
+    val n = li.count()
+    val trulyFrequent = li
+      .groupBy(col("l_returnflag"))
+      .count()
+      .where(col("count") > n * support)
+      .select("l_returnflag")
+      .as[String]
+      .collect()
+      .toSet
+    // the sketch's contract: possible false positives, NO false negatives
+    assert(trulyFrequent.subsetOf(found), s"missing frequent items: ${trulyFrequent -- found}")
+  }
+
   test("Bloom filter: zero false negatives, observed FPP under the configured bound") {
     val orders = Tables.orders(spark, Sf)
     val keys   = orders.select(col("o_orderkey")).as[Long].collect().toSet
