@@ -505,6 +505,66 @@ object RelationalQueries {
       }
     ),
 
+    // ---- multi-level aggregation: ROLLUP over (returnflag, linestatus).
+    //      One Expand + one aggregation shuffle computes all three
+    //      grouping levels; grouping_id disambiguates subtotal NULLs
+    //      (both engines use the standard leftmost-column-MSB bitmask). ----
+    Q(
+      "a6_rollup_pricing",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .select(
+            col("l_returnflag"),
+            col("l_linestatus"),
+            col("l_quantity").cast("decimal(18,2)").as("qty")
+          )
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            (sum(col("qty")) * 100).cast("long").as("sum_qty_cents")
+          ),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_cents
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)
+    ),
+
+    // ---- pivot: order counts + totals spread across status columns.
+    //      A fixed value list keeps the schema static; the oracle is the
+    //      equivalent conditional aggregation. ----
+    Q(
+      "a7_pivot_status",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderpriority"),
+            col("o_orderstatus"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")
+          )
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(sum(col("cents")))
+          .select(
+            col("o_orderpriority"),
+            col("O").as("cents_o"),
+            col("F").as("cents_f"),
+            col("P").as("cents_p")
+          ),
+      Some("""SELECT o_orderpriority,
+             |  sum(CASE WHEN o_orderstatus = 'O'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_o,
+             |  sum(CASE WHEN o_orderstatus = 'F'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_f,
+             |  sum(CASE WHEN o_orderstatus = 'P'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_p
+             |FROM orders GROUP BY 1""".stripMargin)
+    ),
+
     // ---- top-k per group via an ALGEBRAIC typed Aggregator: the
     //      scale-path alternative to the window idiom (o2/curation_topk).
     //      Partial aggregation reduces each map task to <= k rows per
