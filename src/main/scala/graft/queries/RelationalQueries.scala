@@ -624,6 +624,134 @@ object RelationalQueries {
            |       min(n_chars) AS lo, max(n_chars) AS hi
            |FROM documents GROUP BY 1""".stripMargin
       }
+    ),
+
+    // ---- full-lattice aggregation: CUBE over (priority, status) — all
+    //      four grouping levels from one Expand + one partial-agg'd
+    //      shuffle (4x the input rows into the exchange, not 4 passes
+    //      over the table). grouping_id disambiguates subtotal NULLs. ----
+    Q(
+      "a8_cube_status",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderpriority"),
+            col("o_orderstatus"),
+            (dec(col("o_totalprice")) * 100).cast("long").as("cents")
+          )
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents")
+          ),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |       CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+             |FROM orders
+             |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)
+    ),
+
+    // ---- unpivot (melt): wide measure columns -> long (metric, value)
+    //      rows. A pure Expand — narrow map stage, no shuffle until the
+    //      summarizing agg; nulls ride through (Spark unpivot keeps
+    //      them, so the oracle is the null-preserving UNION ALL, not
+    //      DuckDB's null-dropping UNPIVOT). ----
+    Q(
+      "p9_unpivot_measures",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .select(
+            col("l_orderkey"),
+            (dec(col("l_quantity")) * 100).cast("long").as("qty_c"),
+            (dec(col("l_extendedprice")) * 100).cast("long").as("price_c"),
+            (dec(col("l_discount")) * 100).cast("long").as("disc_c"),
+            (dec(col("l_tax")) * 100).cast("long").as("tax_c")
+          )
+          .unpivot(
+            ids = Array(col("l_orderkey")),
+            values = Array(col("qty_c"), col("price_c"), col("disc_c"), col("tax_c")),
+            variableColumnName = "metric",
+            valueColumnName = "v"
+          )
+          .groupBy(col("metric"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_vals"),
+            sum(col("v")).as("sum_v"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v")
+          ),
+      Some("""WITH cents AS (
+             |  SELECT l_orderkey,
+             |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+             |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+             |         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_c,
+             |         CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_c
+             |  FROM lineitem),
+             |long AS (
+             |  SELECT l_orderkey, 'qty_c' AS metric, qty_c AS v FROM cents
+             |  UNION ALL SELECT l_orderkey, 'price_c', price_c FROM cents
+             |  UNION ALL SELECT l_orderkey, 'disc_c', disc_c FROM cents
+             |  UNION ALL SELECT l_orderkey, 'tax_c', tax_c FROM cents)
+             |SELECT metric,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(v) AS BIGINT) AS n_vals,
+             |       sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+             |FROM long GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- window-analytics breadth: lag/lead, ntile, percent_rank,
+    //      cume_dist, and a running sum over ONE (custkey, orderdate)
+    //      sort — all six functions share a single window shuffle (one
+    //      WindowExec pass per frame class, one Exchange total). The
+    //      rank ratios leave as half-up-rounded micros via the literal
+    //      floor(x*1e6 + 0.5) both engines evaluate identically. ----
+    Q(
+      "w2_window_analytics",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderdate"),
+            (dec(col("o_totalprice")) * 100).cast("long").as("cents")
+          )
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("cents"),
+            lag(col("cents"), 1).over(w).as("prev_cents"),
+            lead(col("cents"), 1).over(w).as("next_cents"),
+            ntile(4).over(w).as("quartile"),
+            floor(percent_rank().over(w) * 1000000 + 0.5).cast("long").as("pr_micro"),
+            floor(cume_dist().over(w) * 1000000 + 0.5).cast("long").as("cd_micro"),
+            sum(col("cents")).over(wRun).as("run_cents")
+          )
+      },
+      Some("""WITH cents AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, cents,
+             |  lag(cents, 1) OVER w AS prev_cents,
+             |  lead(cents, 1) OVER w AS next_cents,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_micro,
+             |  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_micro,
+             |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+             |FROM cents
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
     )
   )
 }

@@ -248,6 +248,116 @@ object TemporalQueries {
              |  ON e.ts >= sp.span_start AND e.ts <= sp.span_end
              | AND e.user_id <> sp.user_id
              |GROUP BY 1, 2, 3, 4""".stripMargin)
+    ),
+
+    // ---- time-series gap-fill + forward-fill: densify each user's
+    //      event stream to an hourly grid (sequence + explode — a
+    //      narrow generator, no driver loop) and carry the last
+    //      observed value across the gaps with last(_, ignoreNulls)
+    //      over an unbounded-preceding frame. Within-hour collapse is
+    //      deterministic (arg-max on event_id). Linear: one hourly agg,
+    //      one per-user span agg, one grid join, one fill window —
+    //      every stage partitions by user/hour, no all-pairs anywhere. ----
+    Q(
+      "t_gap_fill_hourly",
+      (s, dir) => {
+        val ev = Tables
+          .events(s, dir)
+          .select(
+            col("user_id"),
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")
+          )
+        val hourly = ev
+          .groupBy(col("user_id"), col("hour"))
+          .agg(max_by(col("cents"), col("event_id")).as("obs_cents"))
+        val grid = ev
+          .groupBy(col("user_id"))
+          .agg(min(col("hour")).as("h_lo"), max(col("hour")).as("h_hi"))
+          .select(
+            col("user_id"),
+            explode(sequence(col("h_lo"), col("h_hi"), expr("interval 1 hour"))).as("hour")
+          )
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .join(hourly, Seq("user_id", "hour"), "left")
+          .select(
+            col("user_id"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+            when(col("obs_cents").isNull, 1).otherwise(0).cast("int").as("is_gap"),
+            last(col("obs_cents"), ignoreNulls = true).over(w).as("filled_cents")
+          )
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS hour, event_id,
+             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |hourly AS (
+             |  SELECT user_id, hour, arg_max(cents, event_id) AS obs_cents
+             |  FROM ev GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+             |  FROM ev GROUP BY user_id)
+             |SELECT g.user_id,
+             |       strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             |       CAST(CASE WHEN h.obs_cents IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+             |       last_value(h.obs_cents IGNORE NULLS) OVER (
+             |         PARTITION BY g.user_id ORDER BY g.hour
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+             |FROM grid g LEFT JOIN hourly h
+             |  ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin)
+    ),
+
+    // ---- rolling-window aggregation over a daily series: the ROWS
+    //      frame (last 7 observations) vs the RANGE frame (last 7
+    //      calendar days over an epoch-day integer) — they differ
+    //      exactly where days are missing, which the fixture has. One
+    //      daily-agg shuffle + ONE window shuffle evaluates both
+    //      frames (same partition/sort, two frame specs). Sums are
+    //      BIGINT cents — exact in both engines. ----
+    Q(
+      "t_rolling_daily_sum",
+      (s, dir) => {
+        val daily = Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderpriority").as("prio"),
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")).as("day_num"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents")
+          )
+          .groupBy(col("prio"), col("day_num"))
+          .agg(sum(col("cents")).as("day_cents"), count(lit(1)).as("n_orders"))
+        val base = Window.partitionBy(col("prio")).orderBy(col("day_num"))
+        val rows7 = base.rowsBetween(-6, Window.currentRow)
+        val range7 = base.rangeBetween(-6, Window.currentRow)
+        daily.select(
+          col("prio"),
+          col("day_num").cast("int").as("day_num"),
+          col("day_cents"),
+          col("n_orders"),
+          sum(col("day_cents")).over(rows7).as("rows7_cents"),
+          sum(col("day_cents")).over(range7).as("range7_cents"),
+          max(col("day_cents")).over(range7).as("range7_max")
+        )
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority AS prio,
+             |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS day_cents,
+             |         CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT prio, CAST(day_num AS INT) AS day_num, day_cents, n_orders,
+             |  sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rows7_cents,
+             |  sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range7_cents,
+             |  max(day_cents) OVER (PARTITION BY prio ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range7_max
+             |FROM daily""".stripMargin)
     )
   )
 }
