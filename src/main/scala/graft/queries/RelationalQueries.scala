@@ -752,6 +752,63 @@ object RelationalQueries {
              |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
              |FROM cents
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+    ),
+
+    // ---- DQ: bivariate statistics (Pearson correlation, sample
+    //      covariance, sample stddev) per group — one partial-agg'd
+    //      shuffle, co-moments merged associatively (the single-pass
+    //      distributed shape). Doubles leave on the half-up 1e-6 grid
+    //      both engines evaluate from the same literal expression;
+    //      co-moment accumulation-order noise (~1e-12 relative) sits
+    //      far inside the grid. ----
+    Q(
+      "dq_correlation_stats",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            floor(corr(col("l_quantity"), col("l_extendedprice")) * 1000000 + 0.5)
+              .cast("long")
+              .as("corr_micro"),
+            floor(covar_samp(col("l_quantity"), col("l_discount")) * 1000000 + 0.5)
+              .cast("long")
+              .as("covar_micro"),
+            floor(stddev_samp(col("l_quantity")) * 1000000 + 0.5).cast("long").as("sd_qty_micro")
+          ),
+      Some("""SELECT l_returnflag,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5) AS BIGINT) AS corr_micro,
+             |       CAST(floor(covar_samp(l_quantity, l_discount) * 1000000 + 0.5) AS BIGINT) AS covar_micro,
+             |       CAST(floor(stddev_samp(l_quantity) * 1000000 + 0.5) AS BIGINT) AS sd_qty_micro
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- set operators beyond UNION: INTERSECT / EXCEPT with their
+    //      standard set-distinct semantics (both lower to aggregation /
+    //      left-anti shapes — one shuffle each on the compare key, no
+    //      nested loops). ----
+    Q(
+      "set_intersect_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def keys(status: String): DataFrame =
+          o.where(col("o_orderstatus") === status).select(col("o_custkey"))
+        val f = keys("F")
+        val op = keys("O")
+        f.intersect(op)
+          .withColumn("set_op", lit("both"))
+          .unionByName(f.except(op).withColumn("set_op", lit("f_only")))
+          .unionByName(op.except(f).withColumn("set_op", lit("o_only")))
+      },
+      Some("""WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+             |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |SELECT o_custkey, 'both' AS set_op FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+             |UNION ALL
+             |SELECT o_custkey, 'f_only' FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+             |UNION ALL
+             |SELECT o_custkey, 'o_only' FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)""".stripMargin)
     )
   )
 }

@@ -1921,6 +1921,53 @@ object TextQueries {
              |       CAST(CASE WHEN sc.n_trans IS NULL THEN -1
              |                 ELSE sp // sc.n_trans END AS BIGINT) AS score_micro
              |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin)
+    ),
+
+    // ---- blocked edit-distance fuzzy matching over the CANONICALIZED
+    //      value vocabulary: dedup-to-distinct first (min-id
+    //      representative + family size), THEN compare — instance-level
+    //      fuzzy matching on a corpus with exact-duplicate families is
+    //      quadratic in family size for pure noise (measured 3.9M pairs
+    //      at sf0.1 instance-level vs 24 vocabulary-level). The
+    //      vocabulary is bounded by the value domain, not the corpus, so
+    //      this is the record-linkage shape that survives 100 TB. ----
+    Q(
+      "dedup_edit_distance",
+      (s, dir) => {
+        val canon = Tables
+          .part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("fam"))
+        val pairs = graft.operators.FuzzyDedup.blockedPairs(
+          canon.select(col("id"), col("p_name")),
+          col("id"),
+          col("p_name"),
+          element_at(split(col("p_name"), " "), 2),
+          maxDist = 2
+        )
+        pairs
+          .join(canon.select(col("p_name").as("text_a"), col("fam").as("fam_a")), Seq("text_a"))
+          .join(canon.select(col("p_name").as("text_b"), col("fam").as("fam_b")), Seq("text_b"))
+          .select(
+            col("id_a"),
+            col("id_b"),
+            col("text_a"),
+            col("text_b"),
+            col("dist"),
+            col("fam_a"),
+            col("fam_b")
+          )
+      },
+      Some("""WITH c AS (
+             |  SELECT p_name AS txt, min(p_partkey) AS id, CAST(count(*) AS BIGINT) AS fam
+             |  FROM part GROUP BY 1),
+             |t AS (SELECT *, split_part(txt, ' ', 2) AS blk FROM c)
+             |SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b,
+             |       CAST(levenshtein(a.txt, b.txt) AS INT) AS dist,
+             |       a.fam AS fam_a, b.fam AS fam_b
+             |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+             |WHERE abs(length(a.txt) - length(b.txt)) <= 2
+             |  AND levenshtein(a.txt, b.txt) <= 2""".stripMargin)
     )
   )
 }
