@@ -809,6 +809,171 @@ object RelationalQueries {
              |SELECT o_custkey, 'f_only' FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
              |UNION ALL
              |SELECT o_custkey, 'o_only' FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)""".stripMargin)
+    ),
+
+    // ---- full OUTER join: reconcile two pre-aggregated per-nation
+    //      summaries whose key sets only partially overlap (rare-balance
+    //      filters force one-sided rows). Both sides aggregate BEFORE
+    //      the join, so the full-outer is summary-vs-summary — one
+    //      sort-merge exchange over nation-sized inputs, never
+    //      fact-vs-fact. USING-key coalescing matches both engines. ----
+    Q(
+      "j4_full_outer_reconcile",
+      (s, dir) => {
+        val c = Tables
+          .customer(s, dir)
+          .where(col("c_acctbal") < -900)
+          .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = Tables
+          .supplier(s, dir)
+          .where(col("s_acctbal") > 9900)
+          .groupBy(col("s_nationkey").cast("int").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+          .select(
+            col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            when(col("n_cust").isNull, lit("supp_only"))
+              .when(col("n_supp").isNull, lit("cust_only"))
+              .otherwise(lit("both"))
+              .as("side")
+          )
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(c_nationkey AS INT) AS nationkey, CAST(count(*) AS BIGINT) AS n_cust
+             |  FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+             |s AS (
+             |  SELECT CAST(s_nationkey AS INT) AS nationkey, CAST(count(*) AS BIGINT) AS n_supp
+             |  FROM supplier WHERE s_acctbal > 9900 GROUP BY 1)
+             |SELECT nationkey,
+             |       coalesce(c.n_cust, 0) AS n_cust,
+             |       coalesce(s.n_supp, 0) AS n_supp,
+             |       CASE WHEN c.n_cust IS NULL THEN 'supp_only'
+             |            WHEN s.n_supp IS NULL THEN 'cust_only'
+             |            ELSE 'both' END AS side
+             |FROM c FULL JOIN s USING (nationkey)""".stripMargin)
+    ),
+
+    // ---- LEFT SEMI / LEFT ANTI as first-class plans (EXISTS / NOT
+    //      EXISTS): existence probes never duplicate the probe side
+    //      (a customer with 40 'F' orders counts once — an inner join
+    //      would fan out) and the build side carries only the join key
+    //      through the exchange. ----
+    Q(
+      "j5_semi_anti_exists",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        def counted(d: DataFrame, label: String): DataFrame =
+          d.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")).withColumn("probe", lit(label))
+        counted(cust.join(f, cust("c_custkey") === f("o_custkey"), "left_semi"), "has_f")
+          .unionByName(
+            counted(cust.join(f, cust("c_custkey") === f("o_custkey"), "left_anti"), "no_f")
+          )
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, 'has_f' AS probe
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |GROUP BY 1
+             |UNION ALL
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, 'no_f' AS probe
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- GROUPING SETS with a hand-picked (non-lattice) set list —
+    //      the general form under ROLLUP/CUBE: only the requested
+    //      levels expand (3 here, vs CUBE's 4), still one Expand + one
+    //      partial-agg'd shuffle. ----
+    Q(
+      "a10_grouping_sets",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .select(
+            col("l_returnflag"),
+            col("l_linestatus"),
+            col("l_quantity").cast("long").as("qty")
+          )
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"),
+            col("l_linestatus")
+          )
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            sum(col("qty")).as("sum_qty")
+          ),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+    ),
+
+    // ---- scalar subquery (orders above the global average price):
+    //      the aggregate collapses to ONE row that cross-joins back as
+    //      a broadcast — the fact table is scanned once and never
+    //      shuffles for the comparison. The threshold leaves as the
+    //      floor'd cents integer both engines compute from the same
+    //      double division (sum/n < 2^53, exact). ----
+    Q(
+      "p10_scalar_subquery_filter",
+      (s, dir) => {
+        val o = Tables
+          .orders(s, dir)
+          .select(col("o_orderpriority"), (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+        val thr = o.agg(floor(sum(col("cents")).cast("double") / count(lit(1))).cast("long").as("thr_cents"))
+        o.join(broadcast(thr))
+          .where(col("cents") > col("thr_cents"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_above"), max(col("thr_cents")).as("thr_cents"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM orders),
+             |t AS (SELECT CAST(floor(sum(cents) / count(*)) AS BIGINT) AS thr_cents FROM o)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above, max(t.thr_cents) AS thr_cents
+             |FROM o, t WHERE o.cents > t.thr_cents
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- window value-functions over the FULL frame: first/last/nth
+    //      order per customer from one (custkey, orderdate, orderkey)
+    //      sort — three functions, one WindowExec, one Exchange. The
+    //      explicit ROWS UNBOUNDED..UNBOUNDED frame is spelled in both
+    //      engines (defaults differ: RANGE..CURRENT ROW would make
+    //      last_value the current row). ----
+    Q(
+      "w3_first_last_nth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables
+          .orders(s, dir)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok")
+          )
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       first_value(o_orderkey) OVER w AS first_ok,
+             |       last_value(o_orderkey)  OVER w AS last_ok,
+             |       nth_value(o_orderkey, 2) OVER w AS second_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
     )
   )
 }

@@ -1968,6 +1968,49 @@ object TextQueries {
              |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
              |WHERE abs(length(a.txt) - length(b.txt)) <= 2
              |  AND levenshtein(a.txt, b.txt) <= 2""".stripMargin)
+    ),
+
+    // ---- CCNet-style cross-document line dedup: lines (3-word chunks
+    //      here — the corpus has no newlines) repeating in >= 5 distinct
+    //      docs are boilerplate and are cut from EVERY document before
+    //      any doc-level scoring. Segmentation is posexplode+groupBy —
+    //      linear in doc length (slicing the words array per chunk row
+    //      would be O(len²)); the removal anti-join's build side is only
+    //      the flagged lines. Cleaned text leaves as md5 — the content
+    //      contract without a megabyte column in the compare. ----
+    Q(
+      "text_line_dedup",
+      (s, dir) =>
+        graft.operators.LineDedup
+          .removeBoilerplate(
+            Tables.documents(s, dir),
+            col("doc_id"),
+            col("text"),
+            lineWords = 3,
+            minDocs = 5
+          )
+          .select(
+            col("id").as("doc_id"),
+            col("n_lines"),
+            col("n_removed"),
+            md5(col("cleaned")).as("clean_md5")
+          ),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |idx AS (SELECT doc_id, ws,
+             |               unnest(generate_series(0, CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS li
+             |        FROM d),
+             |lines AS (SELECT doc_id, li, array_to_string(ws[li*3+1 : li*3+3], ' ') AS line FROM idx),
+             |freq AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+             |kept AS (SELECT l.doc_id, l.li, l.line FROM lines l
+             |         WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.line = l.line)),
+             |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY 1),
+             |ck AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |              md5(string_agg(line, ' ' ORDER BY li)) AS k_md5
+             |       FROM kept GROUP BY 1)
+             |SELECT s.doc_id, s.n_lines,
+             |       s.n_lines - coalesce(ck.n_kept, 0) AS n_removed,
+             |       coalesce(ck.k_md5, md5('')) AS clean_md5
+             |FROM stats s LEFT JOIN ck USING (doc_id)""".stripMargin)
     )
   )
 }
