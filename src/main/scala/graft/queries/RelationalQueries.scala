@@ -974,6 +974,99 @@ object RelationalQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+    ),
+
+    // ---- star-schema flagship (TPC-H Q5 shape): 6-table join with
+    //      region/nation/customer/supplier as EXPLICIT broadcasts —
+    //      the fact chain (orders ⋈ lineitem) is the only shuffled
+    //      join; every dim reaches the probe side without an Exchange.
+    //      The date filter pushes to the orders scan; the same-nation
+    //      (customer = supplier) constraint rides the broadcast probes.
+    //      This is the join-reorder / broadcast-planning shape a star
+    //      warehouse runs all day at 100 TB. ----
+    Q(
+      "q5_star_join_revenue",
+      (s, dir) => {
+        val nat = Tables
+          .nation(s, dir)
+          .join(
+            Tables.region(s, dir).where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables
+          .customer(s, dir)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"))
+        val supp = Tables
+          .supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        Tables
+          .orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(
+            Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount")),
+            col("o_orderkey") === col("l_orderkey")
+          )
+          .join(
+            broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey")
+          )
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("decimal(28,4)")
+              .*(lit(10000))
+              .cast("long")
+              .as("revenue_e4"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some("""SELECT n_name,
+             |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS revenue_e4,
+             |       CAST(count(*) AS BIGINT) AS n_items
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name""".stripMargin)
+    ),
+
+    // ---- mode / most-frequent-value per group: two-stage algebraic
+    //      shape — count per (group, value) partial-aggregates map-side,
+    //      then max_by picks the winner with an explicit (count, value)
+    //      tiebreak so both engines elect the same mode. Never a window
+    //      over raw rows. ----
+    Q(
+      "a11_mode_per_group",
+      (s, dir) =>
+        Tables
+          .orders(s, dir)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            // tiebreak as one orderable scalar (zero-padded count, then
+            // value) — DuckDB's arg_max takes no struct ordering key
+            max_by(
+              col("o_orderstatus"),
+              concat(lpad(col("n").cast("string"), 20, "0"), lit("|"), col("o_orderstatus"))
+            ).as("mode_status"),
+            max(col("n")).as("n_max")
+          ),
+      Some("""WITH c AS (
+             |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderpriority,
+             |       arg_max(o_orderstatus, lpad(CAST(n AS VARCHAR), 20, '0') || '|' || o_orderstatus) AS mode_status,
+             |       max(n) AS n_max
+             |FROM c GROUP BY 1""".stripMargin)
     )
   )
 }
