@@ -505,6 +505,40 @@ object RelationalQueries {
       }
     ),
 
+    // ---- directory-level layout: Hive-partitioned lake round-trip with
+    //      an idempotent dynamic-partition-overwrite re-run. The corpus
+    //      lands partitioned by lang, one increment (lang='en') is then
+    //      RE-written via dynamic overwrite — replacing exactly that
+    //      directory, proving increment re-runs cannot clobber siblings —
+    //      and the readback filter prunes to the two named partitions at
+    //      planning time (PartitionFilters, pinned in PartitionedLakeSpec;
+    //      row data of other langs is never opened). ----
+    Q(
+      "layout_partition_prune",
+      (s, dir) => {
+        import graft.sinks.PartitionedLake
+        val lake = TmpWorkspace.scoped(s, "graft_lake", dir)
+        val docs = Tables.documents(s, dir)
+        PartitionedLake.write(docs, lake, Seq("lang"))
+        // idempotent increment re-run: dynamic overwrite of ONE partition
+        // with the same increment must leave the table's answer unchanged
+        PartitionedLake.overwritePartitions(
+          docs.where(col("lang") === "en"),
+          lake,
+          Seq("lang")
+        )
+        PartitionedLake
+          .read(s, lake)
+          .where(col("lang").isin("en", "zh"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, source,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- multi-level aggregation: ROLLUP over (returnflag, linestatus).
     //      One Expand + one aggregation shuffle computes all three
     //      grouping levels; grouping_id disambiguates subtotal NULLs

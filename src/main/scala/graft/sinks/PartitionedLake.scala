@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Hive-style partitioned parquet lake layout — the physical organization
+  * a 100 TB corpus actually lives in. The reference writes flat files and
+  * re-scans everything per load (`ETL/CSV_Batch_Processing.py` reads the
+  * whole source dir); at scale the table must be partitioned on its
+  * coarse access dimensions (load date, language, source) so that
+  *
+  *   - a query filtering on a partition column prunes AT PLANNING time:
+  *     the scan lists only matching `col=value/` directories and its
+  *     `PartitionFilters` never touch row data (vs `PushedFilters`,
+  *     which still opens every file and relies on row-group stats);
+  *   - an incremental load replaces ONLY the partitions it carries
+  *     (dynamic partition overwrite), making re-runs of one increment
+  *     idempotent without rewriting the rest of the table.
+  *
+  * Within-partition multi-dimensional locality is the sibling operator
+  * [[graft.functions.ZOrder]]; this sink owns the directory-level layout.
+  */
+object PartitionedLake {
+  /** Write `df` partitioned by `partitionCols` (Hive directory layout,
+    * one `col=value/` tree per distinct combination). `SaveMode.Overwrite`
+    * with the session's default STATIC overwrite mode replaces the whole
+    * table — use [[overwritePartitions]] for incremental loads.
+    */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Dynamic partition overwrite: replaces exactly the partitions present
+    * in `df`, leaving all other partitions of the table untouched. This is
+    * the idempotent-increment write shape (re-running a load for one day /
+    * one source cannot clobber the rest of the lake). Scoped via the
+    * per-writer option so the session-wide conf is not mutated.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read the lake back; partition columns are recovered from the
+    * directory names by partition discovery. `basePath` keeps the
+    * partition columns visible even when callers point at a subtree.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+}

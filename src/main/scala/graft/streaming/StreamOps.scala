@@ -136,6 +136,36 @@ object StreamOps {
     ).drop(r(keyCol))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * against a STATIC dimension frame — the Structured-Streaming twin of
+    * the batch broadcast-dim enrich (SURVEY §2.4 J2 / U2–U4 lookups,
+    * reference `ETL/XML_Streaming.py`'s consumer-side dimension decode).
+    * Stateless: unlike a stream-stream join nothing is buffered, so no
+    * watermark is required. The static subplan re-executes per
+    * micro-batch, but a plain-parquet dimension's file listing is
+    * resolved ONCE at query start — the dim is a fixed snapshot for the
+    * query's lifetime (pinned in StreamOpsSpec; per-batch dim refresh is
+    * a transactional-table-format capability, or re-read the dim inside
+    * `foreachBatch` where each batch plans a fresh static side).
+    * `broadcastDim` pins the scale shape: a small dim ships to executors
+    * once per batch and the (unbounded) stream side never shuffles.
+    *
+    * Only stream-left join types are stateless-legal here: "inner" drops
+    * unmatched events, "left_outer" keeps them with null dim columns
+    * (right/full outer against a static right would need the static side
+    * to wait on stream completion — rejected by Spark).
+    */
+  def enrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      joinType: String = "left_outer",
+      broadcastDim: Boolean = true
+  ): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, Seq(keyCol), joinType)
+  }
+
   /** Watermark-bounded streaming dedup: drops key replays that arrive
     * within the watermark delay of the first occurrence, with state
     * evicted as the watermark advances (Spark's

@@ -1,0 +1,74 @@
+package graft
+
+import graft.sinks.PartitionedLake
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class PartitionedLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs3 = Seq(
+    (1L, "en", 10L),
+    (2L, "en", 20L),
+    (3L, "fr", 30L),
+    (4L, "zh", 40L)
+  ).toDF("doc_id", "lang", "n_chars")
+
+  test("partition-column filter prunes directories at planning time") {
+    val path = tempDir("lake-prune")
+    PartitionedLake.write(docs3, path, Seq("lang"))
+
+    val pruned = PartitionedLake.read(spark, path).where($"lang" === "en")
+    val scan = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .head
+    // the lang predicate is a PARTITION filter (directory-level listing
+    // prune), not a pushed data filter that still opens every file
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")))
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files)
+      .map(_.getPath.toString)
+    assert(listed.nonEmpty && listed.forall(_.contains("lang=en")), listed.mkString("\n"))
+    assert(pruned.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dynamic partition overwrite replaces only the partitions in the increment") {
+    val path = tempDir("lake-dynamic")
+    PartitionedLake.write(docs3, path, Seq("lang"))
+
+    // re-load of the 'en' increment with revised rows
+    val increment = Seq((1L, "en", 11L), (9L, "en", 90L)).toDF("doc_id", "lang", "n_chars")
+    PartitionedLake.overwritePartitions(increment, path, Seq("lang"))
+
+    val got = PartitionedLake
+      .read(spark, path)
+      .select($"doc_id", $"lang", $"n_chars")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSet
+    assert(
+      got == Set(
+        (1L, "en", 11L), (9L, "en", 90L), // en replaced (2L gone)
+        (3L, "fr", 30L), (4L, "zh", 40L)  // siblings untouched
+      )
+    )
+  }
+
+  test("dynamic overwrite of an identical increment is idempotent") {
+    val path = tempDir("lake-idem")
+    PartitionedLake.write(docs3, path, Seq("lang"))
+    val before = PartitionedLake.read(spark, path).collect().toSet
+    PartitionedLake.overwritePartitions(docs3.where($"lang" === "en"), path, Seq("lang"))
+    val after = PartitionedLake.read(spark, path).collect().toSet
+    assert(after == before)
+  }
+
+  test("full write replaces the whole table (static overwrite contract)") {
+    val path = tempDir("lake-static")
+    PartitionedLake.write(docs3, path, Seq("lang"))
+    PartitionedLake.write(docs3.where($"lang" === "zh"), path, Seq("lang"))
+    val langs = PartitionedLake.read(spark, path).select($"lang").distinct().as[String].collect()
+    assert(langs.toSeq == Seq("zh"))
+  }
+}

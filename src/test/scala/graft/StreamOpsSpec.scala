@@ -170,6 +170,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "first", 2L -> "only"))
   }
 
+  test("enrichStatic: stateless stream-static left join; dim is a fixed snapshot") {
+    implicit val sq = spark.sqlContext
+    val dimDir = tempDir("stream-dim")
+    Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+      .write.mode("overwrite").parquet(dimDir)
+
+    val stream = MemoryStream[(Long, Long)]
+    val out = StreamOps.enrichStatic(
+      stream.toDF().toDF("user_id", "v"),
+      spark.read.parquet(dimDir),
+      keyCol = "user_id"
+    )
+    val q = out.writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData((1L, 10L), (3L, 30L)) // 3 has no dim row
+      q.processAllAvailable()
+      val batch1 = spark.table("enriched").select($"user_id", $"v", $"name")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(batch1 == Set((1L, 10L, Some("alice")), (3L, 30L, None)))
+
+      // later batches join statelessly (no watermark, nothing buffered);
+      // a dim file landing mid-query is NOT seen — the plain-parquet dim
+      // listing resolved at query start (per-batch refresh = foreachBatch
+      // re-read or a transactional table format)
+      Seq((3L, "carol")).toDF("user_id", "name").write.mode("append").parquet(dimDir)
+      stream.addData((2L, 20L), (3L, 31L))
+      q.processAllAvailable()
+      val batch2 = spark.table("enriched").as[(Long, Long, Option[String])].collect().toSet
+      assert(batch2.contains((2L, 20L, Some("bob"))))
+      assert(batch2.contains((3L, 31L, None)))
+    } finally q.stop()
+  }
+
   test("multimodal resize: real PNG in/out, nearest-neighbor pixels, refreshed metadata") {
     val packed = Multimodal.pack(Seq((1L, "payload-one")).toDF("id", "data"), "id", "data", "image", "img/fake")
     val img    = Multimodal.toImagePayload(packed, w = 4, h = 4)
