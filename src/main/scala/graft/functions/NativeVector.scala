@@ -247,6 +247,23 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_unicode"),
+      new ExpressionInfo(classOf[UnicodeNorm].getName, "graft_unicode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_unicode expects (text, mode), got ${children.size}")
+        val mode = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+                .Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+            v.toString
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_unicode mode must be a string literal, got $other"
+            )
+        }
+        UnicodeNorm(children.head, mode)
+      }
+    ),
+    (
       FunctionIdentifier("graft_cosine_pairs"),
       new ExpressionInfo(classOf[CosinePairs].getName, "graft_cosine_pairs"),
       (children: Seq[Expression]) => {

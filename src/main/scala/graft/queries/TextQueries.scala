@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * Spark programs use, so the two sides cannot drift.
   */
 object TextQueries {
+  /** Shared Unicode-fixture constants: the Spark fixture and the DuckDB
+    * oracle both interpolate THESE strings, so each engine receives
+    * byte-identical codepoint sequences (precomposed vs combining-mark
+    * spellings, full-width compat letters).
+    */
+  private val NfcCafe      = "café "                       // é precomposed
+  private val NfdCafe      = "café "                      // e + combining acute
+  private val MixedAccents = "Zürich São ñino " // ü, ã, n+combining tilde
+  private val FwAbc        = "ａｂｃ"               // full-width abc (NFKC -> abc)
+
   /** DuckDB twin of Fingerprint.seededLongHash. */
   private def sqlHash(seed: Int, expr: String): String =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
@@ -1881,6 +1891,54 @@ object TextQueries {
            |    '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
            |FROM notes""".stripMargin
       }
+    ),
+
+    // ---- Unicode canonicalization (the FIRST prep stage: NFD vs NFC
+    //      spellings of one word hash as different docs unless the corpus
+    //      is normalized before any fingerprint). Fixture is constructed
+    //      from shared Scala constants so both engines receive byte-
+    //      identical codepoint sequences: alternating precomposed/
+    //      decomposed accents (NFC folds them together — n_raw differs,
+    //      h_nfc agrees), full-width letters on doc_id%3 (NFC keeps them,
+    //      NFKC folds to ASCII — the oracle states that expectation via
+    //      replace() since DuckDB has no NFKC), and strip_accents as the
+    //      search-key fold both engines compute natively. ----
+    Q(
+      "text_unicode_normalize",
+      (s, dir) => {
+        def uni(c: org.apache.spark.sql.Column, mode: String) =
+          call_function("graft_unicode", c, lit(mode))
+        val title = concat(
+          when(col("doc_id") % 2 === 0, lit(NfcCafe)).otherwise(lit(NfdCafe)),
+          lit(MixedAccents),
+          col("lang"), lit(" #"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, lit(FwAbc)).otherwise(lit(""))
+        )
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), title.as("title"))
+          .select(
+            col("doc_id"),
+            length(col("title")).as("n_raw"),
+            length(uni(col("title"), "nfc")).as("n_nfc"),
+            md5(uni(col("title"), "nfc")).as("h_nfc"),
+            md5(uni(col("title"), "nfkc")).as("h_nfkc"),
+            uni(col("title"), "strip_accents").as("stripped")
+          )
+      },
+      Some(s"""WITH titles AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 2 = 0 THEN '$NfcCafe' ELSE '$NfdCafe' END
+              |    || '$MixedAccents' || lang || ' #' || CAST(doc_id AS VARCHAR)
+              |    || CASE WHEN doc_id % 3 = 0 THEN '$FwAbc' ELSE '' END AS title
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(length(title) AS INT) AS n_raw,
+              |  CAST(length(nfc_normalize(title)) AS INT) AS n_nfc,
+              |  md5(nfc_normalize(title)) AS h_nfc,
+              |  md5(replace(nfc_normalize(title), '$FwAbc', 'abc')) AS h_nfkc,
+              |  strip_accents(title) AS stripped
+              |FROM titles""".stripMargin)
     ),
 
     // ---- corpus bigram LM quality score (CCNet-style filter signal).
