@@ -50,4 +50,45 @@ object PartitionedLake {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
+
+  /** Small-file compaction: rewrite the lake so each partition directory
+    * holds ONE file (or `ceil(rows / maxRecordsPerFile)` files for jumbo
+    * partitions). Incremental loads leave a file per load per partition;
+    * at corpus scale the resulting listing + open cost dominates scans
+    * long before row data does, so periodic compaction is part of the
+    * lake's lifecycle, not an optimization.
+    *
+    * `repartition(partitionCols)` hash-clusters every partition's rows
+    * into one task, so the writer emits one file per directory (the
+    * `maxRecordsPerFile` option then splits only oversized partitions).
+    * The rewrite lands in a staging dir and swaps in via the same
+    * rename-aside discipline as SnapshotSink.upsert: the old layout is
+    * renamed ASIDE before the new one moves in, so every crash point
+    * leaves a complete copy recoverable by a rename (readers of `path`
+    * never observe a half-written table).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    val staging = path + ".compacting"
+    val writer = read(spark, path)
+      .repartition(partitionCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(staging)
+
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (fs.exists(bak)) fs.delete(bak, true) // leftover from a completed prior swap
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.delete(bak, true)
+  }
 }

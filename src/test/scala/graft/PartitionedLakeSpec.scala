@@ -64,6 +64,35 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("compact collapses per-load small files to one per partition, data intact") {
+    val path = tempDir("lake-compact")
+    // three incremental loads -> >= 3 files per touched partition
+    (0 until 3).foreach { load =>
+      val inc = (0 until 10).map(i => (load * 100L + i, if (i % 2 == 0) "en" else "fr", i.toLong))
+        .toDF("doc_id", "lang", "n_chars")
+        .repartition(4) // small-file problem: multiple writers per partition
+      if (load == 0) PartitionedLake.write(inc, path, Seq("lang"))
+      else {
+        inc.write.mode("append").partitionBy("lang").parquet(path)
+      }
+    }
+    def filesPerPartition(): Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("lang=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    val before = PartitionedLake.read(spark, path).collect().toSet
+    assert(filesPerPartition().values.forall(_ >= 3))
+
+    PartitionedLake.compact(spark, path, Seq("lang"))
+    assert(filesPerPartition() == Map("lang=en" -> 1, "lang=fr" -> 1))
+    assert(PartitionedLake.read(spark, path).collect().toSet == before)
+
+    // jumbo-partition escape hatch: bounded rows per file
+    PartitionedLake.compact(spark, path, Seq("lang"), maxRecordsPerFile = 4)
+    assert(filesPerPartition().values.forall(_ == 4)) // 15 rows / 4 -> 4 files
+    assert(PartitionedLake.read(spark, path).collect().toSet == before)
+  }
+
   test("full write replaces the whole table (static overwrite contract)") {
     val path = tempDir("lake-static")
     PartitionedLake.write(docs3, path, Seq("lang"))
