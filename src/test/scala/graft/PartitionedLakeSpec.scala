@@ -93,6 +93,40 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(PartitionedLake.read(spark, path).collect().toSet == before)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val path = tempDir("lake-dpp")
+    // fact partitioned on the join key; dim filter is NOT a literal on the
+    // fact, so static pruning can't fire — DPP injects a runtime subquery
+    // partition discovery infers part_key=<n> dirs as INT — the dim key
+    // must match that type exactly: a cast() around the partition column
+    // in the join key disqualifies it from DPP
+    val fact = spark.range(2000)
+      .select($"id", ($"id" % 10).cast("int").as("part_key"))
+    PartitionedLake.write(fact, path, Seq("part_key"))
+    // the dim must be a real relation with a surviving Filter: a local
+    // Seq would be constant-folded (filter and all) into a LocalRelation
+    // and DPP would see no selective predicate to prune with
+    val dimDir = tempDir("lake-dpp-dim")
+    (0 until 10).map(k => (k, if (k == 3 || k == 7) "keep" else "drop"))
+      .toDF("part_key", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+
+    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try {
+      val joined = PartitionedLake.read(spark, path)
+        .join(dim.where($"tag" === "keep"), "part_key")
+      // execute THIS queryExecution so the adaptive plan finalizes — a
+      // .count() would plan (and prune) in a separate query execution
+      assert(joined.collect().length == 400) // 2 of 10 partitions x 200 rows
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), s"no DPP subquery in plan:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", v)
+      case None    => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    }
+  }
+
   test("full write replaces the whole table (static overwrite contract)") {
     val path = tempDir("lake-static")
     PartitionedLake.write(docs3, path, Seq("lang"))
