@@ -977,6 +977,44 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // ---- nested-array analytics via higher-order functions: per-order
+    //      quantity vectors built ONCE by the aggregation (array_sort of
+    //      collect_list fixes the nondeterministic gather order), then
+    //      aggregate/filter/zip_with lambdas consume the MATERIALIZED
+    //      column — HOF lambdas re-evaluate their argument subtree per
+    //      reference, so the array must be staged by the agg, never
+    //      derived inline under the lambdas. All-integer outputs keep
+    //      the cross-engine compare exact (dot product of longs). ----
+    Q(
+      "p11_array_hof",
+      (s, dir) =>
+        Tables
+          .lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qs"))
+          .select(
+            col("l_orderkey"),
+            size(col("qs")).as("n_items"),
+            aggregate(col("qs"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+            size(filter(col("qs"), _ > 25L)).as("n_big"),
+            element_at(col("qs"), 1).as("min_q"),
+            element_at(col("qs"), -1).as("max_q"),
+            aggregate(zip_with(col("qs"), reverse(col("qs")), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+              .as("dot_rev")
+          ),
+      Some("""WITH qs AS (
+             |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey,
+             |  CAST(len(qs) AS INT) AS n_items,
+             |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
+             |  CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+             |  qs[1] AS min_q,
+             |  qs[-1] AS max_q,
+             |  CAST(list_dot_product(qs, list_reverse(qs)) AS BIGINT) AS dot_rev
+             |FROM qs""".stripMargin)
+    ),
+
     // ---- window value-functions over the FULL frame: first/last/nth
     //      order per customer from one (custkey, orderdate, orderkey)
     //      sort — three functions, one WindowExec, one Exchange. The
