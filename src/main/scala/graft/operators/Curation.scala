@@ -47,6 +47,32 @@ object Curation {
     df.where(TextFunctions.splitBucket(col(idCol), RateDenominator, salt) < rate)
   }
 
+  /** Micro-unit denominator for [[weightedSample]] weights: a weight of
+    * 1_000_000 means "always keep".
+    */
+  val WeightDenominator = 1000000
+
+  /** Weighted (importance) sampling: keep each row with probability
+    * `weightMicro / 1e6`, where the weight is a per-ROW column (quality
+    * score, source priority, length prior) rather than a per-stratum
+    * constant — the "upsample the good data" half of data mixing that
+    * [[stratifiedSample]]'s fixed per-stratum rates cannot express.
+    *
+    * Same determinism contract as the other curation primitives: the
+    * keep decision is `salted-md5-bucket(id) < weightMicro`, so it is
+    * reproducible across runs/engines/partitioning, per-row MONOTONE in
+    * the weight (raising a row's weight can only keep it), and a new
+    * salt is an independent redraw. Pure codegen'd filter on a map
+    * stage: no join, no shuffle, linear at 100 TB.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightMicro: Column,
+      salt: String
+  ): DataFrame =
+    df.where(TextFunctions.splitBucket(col(idCol), WeightDenominator, salt) < weightMicro)
+
   /** Deterministic corpus SHUFFLE assignment — the standard way to
     * randomize 100 TB of training data: give every row a pseudorandom
     * but reproducible position (shard, pos_in_shard) derived from a

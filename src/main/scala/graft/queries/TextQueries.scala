@@ -1148,6 +1148,30 @@ object TextQueries {
       }
     ),
 
+    // ---- corpus curation: weighted (importance) sampling — keep
+    //      probability proportional to a per-ROW weight column (here a
+    //      capped length prior), the "upsample the good data" half of
+    //      data mixing. Same salted-md5 determinism as the stratified
+    //      path; micro-unit integer weights keep both engines' compare
+    //      exact. ----
+    Q(
+      "curation_weighted_sample",
+      (s, dir) => {
+        val w = least(lit(Curation.WeightDenominator.toLong), col("n_chars") * 1800L)
+        Curation
+          .weightedSample(Tables.documents(s, dir), "doc_id", w, "epoch1")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents
+              |WHERE CAST('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              |        % ${Curation.WeightDenominator}
+              |      < least(${Curation.WeightDenominator}, n_chars * 1800)
+              |GROUP BY 1""".stripMargin)
+    ),
+
     // ---- corpus curation: deterministic stratified sampling (the
     //      data-mixing step — per-language keep rates, salted-md5
     //      buckets, reproducible under re-ingestion; one codegen'd

@@ -67,6 +67,26 @@ class CurationSpec extends SparkSpec {
     assert(c.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
   }
 
+  test("weightedSample: deterministic, monotone in the weight, boundary weights exact") {
+    val n = 2000
+    val base = spark.range(n).select($"id")
+    def kept(wMicro: org.apache.spark.sql.Column): Set[Long] =
+      Curation.weightedSample(base, "id", wMicro, "ws-1").as[Long].collect().toSet
+
+    // boundary weights: 0 keeps nothing, the full denominator keeps all
+    assert(kept(lit(0L)).isEmpty)
+    assert(kept(lit(Curation.WeightDenominator.toLong)).size == n)
+    // empirical rate tracks a constant weight (md5 uniformity, wide tolerance)
+    val quarter = kept(lit(250000L)).size
+    assert(quarter > n / 4 - n / 10 && quarter < n / 4 + n / 10, s"rate off: $quarter/$n")
+    // per-row monotone: raising every weight only ADDS rows
+    assert(kept(lit(250000L)).subsetOf(kept(lit(500000L))))
+    // deterministic rerun; a new salt is an independent redraw
+    assert(kept(lit(250000L)) == kept(lit(250000L)))
+    val other = Curation.weightedSample(base, "id", lit(250000L), "ws-2").as[Long].collect().toSet
+    assert(other != kept(lit(250000L)))
+  }
+
   test("rate 0 drops a stratum entirely; rate 1000 keeps it entirely") {
     val kept = Curation
       .stratifiedSample(docs, "id", "lang", Map("en" -> 0, "de" -> 1000), 0, "t-v1")
