@@ -79,6 +79,17 @@ object Scd2 {
     closed.select(cols: _*).unionByName(incoming.drop(CdcRouter.RouterCol).select(cols: _*))
   }
 
+  /** Point-in-time snapshot reconstruction (time travel). An SCD2 table
+    * IS a full history, so the state as of instant `ts` is exactly the
+    * rows whose validity interval covers it: START_DATE <= ts < END_DATE.
+    * A pure codegen'd filter over the snapshot scan — zero shuffle — and
+    * on a lake partitioned by START_DATE the left bound prunes
+    * partitions, so reconstructing an old state never reads rows born
+    * after it.
+    */
+  def asOf(snapshot: DataFrame, ts: Column): DataFrame =
+    snapshot.where(col(StartDate) <= ts && ts < col(EndDate))
+
   /** Active-rows probe projection for the next CDC round (reference S2). */
   def activeProbe(snapshot: DataFrame, key: String, hash: String, id: String): DataFrame =
     snapshot
