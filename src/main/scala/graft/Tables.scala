@@ -21,15 +21,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a raw
-    * Long (legacy nanosAsLong) and convert to a micro-precision timestamp
-    * executor-side (`timestamp_micros(ns div 1000)`).
+  /** `events.ts` has shipped in two generations of the test fixtures:
+    * parquet TIMESTAMP(NANOS) (which Spark's reader only surfaces as a raw
+    * Long under `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * TIMESTAMP(MICROS). Branch on the *actual* schema so both stay
+    * readable; the conversion to micro-precision happens executor-side
+    * (`timestamp_micros(ns div 1000)`), no driver work.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // TIMESTAMP_NTZ (parquet micros, isAdjustedToUTC=false) → session-tz
+        // TIMESTAMP so every downstream epoch function (unix_micros, window,
+        // etc.) resolves; identity on wall-clock under the UTC session tz.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

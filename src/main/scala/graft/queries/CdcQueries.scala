@@ -230,7 +230,7 @@ object CdcQueries {
     Q(
       "k2_audit_persist",
       (s, dir) => {
-        val out = s"/tmp/graft_audit/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val out = TmpWorkspace.scoped(s, "graft_audit", dir)
         val fs  = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh, deterministic table
 

@@ -590,12 +590,12 @@ object RelationalQueries {
             col("P").as("cents_p")
           ),
       Some("""SELECT o_orderpriority,
-             |  sum(CASE WHEN o_orderstatus = 'O'
-             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_o,
-             |  sum(CASE WHEN o_orderstatus = 'F'
-             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_f,
-             |  sum(CASE WHEN o_orderstatus = 'P'
-             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS cents_p
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS cents_p
              |FROM orders GROUP BY 1""".stripMargin)
     ),
 
@@ -683,7 +683,7 @@ object RelationalQueries {
       Some("""SELECT o_orderpriority, o_orderstatus,
              |       CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
              |       CAST(count(*) AS BIGINT) AS n,
-             |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents
+             |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM orders
              |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)
     ),
@@ -734,7 +734,7 @@ object RelationalQueries {
              |SELECT metric,
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(count(v) AS BIGINT) AS n_vals,
-             |       sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v
+             |       CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v
              |FROM long GROUP BY 1""".stripMargin)
     ),
 
@@ -782,8 +782,8 @@ object RelationalQueries {
              |  CAST(ntile(4) OVER w AS INT) AS quartile,
              |  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_micro,
              |  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_micro,
-             |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+             |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
              |FROM cents
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
     ),
@@ -945,7 +945,7 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, l_linestatus,
              |       CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
              |       CAST(count(*) AS BIGINT) AS n,
-             |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
     ),

@@ -17,10 +17,8 @@ import org.apache.spark.sql.types._
   * conform queries already cover).
   */
 object SourceQueries {
-  private def tmpDir(kind: String, sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
-    s"/tmp/graft_roundtrip/$kind$tag"
-  }
+  private def tmpDir(s: SparkSession, kind: String, sfDir: String): String =
+    TmpWorkspace.scoped(s, "graft_roundtrip", sfDir) + s"_$kind"
 
   private val CsvSchema = StructType(
     Seq(
@@ -60,7 +58,7 @@ object SourceQueries {
     Q(
       "s1_csv_scan",
       (s, dir) => {
-        val path = tmpDir("csv", dir)
+        val path = tmpDir(s, "csv", dir)
         ordersSlice(s, dir).write
           .mode("overwrite")
           .option("header", "true")
@@ -79,7 +77,7 @@ object SourceQueries {
     Q(
       "s3_json_envelope_scan",
       (s, dir) => {
-        val path = tmpDir("json", dir)
+        val path = tmpDir(s, "json", dir)
         ordersSlice(s, dir)
           .select(
             col("o_orderkey").as("key"),
@@ -104,7 +102,7 @@ object SourceQueries {
     Q(
       "s5_orc_roundtrip",
       (s, dir) => {
-        val path = tmpDir("orc", dir)
+        val path = tmpDir(s, "orc", dir)
         Tables
           .orders(s, dir)
           .select(

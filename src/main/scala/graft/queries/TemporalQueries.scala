@@ -347,14 +347,14 @@ object TemporalQueries {
       Some("""WITH daily AS (
              |  SELECT o_orderpriority AS prio,
              |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
-             |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS day_cents,
+             |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS day_cents,
              |         CAST(count(*) AS BIGINT) AS n_orders
              |  FROM orders GROUP BY 1, 2)
              |SELECT prio, CAST(day_num AS INT) AS day_num, day_cents, n_orders,
-             |  sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
-             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rows7_cents,
-             |  sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
-             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range7_cents,
+             |  CAST(sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rows7_cents,
+             |  CAST(sum(day_cents) OVER (PARTITION BY prio ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS range7_cents,
              |  max(day_cents) OVER (PARTITION BY prio ORDER BY day_num
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range7_max
              |FROM daily""".stripMargin)

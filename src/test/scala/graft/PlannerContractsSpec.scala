@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
 class PlannerContractsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** DROP TABLE alone is not idempotent across crashed runs: a fresh
+    * Derby metastore forgets the table but the managed-table *directory*
+    * under spark-warehouse survives, and the next saveAsTable dies with
+    * LOCATION_ALREADY_EXISTS. Drop both.
+    */
+  private def dropTableAndDir(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(wh, t)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
     val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -32,7 +48,7 @@ class PlannerContractsSpec extends SparkSpec {
   }
 
   test("catalog stats auto-broadcast a small table without a hint") {
-    spark.sql("DROP TABLE IF EXISTS pc_dim")
+    dropTableAndDir("pc_dim")
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.saveAsTable("pc_dim")
     spark.sql("ANALYZE TABLE pc_dim COMPUTE STATISTICS")
     val stats = spark.table("pc_dim").queryExecution.optimizedPlan.stats
@@ -47,7 +63,7 @@ class PlannerContractsSpec extends SparkSpec {
 
   test("matching bucketed tables join with zero exchanges") {
     withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      for (t <- Seq("pc_ba", "pc_bb")) spark.sql(s"DROP TABLE IF EXISTS $t")
+      dropTableAndDir("pc_ba", "pc_bb")
       spark.range(1000).select($"id" % 50 as "k", $"id" as "a")
         .write.bucketBy(8, "k").sortBy("k").saveAsTable("pc_ba")
       spark.range(500).select($"id" % 50 as "k", $"id" as "b")
