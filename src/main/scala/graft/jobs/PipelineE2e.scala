@@ -142,6 +142,36 @@ object PipelineE2e {
     counts
   }
 
+  /** Seed + increment for the CSV source only, returning the full
+    * post-increment mart projected to its deterministic columns — the
+    * content-level correctness surface for the composed chain. Every
+    * value is a closed-form function of the orders keyspace (the DuckDB
+    * oracle replays conform + route + SCD2 analytically), so this turns
+    * the e2e run from a rows-only check into a full row-multiset match.
+    */
+  def runCsvMart(spark: SparkSession, dir: String, workDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+    val d     = dims(spark)
+    val mart  = s"$workDir/csv/mart"
+    val audit = s"$workDir/csv/audit"
+    val tie   = Seq(col("DATE_OF_CALL").desc)
+    loadTail(spark, mart, audit,
+      SourcePipelines.conformCsv(
+        csvFeed(spark, dir, 1).where(col("TICKET_IDENTIFIER") % 5 =!= 0), d, 1, 1001L, SeedTs, tie),
+      1L, SeedTs)
+    loadTail(spark, mart, audit,
+      SourcePipelines.conformCsv(csvFeed(spark, dir, 2), d, 1, 1002L, IncTs, tie),
+      2L, IncTs)
+    spark.read.parquet(mart).select(
+      col("SOURCE_SYSTEM_IDENTIFIER"), col("AGENT_ID"), col("SUPPORT_AREA_ID"),
+      col("CUSTOMER_TYPE_ID"), col("INTERACTION_DATE"), col("INTERACTION_STATUS"),
+      col("QUERY_STATUS"), col("HANDLE_TIME"), col("WORK_TIME"),
+      col("FIRST_CONTACT_RESOLUTION"), col("SOLUTION_TYPE"), col("CUSTOMER_RATING"),
+      col("IS_VALID_DATA"), col("DATA_LOAD_ID"), col("ACTIVE_FLAG"),
+      col("START_DATE"), col("END_DATE"))
+  }
+
   /** Run seed + increment for all three sources under `workDir`;
     * returns the 3-row summary (source, seed/increment audit counts,
     * post-increment active and total mart rows).

@@ -81,14 +81,23 @@ object Scd2 {
 
   /** Point-in-time snapshot reconstruction (time travel). An SCD2 table
     * IS a full history, so the state as of instant `ts` is exactly the
-    * rows whose validity interval covers it: START_DATE <= ts < END_DATE.
+    * rows whose validity interval covers it: START_DATE <= ts < END_DATE
+    * — half-open, so at the exact close-out instant of a version only
+    * its successor is visible (never both, never neither).
     * A pure codegen'd filter over the snapshot scan — zero shuffle — and
     * on a lake partitioned by START_DATE the left bound prunes
     * partitions, so reconstructing an old state never reads rows born
     * after it.
+    *
+    * This library writes active rows with the 2099-12-31 end-of-time
+    * sentinel, but snapshots ingested from systems that leave END_DATE
+    * NULL for the active version would otherwise null-filter their
+    * entire active set (`ts < NULL` is NULL) — coalesce treats NULL as
+    * open-ended. Stays a codegen'd scan filter either way.
     */
   def asOf(snapshot: DataFrame, ts: Column): DataFrame =
-    snapshot.where(col(StartDate) <= ts && ts < col(EndDate))
+    snapshot.where(
+      col(StartDate) <= ts && ts < coalesce(col(EndDate), lit("9999-12-31 23:59:59")))
 
   /** Active-rows probe projection for the next CDC round (reference S2). */
   def activeProbe(snapshot: DataFrame, key: String, hash: String, id: String): DataFrame =

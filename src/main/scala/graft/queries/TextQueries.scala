@@ -1266,8 +1266,13 @@ object TextQueries {
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
            |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           |    list_dot_product(a.v, b2.v) /
-           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cos
+           |    -- zero-norm guard: Spark's kernel yields NaN and drops the
+           |    -- pair, but DuckDB orders NaN above every threshold — NULL
+           |    -- here fails the filter identically on both engines
+           |    CASE WHEN list_dot_product(a.v, a.v) = 0
+           |           OR list_dot_product(b2.v, b2.v) = 0 THEN NULL
+           |         ELSE list_dot_product(a.v, b2.v) /
+           |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) END AS cos
            |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
            |SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos >= $CosMin""".stripMargin
       }

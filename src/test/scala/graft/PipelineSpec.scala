@@ -97,4 +97,34 @@ class PipelineSpec extends SparkSpec {
       .sortBy(r => (r._1, r._4))
     assert(s3rows.toSeq == s2rows.toSeq) // byte-for-byte no-op
   }
+
+  test("asOf: half-open boundary returns exactly one version per key at every instant") {
+    val path = tempDir("graft_asof") + "/mart"
+    val feed1 = Seq((1L, 1, "alpha", "OPEN")).toDF("id", "version", "name", "status")
+    BatchPipeline.runIncrement(spark, path, feed1, spec, loadTs = "2024-01-01 00:00:00")
+    val feed2 = Seq((1L, 2, "alpha-v2", "CLOSED")).toDF("id", "version", "name", "status")
+    BatchPipeline.runIncrement(spark, path, feed2, spec, loadTs = "2024-02-01 00:00:00")
+
+    def names(ts: String): Seq[String] =
+      Scd2.asOf(snap(path), lit(ts)).select("name").as[String].collect().toSeq
+
+    // just before the close-out: only the old version
+    assert(names("2024-01-31 23:59:59") == Seq("alpha"))
+    // AT the close-out instant (old END_DATE == new START_DATE): only the
+    // successor — the half-open interval must not return both or neither
+    assert(names("2024-02-01 00:00:00") == Seq("alpha-v2"))
+    // after: only the active version
+    assert(names("2024-06-15 12:00:00") == Seq("alpha-v2"))
+    // before the key existed: nothing
+    assert(names("2023-12-31 00:00:00") == Seq.empty)
+  }
+
+  test("asOf: NULL END_DATE (foreign open-end convention) is treated as open-ended") {
+    val snapshot = Seq(
+      (1L, "v1", 0, "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "v2", 1, "2024-02-01 00:00:00", null.asInstanceOf[String])
+    ).toDF("id", "name", Scd2.ActiveFlag, Scd2.StartDate, Scd2.EndDate)
+    val active = Scd2.asOf(snapshot, lit("2024-06-01 00:00:00")).select("name").as[String].collect()
+    assert(active.toSeq == Seq("v2"), "NULL END_DATE must not null-filter the active row")
+  }
 }
