@@ -123,7 +123,94 @@ object ConformQueries {
     "FIRST_CONTACT_RESOLUTION", "SOLUTION", "RATING", "TIME_STAMP"
   )
 
+  // ---- CSV ("AT&T") feed synthesized from orders ----
+  private def csvFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val k = col("o_orderkey")
+    o.select(
+      k.cast("int").as("TICKET_IDENTIFIER"),
+      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
+      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_NAME"),
+      concat(date_format(col("o_orderdate"), "MMddyyyy"), lit("103000")).as("DATE_OF_CALL"),
+      col("o_orderstatus").as("CALL_STATUS"),
+      col("o_orderpriority").as("CALL_TYPE"),
+      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
+      (k % 100 + 1).cast("string").as("DURATION"),
+      (k % 37).cast("string").as("WORK_TIME"),
+      col("o_orderstatus").as("TICKET_STATUS"),
+      when(k % 2 === 0, "1").otherwise("0").as("RESOLVED_IN_FIRST_CONTACT"),
+      concat(lit("SOL_"), (k % 4).cast("string")).as("RESOLUTION_CATEGORY"),
+      when(k % 3 === 0, "BEST").when(k % 3 === 1, "GOOD").otherwise("BAD").as("RATING")
+    )
+  }
+
+  /** CSV hashes the RAW 13 columns PRE-parse, in feed order — the one
+    * source whose hash canon sees unparsed strings (SURVEY §7.4 risk 1).
+    */
+  private val CsvHashCols = Seq(
+    "TICKET_IDENTIFIER", "SUPPORT_CATEGORY", "AGENT_NAME", "DATE_OF_CALL",
+    "CALL_STATUS", "CALL_TYPE", "TYPE_OF_CUSTOMER", "DURATION", "WORK_TIME",
+    "TICKET_STATUS", "RESOLVED_IN_FIRST_CONTACT", "RESOLUTION_CATEGORY", "RATING"
+  )
+
   val qs: Seq[Q] = Seq(
+    // ---- F6 rating decode + raw-column hash canon: the whole CSV
+    //      conform pipeline (the third sibling — json/xml twins below) ----
+    Q(
+      "conform_csv_full",
+      (s, dir) =>
+        SourcePipelines
+          .conformCsv(
+            csvFeed(s, dir),
+            dims(s),
+            sourceId = 1,
+            dataLoadId = 76L,
+            loadTs = LoadTs,
+            tiebreak = Seq(col("TICKET_IDENTIFIER").desc)
+          )
+          .select(OutCols.map(col): _*),
+      Some(s"""WITH $dimSql,
+              |feed AS (
+              |  SELECT CAST(o_orderkey AS INT) AS TICKET_IDENTIFIER,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN 'Billing' ELSE 'Tech' END AS SUPPORT_CATEGORY,
+              |    'agent_' || CAST(o_orderkey % 3 AS VARCHAR) AS AGENT_NAME,
+              |    strftime(o_orderdate, '%m%d%Y') || '103000' AS DATE_OF_CALL,
+              |    o_orderstatus AS CALL_STATUS,
+              |    o_orderpriority AS CALL_TYPE,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN 'Corporate' ELSE 'Retail' END AS TYPE_OF_CUSTOMER,
+              |    CAST(o_orderkey % 100 + 1 AS VARCHAR) AS DURATION,
+              |    CAST(o_orderkey % 37 AS VARCHAR) AS WORK_TIME,
+              |    o_orderstatus AS TICKET_STATUS,
+              |    CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END AS RESOLVED_IN_FIRST_CONTACT,
+              |    'SOL_' || CAST(o_orderkey % 4 AS VARCHAR) AS RESOLUTION_CATEGORY,
+              |    CASE WHEN o_orderkey % 3 = 0 THEN 'BEST'
+              |         WHEN o_orderkey % 3 = 1 THEN 'GOOD' ELSE 'BAD' END AS RATING,
+              |    o_orderdate
+              |  FROM orders),
+              |hashed AS (SELECT *, ${sqlRowHash(CsvHashCols)} AS SOURCE_HASH_KEY FROM feed)
+              |SELECT CAST(1 AS INT) AS SOURCE_ID,
+              |  'AT&T - ' || CAST(TICKET_IDENTIFIER AS VARCHAR) AS SOURCE_SYSTEM_IDENTIFIER,
+              |  a.AGENT_ID,
+              |  strftime(o_orderdate, '%Y-%m-%d') || ' 10:30:00' AS INTERACTION_DATE,
+              |  sa.SUPPORT_AREA_ID, CALL_STATUS AS INTERACTION_STATUS,
+              |  CALL_TYPE AS INTERACTION_TYPE,
+              |  ct.CUSTOMER_TYPE_ID,
+              |  CAST(DURATION AS INT) AS HANDLE_TIME,
+              |  CAST(WORK_TIME AS INT) AS WORK_TIME,
+              |  CAST(RESOLVED_IN_FIRST_CONTACT AS INT) AS FIRST_CONTACT_RESOLUTION,
+              |  TICKET_STATUS AS QUERY_STATUS,
+              |  RESOLUTION_CATEGORY AS SOLUTION_TYPE,
+              |  CAST(CASE RATING WHEN 'WORST' THEN 1 WHEN 'BAD' THEN 2 WHEN 'NEUTRAL' THEN 3
+              |       WHEN 'GOOD' THEN 4 WHEN 'BEST' THEN 5 END AS INT) AS CUSTOMER_RATING,
+              |  SOURCE_HASH_KEY, CAST(1 AS INT) AS IS_VALID_DATA,
+              |  CAST(76 AS BIGINT) AS DATA_LOAD_ID,
+              |  '$LoadTs' AS START_DATE, '$EndOfTime' AS END_DATE
+              |FROM hashed
+              |LEFT JOIN agents a ON AGENT_NAME = a.PSEUDO_CODE
+              |LEFT JOIN areas sa ON SUPPORT_CATEGORY = sa.SUPPORT_AREA_NAME
+              |LEFT JOIN ctypes ct ON TYPE_OF_CUSTOMER = ct.CUSTOMER_TYPE_NAME""".stripMargin)
+    ),
+
     // ---- F7/F10/F6/F9 + hash canon: the whole JSON conform pipeline ----
     Q(
       "conform_json_full",
