@@ -511,6 +511,43 @@ object TextQueries {
              |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)
     ),
 
+    // ---- exact heavy hitters via a relational count-min-sketch
+    //      prefilter (HeavyHitters scaladoc): build a depth x width
+    //      seeded counter relation (partial-agg'd, tiny), broadcast it
+    //      back over the occurrence stream, and exact-count ONLY the
+    //      surviving candidates — CMS never under-counts, so the exact
+    //      post-filter makes the result identical to the oracle's plain
+    //      GROUP BY ... HAVING. The long-tail vocabulary never reaches
+    //      a shuffle; bigram items give the fixture a non-trivial
+    //      (~1k-item) key space. ----
+    Q(
+      "text_heavy_hitters",
+      (s, dir) => {
+        val t = TextFunctions.tokens(col("text"))
+        val bigrams = transform(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          (x, i) => concat_ws(" ", x, element_at(t, i + 2))
+        )
+        graft.operators.HeavyHitters.exact(
+          Tables
+            .documents(s, dir)
+            .where(size(t) >= 2)
+            .select(explode(bigrams).as("bigram"))
+            .repartition(s.sparkContext.defaultParallelism),
+          col("bigram"),
+          threshold = 25L
+        )
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2),
+             |sh AS (
+             |  SELECT t[u.i] || ' ' || t[u.i+1] AS s
+             |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i))
+             |SELECT s AS item, CAST(count(*) AS BIGINT) AS n
+             |FROM sh GROUP BY 1 HAVING count(*) >= 25""".stripMargin)
+    ),
+
     // ---- benchmark-contamination check: per-doc n-gram overlap of the
     //      corpus against a broadcast reference (benchmark) shingle set;
     //      the corpus side is one map pass + one |docs| groupBy ----
