@@ -358,6 +358,92 @@ object TemporalQueries {
              |  max(day_cents) OVER (PARTITION BY prio ORDER BY day_num
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS range7_max
              |FROM daily""".stripMargin)
+    ),
+
+    // ---- ordered funnel (view -> click -> purchase): three chained
+    //      per-user unbounded window minima — each stage's timestamp is
+    //      the earliest qualifying event STRICTLY AFTER the previous
+    //      stage. One user_id exchange feeds all three Window passes
+    //      plus the final per-user collapse; no self-joins, no arrays
+    //      of per-user events materialized (per-user event counts are
+    //      unbounded at 100 TB; window state is O(1) here). ----
+    Q(
+      "t_funnel_stages",
+      (s, dir) => {
+        val w  = Window.partitionBy(col("user_id"))
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+        ev
+          .withColumn("fv", min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn(
+            "fc",
+            min(when(col("event_type") === "click" && col("ts") > col("fv"), col("ts"))).over(w))
+          .withColumn(
+            "fp",
+            min(when(col("event_type") === "purchase" && col("ts") > col("fc"), col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"), max(col("fp")).as("fp"))
+          .select(
+            col("user_id"),
+            date_format(col("fv"), "yyyy-MM-dd HH:mm:ss").as("first_view"),
+            date_format(col("fc"), "yyyy-MM-dd HH:mm:ss").as("first_click"),
+            date_format(col("fp"), "yyyy-MM-dd HH:mm:ss").as("first_purchase"),
+            when(col("fp").isNotNull, 3)
+              .when(col("fc").isNotNull, 2)
+              .when(col("fv").isNotNull, 1)
+              .otherwise(0)
+              .cast("int")
+              .as("funnel_stage")
+          )
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, event_type, ts,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS fv
+             |  FROM events),
+             |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+             |         OVER (PARTITION BY user_id) AS fc FROM s1),
+             |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+             |         OVER (PARTITION BY user_id) AS fp FROM s2)
+             |SELECT user_id,
+             |  strftime(max(fv), '%Y-%m-%d %H:%M:%S') AS first_view,
+             |  strftime(max(fc), '%Y-%m-%d %H:%M:%S') AS first_click,
+             |  strftime(max(fp), '%Y-%m-%d %H:%M:%S') AS first_purchase,
+             |  CAST(CASE WHEN max(fp) IS NOT NULL THEN 3
+             |            WHEN max(fc) IS NOT NULL THEN 2
+             |            WHEN max(fv) IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage
+             |FROM s3 GROUP BY user_id""".stripMargin)
+    ),
+
+    // ---- retention cohorts: users grouped by first-seen day, activity
+    //      counted per day offset. The per-user first-seen aggregate is
+    //      |users|-sized and broadcasts back onto the raw event scan
+    //      (verified plan shape: BroadcastHashJoin over Scan), so the
+    //      event stream itself shuffles exactly once — for the final
+    //      (cohort, offset) distinct-user count. With a too-big-to-
+    //      broadcast user dimension the join falls back to shuffles
+    //      already partitioned by user_id on the build side. ----
+    Q(
+      "t_retention_cohorts",
+      (s, dir) => {
+        val ev    = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        ev
+          .join(first, "user_id")
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .select(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            col("offset_days").cast("int").as("offset_days"),
+            col("active_users")
+          )
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(datediff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS offset_days,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM events e JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }
