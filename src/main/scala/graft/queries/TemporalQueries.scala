@@ -139,6 +139,57 @@ object TemporalQueries {
              |FROM x""".stripMargin)
     ),
 
+    // ---- session path analysis: the ordered event-type sequence of
+    //      each session, counted corpus-wide. Builds on the SAME
+    //      sessionization as t_event_sessionize; the per-session
+    //      ordered gather (array_sort of (ts, event_id, type) structs —
+    //      the deterministic-collect idiom from p11) is bounded by the
+    //      session gap, never by a user's lifetime event count. Path
+    //      frequencies then aggregate on the path string (map-side
+    //      partial agg; |distinct paths| << |sessions|). ----
+    Q(
+      "t_session_paths",
+      (s, dir) => {
+        val sess = Sessionize.withSessionIds(
+          Tables
+            .events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+          keyCol = "user_id",
+          tsCol = "ts",
+          tiebreak = "event_id",
+          gapSeconds = SessionGapSeconds
+        )
+        sess
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            array_sort(
+              collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+          .select(concat_ws(">", transform(col("evs"), e => e.getField("event_type"))).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(20)
+      },
+      Some(s"""WITH x AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${SessionGapSeconds * 1000000L}
+             |              THEN 1 ELSE 0 END AS isnew
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |se AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         sum(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                          ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM x),
+             |p AS (
+             |  SELECT user_id, session_seq,
+             |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |  FROM se GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin)
+    ),
+
     // ---- salted two-stage aggregation (skew-resistant) ----
     // lineitem grouped by l_returnflag: 3 keys for 60k+ rows is exactly
     // the hot-key shape; the salted result must equal the plain GROUP BY
