@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.Tables
-import graft.conform.{Durations, SourcePipelines}
+import graft.conform.{SourcePipelines, SyntheticFeeds}
 import graft.queries.ConformQueries
 import graft.sinks.{AuditSink, SnapshotSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,81 +33,15 @@ object PipelineE2e {
   private val SeedTs = "2024-01-01 00:00:00"
   private val IncTs  = "2024-02-01 00:00:00"
 
-  /** CSV ("AT&T") feed synthesized from orders — the 13 raw columns of
-    * the reference feed; `variant` mutates CALL_STATUS for k % 7 == 0
-    * so load 2 routes those keys as UPDATEs.
+  /** The shared deterministic feeds (SyntheticFeeds), with the day-2
+    * status mutation (`variant`) that routes k % 7 == 0 keys as UPDATEs.
     */
-  private def csvFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    val status =
-      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
-        .otherwise(col("o_orderstatus"))
-    o.select(
-      k.cast("int").as("TICKET_IDENTIFIER"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_NAME"),
-      concat(date_format(col("o_orderdate"), "MMddyyyy"), lit("103000")).as("DATE_OF_CALL"),
-      status.as("CALL_STATUS"),
-      col("o_orderpriority").as("CALL_TYPE"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
-      (k % 100 + 1).cast("string").as("DURATION"),
-      (k % 37).cast("string").as("WORK_TIME"),
-      col("o_orderstatus").as("TICKET_STATUS"),
-      when(k % 2 === 0, "1").otherwise("0").as("RESOLVED_IN_FIRST_CONTACT"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("RESOLUTION_CATEGORY"),
-      when(k % 3 === 0, "BEST").when(k % 3 === 1, "GOOD").otherwise("BAD").as("RATING")
-    )
-  }
-
-  /** JSON ("AMAZON") feed — 13 columns, mutation on STATUS_OF_CUSTOMER_INCIDENT. */
-  private def jsonFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    val status =
-      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
-        .otherwise(col("o_orderstatus"))
-    o.select(
-      k.cast("int").as("INTERACTION_ID"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_PSEUDO_NAME"),
-      concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 10:30:00")).as("CONTACT_DATE"),
-      col("o_orderstatus").as("INTERACTION_STATUS"),
-      col("o_orderpriority").as("INTERACTION_TYPE"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
-      (k % 100 + 1).cast("int").as("INTERACTION_DURATION"),
-      (k % 100 + 1 + k % 37).cast("int").as("TOTAL_TIME"),
-      status.as("STATUS_OF_CUSTOMER_INCIDENT"),
-      when(k % 2 === 0, "yes").otherwise("NO").as("RESOLVED_IN_FIRST_CONTACT"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION_TYPE"),
-      (k % 10 + 1).cast("int").as("RATING")
-    )
-  }
-
-  /** XML ("UBER") feed — 14 columns, mutation on STATUS_OF_INTERACTION. */
-  private def xmlFeed(s: SparkSession, dir: String, variant: Int): DataFrame = {
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    val status =
-      when(k % 7 === 0, concat(col("o_orderstatus"), lit(s"_v$variant")))
-        .otherwise(col("o_orderstatus"))
-    o.select(
-      k.cast("int").as("SUPPORT_IDENTIFIER"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("CONTACT_REGARDING"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_CODE"),
-      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("DATE_OF_INTERACTION"),
-      status.as("STATUS_OF_INTERACTION"),
-      col("o_orderpriority").as("TYPE_OF_INTERACTION"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("CUSTOMER_TYPE"),
-      Durations.secondsToHms(k % 7200 + 30).as("CONTACT_DURATION"),
-      Durations.secondsToHms(k % 3600).as("AFTER_CONTACT_WORK_TIME"),
-      col("o_orderstatus").as("INCIDENT_STATUS"),
-      when(k % 2 === 0, "true").otherwise("FALSE").as("FIRST_CONTACT_RESOLUTION"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION"),
-      ((k % 5) + 1).cast("string").as("RATING"),
-      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("TIME_STAMP")
-    )
-  }
+  private def csvFeed(s: SparkSession, dir: String, variant: Int): DataFrame =
+    SyntheticFeeds.csv(s, dir, Some(variant))
+  private def jsonFeed(s: SparkSession, dir: String, variant: Int): DataFrame =
+    SyntheticFeeds.json(s, dir, Some(variant))
+  private def xmlFeed(s: SparkSession, dir: String, variant: Int): DataFrame =
+    SyntheticFeeds.xml(s, dir, Some(variant))
 
   private def dims(s: SparkSession): SourcePipelines.Dims = {
     import s.implicits._

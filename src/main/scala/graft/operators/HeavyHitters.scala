@@ -49,10 +49,18 @@ object HeavyHitters {
   ): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     require(depth >= 1 && width >= 2, s"need depth >= 1, width >= 2 (got $depth x $width)")
+    // hash the CANONICAL rendering (NULL -> the "NULL" token): a raw NULL
+    // item would hash to NULL buckets and be silently dropped by the
+    // inner probe joins, breaking the exact-result contract. The NULL
+    // group now shares counters with the literal string "NULL" — a pure
+    // over-estimate, which the exact verify stage resolves; the final
+    // groupBy keys on the ORIGINAL item value, so NULL comes back out as
+    // its own group exactly like plain GROUP BY.
+    val hashed = Fingerprint.canonical(itemCol)
     val withBuckets = items.select(
       itemCol.as("item") +:
         (0 until depth).map(i =>
-          pmod(Fingerprint.seededLongHash(itemCol, i), lit(width)).as(s"__hh_b$i")): _*
+          pmod(Fingerprint.seededLongHash(hashed, i), lit(width)).as(s"__hh_b$i")): _*
     )
     // CMS matrix: every occurrence contributes one count per seed row.
     // posexplode keeps it ONE aggregation (not `depth` passes over the

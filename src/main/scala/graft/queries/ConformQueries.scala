@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.catalog.Catalog
-import graft.conform.{Durations, SourcePipelines}
+import graft.conform.{SourcePipelines, SyntheticFeeds}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,29 +60,12 @@ object ConformQueries {
     "DATA_LOAD_ID", "START_DATE", "END_DATE"
   )
 
-  // ---- JSON ("AMAZON") feed synthesized from orders ----
-  private def jsonFeed(s: SparkSession, dir: String): DataFrame = {
-    // testdata parquet is one row group = one input split; without an
-    // explicit repartition the whole parse+hash map stage of the conform
-    // pipeline runs in a single task
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    o.select(
-      k.cast("int").as("INTERACTION_ID"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_PSEUDO_NAME"),
-      concat(date_format(col("o_orderdate"), "dd/MM/yyyy"), lit(" 10:30:00")).as("CONTACT_DATE"),
-      col("o_orderstatus").as("INTERACTION_STATUS"),
-      col("o_orderpriority").as("INTERACTION_TYPE"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
-      (k % 100 + 1).cast("int").as("INTERACTION_DURATION"),
-      (k % 100 + 1 + k % 37).cast("int").as("TOTAL_TIME"),
-      col("o_orderstatus").as("STATUS_OF_CUSTOMER_INCIDENT"),
-      when(k % 2 === 0, "yes").otherwise("NO").as("RESOLVED_IN_FIRST_CONTACT"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION_TYPE"),
-      (k % 10 + 1).cast("int").as("RATING")
-    )
-  }
+  // The deterministic feeds live in conform.SyntheticFeeds (shared with
+  // the e2e pipeline harness, which adds the day-2 status mutation);
+  // these oracles run them pristine.
+  private def jsonFeed(s: SparkSession, dir: String): DataFrame = SyntheticFeeds.json(s, dir)
+  private def xmlFeed(s: SparkSession, dir: String): DataFrame  = SyntheticFeeds.xml(s, dir)
+  private def csvFeed(s: SparkSession, dir: String): DataFrame  = SyntheticFeeds.csv(s, dir)
 
   /** The 13 JSON feed columns in frame order — the hash canon covers the
     * POST-conversion values in exactly this order (SURVEY §7.4 risk 1).
@@ -94,55 +77,12 @@ object ConformQueries {
     "RESOLVED_IN_FIRST_CONTACT", "SOLUTION_TYPE", "RATING"
   )
 
-  // ---- XML ("UBER") feed synthesized from orders ----
-  private def xmlFeed(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    o.select(
-      k.cast("int").as("SUPPORT_IDENTIFIER"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("CONTACT_REGARDING"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_CODE"),
-      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("DATE_OF_INTERACTION"),
-      col("o_orderstatus").as("STATUS_OF_INTERACTION"),
-      col("o_orderpriority").as("TYPE_OF_INTERACTION"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("CUSTOMER_TYPE"),
-      Durations.secondsToHms(k % 7200 + 30).as("CONTACT_DURATION"),
-      Durations.secondsToHms(k % 3600).as("AFTER_CONTACT_WORK_TIME"),
-      col("o_orderstatus").as("INCIDENT_STATUS"),
-      when(k % 2 === 0, "true").otherwise("FALSE").as("FIRST_CONTACT_RESOLUTION"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("SOLUTION"),
-      ((k % 5) + 1).cast("string").as("RATING"),
-      concat(date_format(col("o_orderdate"), "yyyyMMdd"), lit("103000")).as("TIME_STAMP")
-    )
-  }
-
   private val XmlHashCols = Seq(
     "SUPPORT_IDENTIFIER", "CONTACT_REGARDING", "AGENT_CODE", "DATE_OF_INTERACTION",
     "STATUS_OF_INTERACTION", "TYPE_OF_INTERACTION", "CUSTOMER_TYPE",
     "CONTACT_DURATION", "AFTER_CONTACT_WORK_TIME", "INCIDENT_STATUS",
     "FIRST_CONTACT_RESOLUTION", "SOLUTION", "RATING", "TIME_STAMP"
   )
-
-  // ---- CSV ("AT&T") feed synthesized from orders ----
-  private def csvFeed(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir).repartition(s.sparkContext.defaultParallelism)
-    val k = col("o_orderkey")
-    o.select(
-      k.cast("int").as("TICKET_IDENTIFIER"),
-      when(k % 2 === 0, "Billing").otherwise("Tech").as("SUPPORT_CATEGORY"),
-      concat(lit("agent_"), (k % 3).cast("string")).as("AGENT_NAME"),
-      concat(date_format(col("o_orderdate"), "MMddyyyy"), lit("103000")).as("DATE_OF_CALL"),
-      col("o_orderstatus").as("CALL_STATUS"),
-      col("o_orderpriority").as("CALL_TYPE"),
-      when(k % 2 === 0, "Corporate").otherwise("Retail").as("TYPE_OF_CUSTOMER"),
-      (k % 100 + 1).cast("string").as("DURATION"),
-      (k % 37).cast("string").as("WORK_TIME"),
-      col("o_orderstatus").as("TICKET_STATUS"),
-      when(k % 2 === 0, "1").otherwise("0").as("RESOLVED_IN_FIRST_CONTACT"),
-      concat(lit("SOL_"), (k % 4).cast("string")).as("RESOLUTION_CATEGORY"),
-      when(k % 3 === 0, "BEST").when(k % 3 === 1, "GOOD").otherwise("BAD").as("RATING")
-    )
-  }
 
   /** CSV hashes the RAW 13 columns PRE-parse, in feed order — the one
     * source whose hash canon sees unparsed strings (SURVEY §7.4 risk 1).
@@ -166,7 +106,7 @@ object ConformQueries {
             sourceId = 1,
             dataLoadId = 76L,
             loadTs = LoadTs,
-            tiebreak = Seq(col("TICKET_IDENTIFIER").desc)
+            tiebreak = Seq(col("DATE_OF_CALL").desc)
           )
           .select(OutCols.map(col): _*),
       Some(s"""WITH $dimSql,

@@ -36,6 +36,15 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("exact: NULL items count as their own group, matching plain groupBy semantics") {
+    val df = (Seq.fill(40)(Option.empty[String]) ++ Seq.fill(35)(Some("a")) ++
+      Seq.fill(10)(Some("b")) ++ Seq.fill(30)(Some("NULL"))) // literal "NULL" collides in the sketch, not the result
+      .toDF("item").repartition(4)
+    val got = HeavyHitters.exact(df, col("item"), 25L, width = 64, depth = 3)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(None -> 40L, Some("a") -> 35L, Some("NULL") -> 30L))
+  }
+
   test("exact: narrow width (guaranteed collisions) still yields the exact answer") {
     val df = skewed(500)
     // width 4 << 200 items forces every counter to blend many items —
