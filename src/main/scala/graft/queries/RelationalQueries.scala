@@ -1015,6 +1015,40 @@ object RelationalQueries {
              |FROM qs""".stripMargin)
     ),
 
+    // ---- MapType surface: the event props JSON envelope parsed as
+    //      map<string,long> (executor-side from_json, no schema
+    //      inference pass), entries exploded and aggregated per key —
+    //      the semi-structured sibling of p2's struct flatten. One
+    //      narrow parse+explode stage into one partial-agg'd shuffle
+    //      keyed by the (tiny) key vocabulary. ----
+    Q(
+      "p12_map_entries",
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(
+            from_json(
+              col("props"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.LongType)).as("m"))
+          .select(explode(col("m")).as(Seq("key", "v")))
+          .groupBy(col("key"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"),
+            sum(col("v")).as("sum_v")
+          ),
+      Some("""SELECT u.k AS key,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       min(CAST(json_extract(e.props, '$.' || u.k) AS BIGINT)) AS min_v,
+             |       max(CAST(json_extract(e.props, '$.' || u.k) AS BIGINT)) AS max_v,
+             |       CAST(sum(CAST(json_extract(e.props, '$.' || u.k) AS BIGINT)) AS BIGINT) AS sum_v
+             |FROM events e, unnest(json_keys(e.props)) AS u(k)
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // ---- window value-functions over the FULL frame: first/last/nth
     //      order per customer from one (custkey, orderdate, orderkey)
     //      sort — three functions, one WindowExec, one Exchange. The
