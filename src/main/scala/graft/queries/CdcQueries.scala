@@ -47,6 +47,24 @@ object CdcQueries {
           .as("src_hash")
       )
 
+  /** The post-merge SCD2 mart the merge/time-travel queries share. */
+  private def mergedMart(s: SparkSession, dir: String): DataFrame = {
+    val snapshot = historic(s, dir).select(
+      col("hssi").as("ssi"),
+      col("hhash").as("src_hash"),
+      lit(1).as(Scd2.ActiveFlag),
+      lit(InitialTs).as(Scd2.StartDate),
+      lit(EndOfTime).as(Scd2.EndDate)
+    )
+    Scd2.merge(
+      snapshot,
+      routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol),
+      key = "ssi",
+      loadTs = lit(LoadTs),
+      endOfTime = lit(EndOfTime)
+    )
+  }
+
   private def routed(s: SparkSession, dir: String): DataFrame =
     CdcRouter
       .route(feed(s, dir), historic(s, dir), "ssi", "src_hash", "hssi", "hhash")
@@ -69,6 +87,27 @@ object CdcQueries {
       |         WHEN src_hash = hhash THEN 'DUPLICATE'
       |         ELSE 'UPDATE' END AS router_group
       |  FROM feed LEFT JOIN hist ON ssi = hssi)""".stripMargin
+
+  /** RoutedSql extended with the set-based SCD2 merge, ending in a
+    * `merged` CTE — the SQL twin of [[mergedMart]].
+    */
+  private val MergedSqlCtes =
+    s"""$RoutedSql,
+       |incoming AS (
+       |  SELECT ssi, src_hash, 1 AS active_flag,
+       |    '$LoadTs' AS start_date, '$EndOfTime' AS end_date
+       |  FROM routed WHERE router_group <> 'DUPLICATE'),
+       |upd AS (SELECT DISTINCT ssi FROM routed WHERE router_group = 'UPDATE'),
+       |snap AS (
+       |  SELECT hssi AS ssi, hhash AS src_hash, 1 AS active_flag,
+       |    '$InitialTs' AS start_date, '$EndOfTime' AS end_date FROM hist),
+       |closed AS (
+       |  SELECT s.ssi, s.src_hash,
+       |    CASE WHEN u.ssi IS NOT NULL THEN 0 ELSE s.active_flag END AS active_flag,
+       |    s.start_date,
+       |    CASE WHEN u.ssi IS NOT NULL THEN '$LoadTs' ELSE s.end_date END AS end_date
+       |  FROM snap s LEFT JOIN upd u ON s.ssi = u.ssi AND s.active_flag = 1),
+       |merged AS (SELECT * FROM closed UNION ALL SELECT * FROM incoming)""".stripMargin
 
   val qs: Seq[Q] = Seq(
     // ---- §2.11 steps 1-4: probe + route ----
@@ -159,45 +198,45 @@ object CdcQueries {
     // ---- K1/§2.11 step 5: SCD2 merge -> full post-merge snapshot ----
     Q(
       "scd2_merge_snapshot",
-      (s, dir) => {
-        val snapshot = historic(s, dir).select(
-          col("hssi").as("ssi"),
-          col("hhash").as("src_hash"),
-          lit(1).as(Scd2.ActiveFlag),
-          lit(InitialTs).as(Scd2.StartDate),
-          lit(EndOfTime).as(Scd2.EndDate)
-        )
-        val merged = Scd2.merge(
-          snapshot,
-          routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol),
-          key = "ssi",
-          loadTs = lit(LoadTs),
-          endOfTime = lit(EndOfTime)
-        )
-        merged.select(
+      (s, dir) =>
+        mergedMart(s, dir).select(
           col("ssi"),
           col("src_hash"),
           col(Scd2.ActiveFlag).as("active_flag"),
           col(Scd2.StartDate).as("start_date"),
           col(Scd2.EndDate).as("end_date")
-        )
+        ),
+      Some(s"""$MergedSqlCtes
+              |SELECT * FROM merged""".stripMargin)
+    ),
+
+    // ---- time travel over the merged SCD2 mart: asOf at the initial
+    //      load instant must reconstruct the pre-merge snapshot exactly
+    //      (incoming rows start later), and asOf AT the merge instant
+    //      must show the half-open boundary — closed rows invisible,
+    //      their successors visible. A pure codegen'd scan filter per
+    //      probe; no shuffle beyond the merge itself. ----
+    Q(
+      "scd2_asof_timetravel",
+      (s, dir) => {
+        val m = mergedMart(s, dir)
+        Seq(InitialTs, LoadTs)
+          .map(ts => Scd2.asOf(m, lit(ts)).withColumn("probe_ts", lit(ts)))
+          .reduce(_ unionByName _)
+          .select(
+            col("probe_ts"),
+            col("ssi"),
+            col("src_hash"),
+            col(Scd2.ActiveFlag).as("active_flag"),
+            col(Scd2.StartDate).as("start_date"),
+            col(Scd2.EndDate).as("end_date")
+          )
       },
-      Some(s"""$RoutedSql,
-              |incoming AS (
-              |  SELECT ssi, src_hash, 1 AS active_flag,
-              |    '$LoadTs' AS start_date, '$EndOfTime' AS end_date
-              |  FROM routed WHERE router_group <> 'DUPLICATE'),
-              |upd AS (SELECT DISTINCT ssi FROM routed WHERE router_group = 'UPDATE'),
-              |snap AS (
-              |  SELECT hssi AS ssi, hhash AS src_hash, 1 AS active_flag,
-              |    '$InitialTs' AS start_date, '$EndOfTime' AS end_date FROM hist),
-              |closed AS (
-              |  SELECT s.ssi, s.src_hash,
-              |    CASE WHEN u.ssi IS NOT NULL THEN 0 ELSE s.active_flag END AS active_flag,
-              |    s.start_date,
-              |    CASE WHEN u.ssi IS NOT NULL THEN '$LoadTs' ELSE s.end_date END AS end_date
-              |  FROM snap s LEFT JOIN upd u ON s.ssi = u.ssi AND s.active_flag = 1)
-              |SELECT * FROM closed UNION ALL SELECT * FROM incoming""".stripMargin)
+      Some(s"""$MergedSqlCtes,
+              |probes(probe_ts) AS (VALUES ('$InitialTs'), ('$LoadTs'))
+              |SELECT p.probe_ts, m.ssi, m.src_hash, m.active_flag, m.start_date, m.end_date
+              |FROM merged m, probes p
+              |WHERE m.start_date <= p.probe_ts AND p.probe_ts < m.end_date""".stripMargin)
     ),
 
     // ---- K3: per-load audit over the routed batch ----
