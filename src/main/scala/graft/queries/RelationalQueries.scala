@@ -539,6 +539,53 @@ object RelationalQueries {
              |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1, 2""".stripMargin)
     ),
 
+    // ---- lake lifecycle: schema evolution + mutating partition
+    //      overwrite. The 'en' partition is REPLACED by an increment
+    //      that both filters rows and ADDS a column (quality); a
+    //      mergeSchema read unions the file schemas, nulling the new
+    //      column for untouched partitions. Pins the two lake behaviors
+    //      an incremental 100 TB corpus lives by: dynamic overwrite
+    //      replaces exactly the carried partitions, and late-added
+    //      columns never force a table rewrite. ----
+    Q(
+      "lake_evolve_overwrite",
+      (s, dir) => {
+        import graft.sinks.PartitionedLake
+        val lake = TmpWorkspace.scoped(s, "graft_lake_evolve", dir)
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        PartitionedLake.write(docs, lake, Seq("lang"))
+        PartitionedLake.overwritePartitions(
+          docs
+            .where(col("lang") === "en" && col("doc_id") % 2 === 0)
+            .withColumn("quality", col("n_chars") % 7),
+          lake,
+          Seq("lang")
+        )
+        PartitionedLake
+          .readMerged(s, lake)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            count(col("quality")).as("n_quality"),
+            coalesce(sum(col("quality")), lit(0L)).as("sum_quality")
+          )
+      },
+      Some("""WITH lake AS (
+             |  SELECT doc_id, lang, n_chars, CAST(n_chars % 7 AS BIGINT) AS quality
+             |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars, NULL
+             |  FROM documents WHERE lang <> 'en')
+             |SELECT lang,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(count(quality) AS BIGINT) AS n_quality,
+             |       CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+             |FROM lake GROUP BY 1""".stripMargin)
+    ),
+
     // ---- multi-level aggregation: ROLLUP over (returnflag, linestatus).
     //      One Expand + one aggregation shuffle computes all three
     //      grouping levels; grouping_id disambiguates subtotal NULLs

@@ -51,6 +51,15 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
 
+  /** Read with schema merge across files: increments may ADD columns
+    * over the table's life (schema evolution); `mergeSchema` unions the
+    * per-file schemas and nulls the missing columns of older files.
+    * Costs a footer read per file at planning — use for evolved tables,
+    * not as the default read path.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction: rewrite the lake so each partition directory
     * holds ONE file (or `ceil(rows / maxRecordsPerFile)` files for jumbo
     * partitions). Incremental loads leave a file per load per partition;
