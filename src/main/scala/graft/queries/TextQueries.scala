@@ -1238,6 +1238,36 @@ object TextQueries {
       }
     ),
 
+    // ---- element-wise vector aggregation (mean-pool per label): the
+    //      relational decomposition — posexplode to (label, dim, value)
+    //      then one partial-agg'd (label, dim) shuffle whose per-task
+    //      state is |labels| x dim accumulators regardless of corpus
+    //      size. No per-group vector arrays ever materialize (the
+    //      zip_with-fold alternative needs the whole group's vectors in
+    //      one task). Float-sum accumulation-order noise (~1e-13 rel)
+    //      is absorbed by the 1e-6 grid, the embedding_cluster_sizes
+    //      precedent. ----
+    Q(
+      "embedding_mean_pool",
+      (s, dir) =>
+        Tables
+          .embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("idx", "v")))
+          .groupBy(col("label"), col("idx"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("v").cast("double")) * 1e6).cast("long").as("mean_micro")
+          ),
+      Some("""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT label, i - 1 AS idx, v[i] AS val
+             |      FROM e, unnest(generate_series(1, len(v))) AS u(i))
+             |SELECT label, CAST(idx AS INT) AS idx,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(round(avg(val) * 1000000) AS BIGINT) AS mean_micro
+             |FROM x GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- corpus clustering summary over the TRAINED coarse quantizer:
     //      per-cell population + best dot (domain-mixing diagnostics;
     //      max, not avg — float max is order-exact across engines,
