@@ -36,14 +36,15 @@ import org.apache.spark.sql.types.StructType
   * mirroring DuckDB's `ASOF LEFT JOIN`).
   */
 object AsOfJoin {
-  def enrich(
+  /** Tagged-union staging shared by the backward and forward joins. */
+  private def staged(
       events: DataFrame,
       versions: DataFrame,
       keyCol: String,
       tsCol: String,
       vKeyCol: String,
       vTsCol: String
-  ): DataFrame = {
+  ): (DataFrame, Seq[String]) = {
     val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
     require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
     val epType = StructType(events.schema.fields)
@@ -63,14 +64,55 @@ object AsOfJoin {
       lit(null).cast(vpType).as("__vp"),
       struct(events.columns.map(col): _*).as("__ep")
     )
+    (v.unionByName(e), vPayloadCols)
+  }
 
+  def enrich(
+      events: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      vKeyCol: String,
+      vTsCol: String
+  ): DataFrame = {
+    val (union, vPayloadCols) = staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol)
     val w = Window
       .partitionBy("__k")
       .orderBy(col("__ts").asc, col("__isv").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    v.unionByName(e)
+    union
       .withColumn("__active", last(col("__vp"), ignoreNulls = true).over(w))
+      .where(col("__isv") === 0)
+      .select(col("__ep.*") +: vPayloadCols.map(c => col("__active").getField(c).as(c)): _*)
+  }
+
+  /** Forward as-of: each event gets the EARLIEST version at or after its
+    * timestamp (pandas merge_asof direction='forward'; DuckDB
+    * `ASOF LEFT JOIN ... ON e.ts <= v.ts`). Same single-shuffle tagged
+    * union as [[enrich]], with the mirror-image frame: sort (ts ASC,
+    * isVersion ASC) puts an event BEFORE a version carrying the same
+    * timestamp — so the equal-ts version is inside the event's
+    * currentRow..unboundedFollowing frame — and `first(ignoreNulls)`
+    * backward-fills the next version. Events after the last version get
+    * NULLs (left-join semantics).
+    */
+  def enrichForward(
+      events: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      vKeyCol: String,
+      vTsCol: String
+  ): DataFrame = {
+    val (union, vPayloadCols) = staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol)
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__isv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    union
+      .withColumn("__active", first(col("__vp"), ignoreNulls = true).over(w))
       .where(col("__isv") === 0)
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__active").getField(c).as(c)): _*)
   }

@@ -56,6 +56,45 @@ object TemporalQueries {
              |  ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate""".stripMargin)
     ),
 
+    // ---- forward as-of join: event -> EARLIEST order version at or
+    //      after event time (merge_asof direction='forward') — the
+    //      mirror frame of t_asof_enrich over the same single-shuffle
+    //      tagged union ----
+    Q(
+      "t_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val vw = Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val vers = Tables
+          .orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("__rn", row_number().over(vw))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+        AsOfJoin
+          .enrichForward(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("o_orderkey").as("next_orderkey"),
+            col("o_orderpriority").as("next_priority")
+          )
+      },
+      Some("""WITH vers AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+             |        FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id,
+             |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       v.o_orderkey AS next_orderkey,
+             |       v.o_orderpriority AS next_priority
+             |FROM events e ASOF LEFT JOIN vers v
+             |  ON e.user_id = v.o_custkey AND e.ts <= v.o_orderdate""".stripMargin)
+    ),
+
     // ---- skew-hardened as-of join on a HOT-KEY fixture: 75% of events
     //      collapse onto one user (the mass-default-key shape), and the
     //      bucketed variant — windows over (key, day bucket) + carry-in —

@@ -38,6 +38,35 @@ class TemporalOpsSpec extends SparkSpec {
     ))
   }
 
+  test("asof forward: event sees the earliest version at-or-after its timestamp, inclusive") {
+    val versions = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (1L, ts("2024-01-02 00:00:00"), "v2"),
+      (2L, ts("2024-01-05 00:00:00"), "w1")
+    ).toDF("k", "vts", "payload")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")), // between v1 and v2 -> v2
+      (11L, 1L, ts("2024-01-02 00:00:00")), // exactly at v2 -> v2 (inclusive)
+      (12L, 1L, ts("2024-01-02 00:00:01")), // after the last version -> null
+      (13L, 2L, ts("2024-01-04 00:00:00")), // -> w1
+      (14L, 3L, ts("2024-01-06 00:00:00"))  // key with no versions -> null
+    ).toDF("event_id", "k", "ets")
+
+    val out = AsOfJoin
+      .enrichForward(events, versions, "k", "ets", "k", "vts")
+      .select("event_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+    assert(out == Map(
+      10L -> Some("v2"),
+      11L -> Some("v2"),
+      12L -> None,
+      13L -> Some("w1"),
+      14L -> None
+    ))
+  }
+
   test("asof: single shuffle — no join operator in the physical plan") {
     val versions = spark.read.parquet(s"$Sf/orders.parquet")
       .select(col("o_custkey").as("k"), col("o_orderdate").as("vts"), col("o_orderkey"))
