@@ -117,6 +117,76 @@ object AsOfJoin {
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__active").getField(c).as(c)): _*)
   }
 
+  /** Nearest as-of: each event gets the version with the smallest
+    * absolute timestamp distance, ties resolved BACKWARD (the at-or-
+    * before version wins — merge_asof direction='nearest' semantics).
+    * Still ONE hash exchange: both directional fills run as two Window
+    * passes over the same key partitioning (the second pass re-sorts
+    * within partitions, no reshuffle), then a codegen'd comparison
+    * picks the closer side. The version timestamp rides inside the
+    * carried struct so the distance needs no join back.
+    */
+  def enrichNearest(
+      events: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      vKeyCol: String,
+      vTsCol: String
+  ): DataFrame = {
+    val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
+    require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
+    val epType = StructType(events.schema.fields)
+    // carried struct = version ts + payload (ts first, names prefixed to
+    // dodge payload-name collisions). The ts rides pre-normalized to
+    // session-tz TIMESTAMP: TIMESTAMP_NTZ (the raw parquet flavor)
+    // cannot cast to DOUBLE for the distance compare, TIMESTAMP can.
+    val vCarry = struct(
+      col(vTsCol).cast(org.apache.spark.sql.types.TimestampType).as("__vts") +:
+        vPayloadCols.map(col): _*)
+    val vpType = versions.select(vCarry).schema.head.dataType
+
+    val v = versions.select(
+      col(vKeyCol).as("__k"),
+      col(vTsCol).as("__ts"),
+      lit(1).as("__isv"),
+      vCarry.as("__vp"),
+      lit(null).cast(epType).as("__ep")
+    )
+    val e = events.select(
+      col(keyCol).as("__k"),
+      col(tsCol).as("__ts"),
+      lit(0).as("__isv"),
+      lit(null).cast(vpType).as("__vp"),
+      struct(events.columns.map(col): _*).as("__ep")
+    )
+
+    val wb = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__isv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__isv").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
+    val prevD = eTs - col("__prev").getField("__vts").cast("double")
+    val nextD = col("__next").getField("__vts").cast("double") - eTs
+    v.unionByName(e)
+      .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(wb))
+      .withColumn("__next", first(col("__vp"), ignoreNulls = true).over(wf))
+      .where(col("__isv") === 0)
+      .withColumn(
+        "__best",
+        when(col("__prev").isNull, col("__next"))
+          .when(col("__next").isNull, col("__prev"))
+          .when(nextD < prevD, col("__next")) // strict: ties go backward
+          .otherwise(col("__prev"))
+      )
+      .select(col("__ep.*") +: vPayloadCols.map(c => col("__best").getField(c).as(c)): _*)
+  }
+
   /** Skew-hardened as-of join: identical semantics to [[enrich]] (spec-
     * pinned equal on every fixture), but the forward-fill window
     * partitions by (key, TIME BUCKET) instead of key alone.

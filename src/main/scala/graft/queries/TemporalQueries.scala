@@ -95,6 +95,58 @@ object TemporalQueries {
              |  ON e.user_id = v.o_custkey AND e.ts <= v.o_orderdate""".stripMargin)
     ),
 
+    // ---- nearest as-of join: closest version in either direction,
+    //      ties backward — completes the merge_asof direction triple.
+    //      Both directional fills share ONE hash exchange (two Window
+    //      passes, in-partition re-sort only). ----
+    Q(
+      "t_asof_nearest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val vw = Window
+          .partitionBy(col("o_custkey"), col("o_orderdate"))
+          .orderBy(col("o_orderkey").desc)
+        val vers = Tables
+          .orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("__rn", row_number().over(vw))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+        AsOfJoin
+          .enrichNearest(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("o_orderkey").as("near_orderkey"),
+            col("o_orderpriority").as("near_priority")
+          )
+      },
+      Some("""WITH vers AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+             |        FROM orders) WHERE rn = 1),
+             |b AS (SELECT e.event_id, e.user_id, e.ts,
+             |             v.o_orderdate AS bts, v.o_orderkey AS bk, v.o_orderpriority AS bp
+             |      FROM events e ASOF LEFT JOIN vers v
+             |        ON e.user_id = v.o_custkey AND e.ts >= v.o_orderdate),
+             |f AS (SELECT e.event_id,
+             |             v.o_orderdate AS fts, v.o_orderkey AS fk, v.o_orderpriority AS fp
+             |      FROM events e ASOF LEFT JOIN vers v
+             |        ON e.user_id = v.o_custkey AND e.ts <= v.o_orderdate)
+             |SELECT b.event_id, b.user_id,
+             |       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       CASE WHEN b.bts IS NULL THEN f.fk
+             |            WHEN f.fts IS NULL THEN b.bk
+             |            WHEN (epoch_us(f.fts) - epoch_us(b.ts)) < (epoch_us(b.ts) - epoch_us(b.bts)) THEN f.fk
+             |            ELSE b.bk END AS near_orderkey,
+             |       CASE WHEN b.bts IS NULL THEN f.fp
+             |            WHEN f.fts IS NULL THEN b.bp
+             |            WHEN (epoch_us(f.fts) - epoch_us(b.ts)) < (epoch_us(b.ts) - epoch_us(b.bts)) THEN f.fp
+             |            ELSE b.bp END AS near_priority
+             |FROM b JOIN f USING (event_id)""".stripMargin)
+    ),
+
     // ---- skew-hardened as-of join on a HOT-KEY fixture: 75% of events
     //      collapse onto one user (the mass-default-key shape), and the
     //      bucketed variant — windows over (key, day bucket) + carry-in —

@@ -67,6 +67,37 @@ class TemporalOpsSpec extends SparkSpec {
     ))
   }
 
+  test("asof nearest: closest version wins, exact ties go backward, one-sided falls back") {
+    val versions = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (1L, ts("2024-01-03 00:00:00"), "v2"),
+      (2L, ts("2024-01-05 00:00:00"), "w1")
+    ).toDF("k", "vts", "payload")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 06:00:00")), // 6h to v1, 42h to v2 -> v1
+      (11L, 1L, ts("2024-01-02 18:00:00")), // 42h to v1, 6h to v2 -> v2
+      (12L, 1L, ts("2024-01-02 00:00:00")), // exact tie (24h both) -> backward v1
+      (13L, 1L, ts("2023-12-30 00:00:00")), // before all -> forward v1
+      (14L, 1L, ts("2024-01-09 00:00:00")), // after all -> backward v2
+      (15L, 3L, ts("2024-01-01 00:00:00"))  // no versions -> null
+    ).toDF("event_id", "k", "ets")
+
+    val out = AsOfJoin
+      .enrichNearest(events, versions, "k", "ets", "k", "vts")
+      .select("event_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+    assert(out == Map(
+      10L -> Some("v1"),
+      11L -> Some("v2"),
+      12L -> Some("v1"),
+      13L -> Some("v1"),
+      14L -> Some("v2"),
+      15L -> None
+    ))
+  }
+
   test("asof: single shuffle — no join operator in the physical plan") {
     val versions = spark.read.parquet(s"$Sf/orders.parquet")
       .select(col("o_custkey").as("k"), col("o_orderdate").as("vts"), col("o_orderkey"))
