@@ -187,6 +187,60 @@ object AsOfJoin {
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__best").getField(c).as(c)): _*)
   }
 
+  /** Backward as-of with a staleness bound (merge_asof `tolerance`): a
+    * version older than `toleranceSeconds` at the event instant is
+    * rejected — the event gets NULLs instead of stale enrichment (the
+    * guard every real-time feature store wants: "the price, unless it's
+    * more than an hour old"). Same plan as [[enrich]] plus one codegen'd
+    * distance filter on the carried version timestamp.
+    */
+  def enrichTolerant(
+      events: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      vKeyCol: String,
+      vTsCol: String,
+      toleranceSeconds: Long
+  ): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
+    require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
+    val epType = StructType(events.schema.fields)
+    val vCarry = struct(
+      col(vTsCol).cast(org.apache.spark.sql.types.TimestampType).as("__vts") +:
+        vPayloadCols.map(col): _*)
+    val vpType = versions.select(vCarry).schema.head.dataType
+
+    val v = versions.select(
+      col(vKeyCol).as("__k"),
+      col(vTsCol).as("__ts"),
+      lit(1).as("__isv"),
+      vCarry.as("__vp"),
+      lit(null).cast(epType).as("__ep")
+    )
+    val e = events.select(
+      col(keyCol).as("__k"),
+      col(tsCol).as("__ts"),
+      lit(0).as("__isv"),
+      lit(null).cast(vpType).as("__vp"),
+      struct(events.columns.map(col): _*).as("__ep")
+    )
+
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__isv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
+    val prevD = eTs - col("__prev").getField("__vts").cast("double")
+
+    v.unionByName(e)
+      .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(w))
+      .where(col("__isv") === 0)
+      .withColumn("__best", when(prevD <= toleranceSeconds.toDouble, col("__prev")))
+      .select(col("__ep.*") +: vPayloadCols.map(c => col("__best").getField(c).as(c)): _*)
+  }
+
   /** Skew-hardened as-of join: identical semantics to [[enrich]] (spec-
     * pinned equal on every fixture), but the forward-fill window
     * partitions by (key, TIME BUCKET) instead of key alone.

@@ -147,6 +147,56 @@ object TemporalQueries {
              |FROM b JOIN f USING (event_id)""".stripMargin)
     ),
 
+    // ---- tolerance-banded as-of: each purchase enriched with the
+    //      user's latest signup-session event, UNLESS it is staler than
+    //      the 2-day tolerance — the feature-store freshness guard
+    //      (merge_asof tolerance). Versions and probes both come from
+    //      the event log so the staleness distribution actually
+    //      straddles the bound. ----
+    Q(
+      "t_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val vw = Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("signup_event").desc)
+        val signups = ev
+          .where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+          .withColumn("__rn", row_number().over(vw))
+          .where(col("__rn") === 1)
+          .drop("__rn")
+        val purchases = ev
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        AsOfJoin
+          .enrichTolerant(
+            purchases, signups, "user_id", "ts", "user_id", "ts",
+            toleranceSeconds = 2L * 86400)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("signup_event")
+          )
+      },
+      Some("""WITH signups AS (
+             |  SELECT user_id, ts, event_id AS signup_event
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |        FROM events WHERE event_type = 'signup') WHERE rn = 1),
+             |purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT p.event_id, p.user_id, p.ts, s.ts AS sts, s.signup_event
+             |      FROM purchases p ASOF LEFT JOIN signups s
+             |        ON p.user_id = s.user_id AND p.ts >= s.ts)
+             |SELECT event_id, user_id,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |       CASE WHEN sts IS NOT NULL
+             |                 AND epoch_us(ts) - epoch_us(sts) <= CAST(172800 AS BIGINT) * 1000000
+             |            THEN signup_event END AS signup_event
+             |FROM b""".stripMargin)
+    ),
+
     // ---- skew-hardened as-of join on a HOT-KEY fixture: 75% of events
     //      collapse onto one user (the mass-default-key shape), and the
     //      bucketed variant — windows over (key, day bucket) + carry-in —
