@@ -36,25 +36,36 @@ import org.apache.spark.sql.types.StructType
   * mirroring DuckDB's `ASOF LEFT JOIN`).
   */
 object AsOfJoin {
-  /** Tagged-union staging shared by the backward and forward joins. */
+  /** Tagged-union staging shared by every direction variant. With
+    * `carryVersionTs` the fill struct leads with the version timestamp
+    * (field `__vts`, pre-normalized to session-tz TIMESTAMP — the raw
+    * parquet NTZ flavor cannot cast to DOUBLE for distance compares).
+    */
   private def staged(
       events: DataFrame,
       versions: DataFrame,
       keyCol: String,
       tsCol: String,
       vKeyCol: String,
-      vTsCol: String
+      vTsCol: String,
+      carryVersionTs: Boolean = false
   ): (DataFrame, Seq[String]) = {
     val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
     require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
     val epType = StructType(events.schema.fields)
-    val vpType = StructType(versions.schema.fields.filter(f => vPayloadCols.contains(f.name)))
+    val vCarry =
+      if (carryVersionTs)
+        struct(
+          col(vTsCol).cast(org.apache.spark.sql.types.TimestampType).as("__vts") +:
+            vPayloadCols.map(col): _*)
+      else struct(vPayloadCols.map(col): _*)
+    val vpType = versions.select(vCarry).schema.head.dataType
 
     val v = versions.select(
       col(vKeyCol).as("__k"),
       col(vTsCol).as("__ts"),
       lit(1).as("__isv"),
-      struct(vPayloadCols.map(col): _*).as("__vp"),
+      vCarry.as("__vp"),
       lit(null).cast(epType).as("__ep")
     )
     val e = events.select(
@@ -65,6 +76,23 @@ object AsOfJoin {
       struct(events.columns.map(col): _*).as("__ep")
     )
     (v.unionByName(e), vPayloadCols)
+  }
+
+  /** The growing-frame forward fill: descending timestamp sort with an
+    * unboundedPreceding..currentRow frame. Spark evaluates a GROWING
+    * frame incrementally (O(n) per partition); the naive formulation —
+    * ascending sort with currentRow..unboundedFollowing — re-scans to
+    * the partition end per row (O(n^2)), which on a hot key is exactly
+    * the blowup this module exists to avoid. At equal timestamps the
+    * version sorts BEFORE the event (isv DESC under ts DESC) so the
+    * event's frame includes it (inclusive forward semantics).
+    */
+  private def nextFill(c: Column): (Column, org.apache.spark.sql.expressions.WindowSpec) = {
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").desc, col("__isv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (last(c, ignoreNulls = true), w)
   }
 
   def enrich(
@@ -90,12 +118,9 @@ object AsOfJoin {
   /** Forward as-of: each event gets the EARLIEST version at or after its
     * timestamp (pandas merge_asof direction='forward'; DuckDB
     * `ASOF LEFT JOIN ... ON e.ts <= v.ts`). Same single-shuffle tagged
-    * union as [[enrich]], with the mirror-image frame: sort (ts ASC,
-    * isVersion ASC) puts an event BEFORE a version carrying the same
-    * timestamp — so the equal-ts version is inside the event's
-    * currentRow..unboundedFollowing frame — and `first(ignoreNulls)`
-    * backward-fills the next version. Events after the last version get
-    * NULLs (left-join semantics).
+    * union as [[enrich]], with the fill running over the DESCENDING
+    * growing frame ([[nextFill]]) so the pass stays O(n) per partition.
+    * Events after the last version get NULLs (left-join semantics).
     */
   def enrichForward(
       events: DataFrame,
@@ -106,13 +131,10 @@ object AsOfJoin {
       vTsCol: String
   ): DataFrame = {
     val (union, vPayloadCols) = staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol)
-    val w = Window
-      .partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__isv").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val (fill, w) = nextFill(col("__vp"))
 
     union
-      .withColumn("__active", first(col("__vp"), ignoreNulls = true).over(w))
+      .withColumn("__active", fill.over(w))
       .where(col("__isv") === 0)
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__active").getField(c).as(c)): _*)
   }
@@ -120,11 +142,16 @@ object AsOfJoin {
   /** Nearest as-of: each event gets the version with the smallest
     * absolute timestamp distance, ties resolved BACKWARD (the at-or-
     * before version wins — merge_asof direction='nearest' semantics).
-    * Still ONE hash exchange: both directional fills run as two Window
-    * passes over the same key partitioning (the second pass re-sorts
-    * within partitions, no reshuffle), then a codegen'd comparison
-    * picks the closer side. The version timestamp rides inside the
-    * carried struct so the distance needs no join back.
+    * Still ONE hash exchange: both directional fills run as two GROWING-
+    * frame Window passes over the same key partitioning (the second
+    * pass re-sorts within partitions, no reshuffle — and no shrinking
+    * frame, see [[nextFill]]), then a codegen'd comparison picks the
+    * closer side. The version timestamp rides inside the fill struct so
+    * the distance needs no join back.
+    *
+    * Timestamps compare as INSTANTS in the session time zone (NTZ
+    * inputs are interpreted as session-local — this library pins UTC
+    * everywhere, where instant and wall-clock distance coincide).
     */
   def enrichNearest(
       events: DataFrame,
@@ -134,48 +161,21 @@ object AsOfJoin {
       vKeyCol: String,
       vTsCol: String
   ): DataFrame = {
-    val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
-    require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
-    val epType = StructType(events.schema.fields)
-    // carried struct = version ts + payload (ts first, names prefixed to
-    // dodge payload-name collisions). The ts rides pre-normalized to
-    // session-tz TIMESTAMP: TIMESTAMP_NTZ (the raw parquet flavor)
-    // cannot cast to DOUBLE for the distance compare, TIMESTAMP can.
-    val vCarry = struct(
-      col(vTsCol).cast(org.apache.spark.sql.types.TimestampType).as("__vts") +:
-        vPayloadCols.map(col): _*)
-    val vpType = versions.select(vCarry).schema.head.dataType
-
-    val v = versions.select(
-      col(vKeyCol).as("__k"),
-      col(vTsCol).as("__ts"),
-      lit(1).as("__isv"),
-      vCarry.as("__vp"),
-      lit(null).cast(epType).as("__ep")
-    )
-    val e = events.select(
-      col(keyCol).as("__k"),
-      col(tsCol).as("__ts"),
-      lit(0).as("__isv"),
-      lit(null).cast(vpType).as("__vp"),
-      struct(events.columns.map(col): _*).as("__ep")
-    )
+    val (union, vPayloadCols) =
+      staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol, carryVersionTs = true)
 
     val wb = Window
       .partitionBy("__k")
       .orderBy(col("__ts").asc, col("__isv").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window
-      .partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__isv").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val (nfill, wf) = nextFill(col("__vp"))
 
     val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
     val prevD = eTs - col("__prev").getField("__vts").cast("double")
     val nextD = col("__next").getField("__vts").cast("double") - eTs
-    v.unionByName(e)
+    union
       .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(wb))
-      .withColumn("__next", first(col("__vp"), ignoreNulls = true).over(wf))
+      .withColumn("__next", nfill.over(wf))
       .where(col("__isv") === 0)
       .withColumn(
         "__best",
@@ -204,28 +204,8 @@ object AsOfJoin {
       toleranceSeconds: Long
   ): DataFrame = {
     require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
-    val vPayloadCols = versions.columns.filterNot(c => c == vKeyCol || c == vTsCol).toSeq
-    require(vPayloadCols.nonEmpty, "versions must carry at least one payload column")
-    val epType = StructType(events.schema.fields)
-    val vCarry = struct(
-      col(vTsCol).cast(org.apache.spark.sql.types.TimestampType).as("__vts") +:
-        vPayloadCols.map(col): _*)
-    val vpType = versions.select(vCarry).schema.head.dataType
-
-    val v = versions.select(
-      col(vKeyCol).as("__k"),
-      col(vTsCol).as("__ts"),
-      lit(1).as("__isv"),
-      vCarry.as("__vp"),
-      lit(null).cast(epType).as("__ep")
-    )
-    val e = events.select(
-      col(keyCol).as("__k"),
-      col(tsCol).as("__ts"),
-      lit(0).as("__isv"),
-      lit(null).cast(vpType).as("__vp"),
-      struct(events.columns.map(col): _*).as("__ep")
-    )
+    val (union, vPayloadCols) =
+      staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol, carryVersionTs = true)
 
     val w = Window
       .partitionBy("__k")
@@ -234,7 +214,7 @@ object AsOfJoin {
     val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
     val prevD = eTs - col("__prev").getField("__vts").cast("double")
 
-    v.unionByName(e)
+    union
       .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(w))
       .where(col("__isv") === 0)
       .withColumn("__best", when(prevD <= toleranceSeconds.toDouble, col("__prev")))

@@ -219,10 +219,14 @@ object CdcQueries {
     Q(
       "scd2_asof_timetravel",
       (s, dir) => {
-        val m = mergedMart(s, dir)
-        Seq(InitialTs, LoadTs)
-          .map(ts => Scd2.asOf(m, lit(ts)).withColumn("probe_ts", lit(ts)))
-          .reduce(_ unionByName _)
+        import s.implicits._
+        // ONE merge pass for all probes: the tiny probe frame broadcast-
+        // cross-joins the mart and asOf filters on the probe column — a
+        // per-probe Scd2.asOf union would re-run the whole merge pipeline
+        // once per probe.
+        val probes = Seq(InitialTs, LoadTs).toDF("probe_ts")
+        Scd2
+          .asOf(mergedMart(s, dir).crossJoin(broadcast(probes)), col("probe_ts"))
           .select(
             col("probe_ts"),
             col("ssi"),

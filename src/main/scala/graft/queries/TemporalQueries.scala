@@ -16,6 +16,29 @@ object TemporalQueries {
   private val SessionGapSeconds = 3600L
   private val SaltBuckets = 32
 
+  /** One version row per (custkey, orderdate) with a deterministic
+    * tiebreak (max orderkey) — the unique-(key, ts) version side the
+    * as-of contract requires, shared by every as-of direction query.
+    */
+  private def orderVersions(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val vw = Window
+      .partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    Tables
+      .orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("__rn", row_number().over(vw))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SQL twin of [[orderVersions]], as the opening `WITH vers` CTE. */
+  private val VersSqlCte =
+    """WITH vers AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |        FROM orders) WHERE rn = 1)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     // ---- as-of join: event -> latest order version at event time ----
     Q(
@@ -25,15 +48,7 @@ object TemporalQueries {
         // one version row per (custkey, orderdate): deterministic
         // tiebreak (max orderkey) — the as-of contract requires unique
         // (key, ts) on the version side
-        val vw = Window
-          .partitionBy(col("o_custkey"), col("o_orderdate"))
-          .orderBy(col("o_orderkey").desc)
-        val vers = Tables
-          .orders(s, dir)
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("__rn", row_number().over(vw))
-          .where(col("__rn") === 1)
-          .drop("__rn")
+        val vers = orderVersions(s, dir)
         AsOfJoin
           .enrich(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
           .select(
@@ -44,10 +59,7 @@ object TemporalQueries {
             col("o_orderpriority").as("asof_priority")
           )
       },
-      Some("""WITH vers AS (
-             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
-             |        FROM orders) WHERE rn = 1)
+      Some(s"""$VersSqlCte
              |SELECT e.event_id, e.user_id,
              |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
              |       v.o_orderkey AS asof_orderkey,
@@ -64,15 +76,7 @@ object TemporalQueries {
       "t_asof_forward",
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-        val vw = Window
-          .partitionBy(col("o_custkey"), col("o_orderdate"))
-          .orderBy(col("o_orderkey").desc)
-        val vers = Tables
-          .orders(s, dir)
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("__rn", row_number().over(vw))
-          .where(col("__rn") === 1)
-          .drop("__rn")
+        val vers = orderVersions(s, dir)
         AsOfJoin
           .enrichForward(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
           .select(
@@ -83,10 +87,7 @@ object TemporalQueries {
             col("o_orderpriority").as("next_priority")
           )
       },
-      Some("""WITH vers AS (
-             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
-             |        FROM orders) WHERE rn = 1)
+      Some(s"""$VersSqlCte
              |SELECT e.event_id, e.user_id,
              |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
              |       v.o_orderkey AS next_orderkey,
@@ -103,15 +104,7 @@ object TemporalQueries {
       "t_asof_nearest",
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-        val vw = Window
-          .partitionBy(col("o_custkey"), col("o_orderdate"))
-          .orderBy(col("o_orderkey").desc)
-        val vers = Tables
-          .orders(s, dir)
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("__rn", row_number().over(vw))
-          .where(col("__rn") === 1)
-          .drop("__rn")
+        val vers = orderVersions(s, dir)
         AsOfJoin
           .enrichNearest(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate")
           .select(
@@ -122,10 +115,7 @@ object TemporalQueries {
             col("o_orderpriority").as("near_priority")
           )
       },
-      Some("""WITH vers AS (
-             |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority
-             |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
-             |        FROM orders) WHERE rn = 1),
+      Some(s"""$VersSqlCte,
              |b AS (SELECT e.event_id, e.user_id, e.ts,
              |             v.o_orderdate AS bts, v.o_orderkey AS bk, v.o_orderpriority AS bp
              |      FROM events e ASOF LEFT JOIN vers v
@@ -211,15 +201,7 @@ object TemporalQueries {
           .select(col("event_id"), col("user_id"), col("ts"))
           // hot fixture: 3 of every 4 events land on user 7
           .withColumn("user_id", when(col("event_id") % 4 =!= 0, lit(7L)).otherwise(col("user_id")))
-        val vw = Window
-          .partitionBy(col("o_custkey"), col("o_orderdate"))
-          .orderBy(col("o_orderkey").desc)
-        val vers = Tables
-          .orders(s, dir)
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("__rn", row_number().over(vw))
-          .where(col("__rn") === 1)
-          .drop("__rn")
+        val vers = orderVersions(s, dir)
         AsOfJoin
           .enrichBucketed(ev, vers, "user_id", "ts", "o_custkey", "o_orderdate",
             bucketSeconds = 86400L)

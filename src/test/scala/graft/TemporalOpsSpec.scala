@@ -98,6 +98,53 @@ class TemporalOpsSpec extends SparkSpec {
     ))
   }
 
+  test("asof tolerant: staleness boundary is inclusive, stale versions null out, tolerance 0 means exact-ts only") {
+    val versions = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "v1"),
+      (2L, ts("2024-01-01 00:00:00"), "w1")
+    ).toDF("k", "vts", "payload")
+    val events = Seq(
+      (10L, 1L, ts("2024-01-01 01:00:00")), // exactly 3600s stale -> kept (inclusive)
+      (11L, 1L, ts("2024-01-01 01:00:01")), // 3601s -> rejected
+      (12L, 1L, ts("2024-01-01 00:30:00")), // fresh -> kept
+      (13L, 1L, ts("2023-12-31 00:00:00")), // no version at-or-before -> null
+      (14L, 2L, ts("2024-01-01 00:00:00"))  // distance 0
+    ).toDF("event_id", "k", "ets")
+
+    def run(tol: Long) = AsOfJoin
+      .enrichTolerant(events, versions, "k", "ets", "k", "vts", tol)
+      .select("event_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .toMap
+
+    assert(run(3600L) == Map(
+      10L -> Some("v1"), // boundary inclusive
+      11L -> None,
+      12L -> Some("v1"),
+      13L -> None,
+      14L -> Some("w1")
+    ))
+    // tolerance 0: only a version at the exact event instant survives
+    assert(run(0L) == Map(
+      10L -> None, 11L -> None, 12L -> None, 13L -> None, 14L -> Some("w1")
+    ))
+  }
+
+  test("asof forward/nearest: fills use growing frames only (no O(n^2) unboundedfollowing)") {
+    val versions = Seq((1L, ts("2024-01-01 00:00:00"), "v1")).toDF("k", "vts", "payload")
+    val events   = Seq((10L, 1L, ts("2024-01-01 01:00:00"))).toDF("event_id", "k", "ets")
+    for (df <- Seq(
+        AsOfJoin.enrichForward(events, versions, "k", "ets", "k", "vts"),
+        AsOfJoin.enrichNearest(events, versions, "k", "ets", "k", "vts"))) {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      // a shrinking frame (currentRow..unboundedFollowing) re-scans to the
+      // partition end per row — quadratic on a hot key; the fills must
+      // run over unboundedPreceding..currentRow growing frames instead
+      assert(!plan.contains("unboundedfollowing"), s"shrinking window frame in as-of fill:\n$plan")
+    }
+  }
+
   test("asof: single shuffle — no join operator in the physical plan") {
     val versions = spark.read.parquet(s"$Sf/orders.parquet")
       .select(col("o_custkey").as("k"), col("o_orderdate").as("vts"), col("o_orderkey"))
