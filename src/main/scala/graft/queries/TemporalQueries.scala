@@ -262,6 +262,64 @@ object TemporalQueries {
              |FROM x""".stripMargin)
     ),
 
+    // ---- interval concurrency via sweep-line: each order is an
+    //      interval [orderdate, orderdate + f(priority) days); peak
+    //      simultaneous open orders per customer = the max of a running
+    //      sum over the +1/-1 boundary event stream. The sweep
+    //      partitions by customer (intervals only interact within a
+    //      key), so every partition is bounded by one key's orders and
+    //      the whole operator is one exchange + two Window passes —
+    //      the relational form of interval/overlap algebra, no
+    //      interval self-join. Starts sort before ends at the same
+    //      instant (delta DESC), making the interval closed on both
+    //      boundary ties. ----
+    Q(
+      "t_peak_concurrency",
+      (s, dir) => {
+        val pdays = (substring(col("o_orderpriority"), 1, 1).cast("int") * 10)
+        val iv2 = Tables
+          .orders(s, dir)
+          .withColumn("pd", pdays)
+          .select(
+            col("o_custkey"),
+            col("o_orderdate").as("s_ts"),
+            (col("o_orderdate") + expr("make_dt_interval(pd, 0, 0, 0)")).as("e_ts")
+          )
+        val deltas = iv2
+          .select(col("o_custkey"), col("s_ts").as("ts"), lit(1).as("delta"))
+          .unionByName(iv2.select(col("o_custkey"), col("e_ts").as("ts"), lit(-1).as("delta")))
+        val wRun = Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("ts").asc, col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPeak = Window.partitionBy(col("o_custkey"))
+        deltas
+          .withColumn("run", sum(col("delta")).over(wRun))
+          .withColumn("peak", max(col("run")).over(wPeak))
+          .where(col("run") === col("peak"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            first(col("peak")).cast("int").as("peak"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_peak_ts")
+          )
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_custkey, o_orderdate AS s_ts,
+             |         o_orderdate + to_days(CAST(substr(o_orderpriority, 1, 1) AS INT) * 10) AS e_ts
+             |  FROM orders),
+             |d AS (SELECT o_custkey, s_ts AS ts, 1 AS delta FROM iv
+             |      UNION ALL SELECT o_custkey, e_ts, -1 FROM iv),
+             |r AS (SELECT o_custkey, ts,
+             |        sum(delta) OVER (PARTITION BY o_custkey ORDER BY ts, delta DESC
+             |                         ROWS UNBOUNDED PRECEDING) AS run
+             |      FROM d),
+             |p AS (SELECT o_custkey, max(run) AS peak FROM r GROUP BY 1)
+             |SELECT r.o_custkey, CAST(p.peak AS INT) AS peak,
+             |       strftime(min(r.ts), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+             |FROM r JOIN p USING (o_custkey) WHERE r.run = p.peak
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- session path analysis: the ordered event-type sequence of
     //      each session, counted corpus-wide. Builds on the SAME
     //      sessionization as t_event_sessionize; the per-session
