@@ -274,6 +274,41 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // ---- corpus curation by RELATIVE quality: drop the bottom 20% of
+    //      each language by percent_rank — the per-group percentile
+    //      pruning real corpora use (an absolute threshold can't follow
+    //      per-language score distributions). One window shuffle keyed
+    //      by language; rank ratio leaves on the half-up micro grid
+    //      (exact rank arithmetic, the w2 idiom). ----
+    Q(
+      "curation_quality_percentile",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("quality").asc, col("doc_id").asc)
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("lang"), TextFunctions.qualityScore(col("text")).as("quality"))
+          .withColumn("pr_micro", floor(percent_rank().over(w) * 1000000 + 0.5).cast("long"))
+          .where(col("pr_micro") >= 200000)
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
+             |      40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+             |      + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             |            / CAST(len(string_split(text,' ')) AS DOUBLE)
+             |      + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             |            / CAST(length(text) AS DOUBLE)) END AS INT) AS quality
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang, quality,
+             |    CAST(floor(percent_rank() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)
+             |         * 1000000 + 0.5) AS BIGINT) AS pr_micro
+             |  FROM q)
+             |SELECT doc_id, lang, quality, pr_micro FROM r WHERE pr_micro >= 200000""".stripMargin)
+    ),
+
     // ---- corpus curation: keep the best k docs per language by quality
     //      (WindowGroupLimit prunes per-group losers BEFORE the shuffle;
     //      deterministic (quality DESC, doc_id ASC) cut) ----
@@ -1266,6 +1301,55 @@ object TextQueries {
              |       CAST(count(*) AS BIGINT) AS n,
              |       CAST(round(avg(val) * 1000000) AS BIGINT) AS mean_micro
              |FROM x GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ---- deterministic negative sampling (contrastive-training prep):
+    //      each anchor draws k pseudo-random candidate ids from the
+    //      salted-md5 stream (the RNG-free sampling idiom shared with
+    //      split/shuffle), keeps those with a DIFFERENT class label.
+    //      One narrow k-fan-out map over the anchors, one id-keyed hash
+    //      join against the corpus for the label probe — no RNG state,
+    //      re-runs bit-identical, a new seed is a fresh epoch. Rejected
+    //      slots are simply absent (emit-accepted semantics). ----
+    Q(
+      "ann_negative_samples",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+        val n   = emb.agg((max(col("vec_id")) + 1).as("n"))
+        val anchors = emb
+          .where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+        anchors
+          .crossJoin(broadcast(n))
+          .select(
+            col("anchor_id"),
+            col("anchor_label"),
+            explode(sequence(lit(0), lit(7))).as("slot"),
+            col("n")
+          )
+          .withColumn(
+            "cand_id",
+            pmod(
+              Fingerprint.seededLongHash(concat_ws("|", col("anchor_id"), col("slot")), 7),
+              col("n"))
+          )
+          .join(
+            emb.select(col("vec_id").as("cand_id"), col("label").as("cand_label")),
+            Seq("cand_id"))
+          .where(col("cand_label") =!= col("anchor_label") && col("cand_id") =!= col("anchor_id"))
+          .select(col("anchor_id"), col("slot"), col("cand_id"), col("cand_label"))
+      },
+      Some("""WITH n AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+             |a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+             |      FROM embeddings WHERE vec_id % 100 = 0),
+             |s AS (SELECT anchor_id, anchor_label, CAST(u.slot AS INT) AS slot
+             |      FROM a, unnest(generate_series(0, 7)) AS u(slot)),
+             |c AS (SELECT anchor_id, anchor_label, slot,
+             |        CAST('0x' || substr(md5('7:' || CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 15) AS BIGINT) % n.n AS cand_id
+             |      FROM s, n)
+             |SELECT c.anchor_id, c.slot, c.cand_id, e.label AS cand_label
+             |FROM c JOIN embeddings e ON e.vec_id = c.cand_id
+             |WHERE e.label <> c.anchor_label AND c.cand_id <> c.anchor_id""".stripMargin)
     ),
 
     // ---- corpus clustering summary over the TRAINED coarse quantizer:
