@@ -1303,6 +1303,39 @@ object TextQueries {
              |FROM x GROUP BY 1, 2""".stripMargin)
     ),
 
+    // ---- sliding-window document chunking (embedding/RAG prep): W=64
+    //      token chunks at stride 48 (25% overlap), trailing chunk
+    //      short. Pure narrow map + explode — chunk count per doc is
+    //      ceil(n/S), no shuffle at all until a downstream consumer
+    //      asks for one; provenance (doc_id, chunk_idx) and a content
+    //      hash ride along. Both engines slice the SAME 1-based
+    //      token array, so the fingerprints match byte-for-byte. ----
+    Q(
+      "text_chunk_sliding",
+      (s, dir) => {
+        val W = 64
+        val S = 48
+        val t = TextFunctions.tokens(col("text"))
+        Tables
+          .documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")), lit(S))).as("st"))
+          .select(
+            col("doc_id"),
+            ((col("st") - 1) / S).cast("int").as("chunk_idx"),
+            size(slice(col("t"), col("st"), lit(W))).as("n_tok"),
+            md5(concat_ws(" ", slice(col("t"), col("st"), lit(W)))).as("chunk_fp")
+          )
+      },
+      Some("""SELECT doc_id,
+             |       CAST((st - 1) // 48 AS INT) AS chunk_idx,
+             |       CAST(len(t[st : st + 63]) AS INT) AS n_tok,
+             |       md5(array_to_string(t[st : st + 63], ' ')) AS chunk_fp
+             |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |     unnest(generate_series(1, len(t), 48)) AS u(st)""".stripMargin)
+    ),
+
     // ---- deterministic negative sampling (contrastive-training prep):
     //      each anchor draws k pseudo-random candidate ids from the
     //      salted-md5 stream (the RNG-free sampling idiom shared with
