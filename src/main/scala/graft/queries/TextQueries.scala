@@ -27,6 +27,19 @@ object TextQueries {
   private def sqlHash(seed: Int, expr: String): String =
     s"CAST('0x' || substr(md5('$seed:' || $expr), 1, 15) AS BIGINT)"
 
+  /** DuckDB twin of TextFunctions.qualityScore — ONE definition shared by
+    * every oracle that scores quality, so the three call sites cannot
+    * drift from each other (the Scala side is likewise one function).
+    */
+  private val QualitySql =
+    """CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
+      |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
+      |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+      |        / CAST(len(string_split(text,' ')) AS DOUBLE)
+      |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE)) END AS INT)""".stripMargin
+      .replace("\n", "\n             ")
+
   /** DuckDB twin of ApproxDedup.baseHash / the affine MinHash family. */
   private def sqlBaseHash(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT) % ${ApproxDedup.MinhashMod}"
@@ -44,6 +57,10 @@ object TextQueries {
 
   private val NumHashes   = 8
   private val RowsPerBand = 2
+
+  // sliding-window chunking geometry (text_chunk_sliding, both engines)
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
 
   /** Shared CTE chain ending in `buckets(doc_id, band, sig)`: per-doc
     * LSH band fingerprints from the md5 minhash family — used by the
@@ -263,14 +280,9 @@ object TextQueries {
             TextFunctions.qualityScore(col("text")).as("quality"),
             TextFunctions.docFingerprint(col("text")).as("fp")
           ),
-      Some("""SELECT doc_id,
-             |CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
-             |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
-             |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |        / CAST(len(string_split(text,' ')) AS DOUBLE)
-             |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             |        / CAST(length(text) AS DOUBLE)) END AS INT) AS quality,
-             |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      Some(s"""SELECT doc_id,
+             |$QualitySql AS quality,
+             |md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
              |FROM documents""".stripMargin)
     ),
 
@@ -292,14 +304,9 @@ object TextQueries {
           .withColumn("pr_micro", floor(percent_rank().over(w) * 1000000 + 0.5).cast("long"))
           .where(col("pr_micro") >= 200000)
       },
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
              |  SELECT doc_id, lang,
-             |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
-             |      40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
-             |      + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |            / CAST(len(string_split(text,' ')) AS DOUBLE)
-             |      + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             |            / CAST(length(text) AS DOUBLE)) END AS INT) AS quality
+             |    $QualitySql AS quality
              |  FROM documents),
              |r AS (
              |  SELECT doc_id, lang, quality,
@@ -329,13 +336,8 @@ object TextQueries {
             col("rnk")
           )
       },
-      Some("""WITH scored AS (SELECT lang, doc_id,
-             |CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
-             |  40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
-             |  + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-             |        / CAST(len(string_split(text,' ')) AS DOUBLE)
-             |  + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-             |        / CAST(length(text) AS DOUBLE)) END AS INT) AS quality
+      Some(s"""WITH scored AS (SELECT lang, doc_id,
+             |$QualitySql AS quality
              |FROM documents),
              |ranked AS (SELECT lang, doc_id, quality,
              |  CAST(row_number() OVER (PARTITION BY lang
@@ -655,12 +657,7 @@ object TextQueries {
            |hh AS (SELECT doc_id, lang, text, ${hitExprs.mkString(", ")} FROM corpus),
            |bb AS (SELECT *, $best AS best FROM hh),
            |scored AS (SELECT doc_id, lang, text,
-           |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE round(
-           |    40.0 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 100.0)
-           |    + 40.0 * CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-           |          / CAST(len(string_split(text,' ')) AS DOUBLE)
-           |    + 20.0 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-           |          / CAST(length(text) AS DOUBLE)) END AS INT) AS quality,
+           |  $QualitySql AS quality,
            |  CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lid
            |  FROM bb),
            |filt AS (SELECT * FROM scored WHERE quality >= 40 AND lid != 'und'),
@@ -1305,35 +1302,38 @@ object TextQueries {
 
     // ---- sliding-window document chunking (embedding/RAG prep): W=64
     //      token chunks at stride 48 (25% overlap), trailing chunk
-    //      short. Pure narrow map + explode — chunk count per doc is
-    //      ceil(n/S), no shuffle at all until a downstream consumer
-    //      asks for one; provenance (doc_id, chunk_idx) and a content
-    //      hash ride along. Both engines slice the SAME 1-based
-    //      token array, so the fingerprints match byte-for-byte. ----
+    //      short. A narrow map + explode — no KEYED shuffle anywhere
+    //      (the one round-robin repartition is the single-row-group
+    //      fixture fan-out every map-heavy query here pays; a real
+    //      multi-split corpus wouldn't need it); provenance (doc_id,
+    //      chunk_idx) and a content hash ride along. Both engines slice
+    //      the SAME 1-based token array, so the fingerprints match
+    //      byte-for-byte. ----
     Q(
       "text_chunk_sliding",
       (s, dir) => {
-        val W = 64
-        val S = 48
         val t = TextFunctions.tokens(col("text"))
         Tables
           .documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), t.as("t"))
-          .select(col("doc_id"), col("t"), explode(sequence(lit(1), size(col("t")), lit(S))).as("st"))
           .select(
             col("doc_id"),
-            ((col("st") - 1) / S).cast("int").as("chunk_idx"),
-            size(slice(col("t"), col("st"), lit(W))).as("n_tok"),
-            md5(concat_ws(" ", slice(col("t"), col("st"), lit(W)))).as("chunk_fp")
+            col("t"),
+            explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("st"))
+          .select(
+            col("doc_id"),
+            ((col("st") - 1) / ChunkStride).cast("int").as("chunk_idx"),
+            size(slice(col("t"), col("st"), lit(ChunkWindow))).as("n_tok"),
+            md5(concat_ws(" ", slice(col("t"), col("st"), lit(ChunkWindow)))).as("chunk_fp")
           )
       },
-      Some("""SELECT doc_id,
-             |       CAST((st - 1) // 48 AS INT) AS chunk_idx,
-             |       CAST(len(t[st : st + 63]) AS INT) AS n_tok,
-             |       md5(array_to_string(t[st : st + 63], ' ')) AS chunk_fp
+      Some(s"""SELECT doc_id,
+             |       CAST((st - 1) // $ChunkStride AS INT) AS chunk_idx,
+             |       CAST(len(t[st : st + ${ChunkWindow - 1}]) AS INT) AS n_tok,
+             |       md5(array_to_string(t[st : st + ${ChunkWindow - 1}], ' ')) AS chunk_fp
              |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |     unnest(generate_series(1, len(t), 48)) AS u(st)""".stripMargin)
+             |     unnest(generate_series(1, len(t), $ChunkStride)) AS u(st)""".stripMargin)
     ),
 
     // ---- deterministic negative sampling (contrastive-training prep):
@@ -1372,13 +1372,13 @@ object TextQueries {
           .where(col("cand_label") =!= col("anchor_label") && col("cand_id") =!= col("anchor_id"))
           .select(col("anchor_id"), col("slot"), col("cand_id"), col("cand_label"))
       },
-      Some("""WITH n AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+      Some(s"""WITH n AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
              |a AS (SELECT vec_id AS anchor_id, label AS anchor_label
              |      FROM embeddings WHERE vec_id % 100 = 0),
              |s AS (SELECT anchor_id, anchor_label, CAST(u.slot AS INT) AS slot
              |      FROM a, unnest(generate_series(0, 7)) AS u(slot)),
              |c AS (SELECT anchor_id, anchor_label, slot,
-             |        CAST('0x' || substr(md5('7:' || CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 15) AS BIGINT) % n.n AS cand_id
+             |        ${sqlHash(7, "CAST(anchor_id AS VARCHAR) || '|' || CAST(slot AS VARCHAR)")} % n.n AS cand_id
              |      FROM s, n)
              |SELECT c.anchor_id, c.slot, c.cand_id, e.label AS cand_label
              |FROM c JOIN embeddings e ON e.vec_id = c.cand_id
