@@ -83,6 +83,56 @@ object StreamOps {
       }
   }
 
+  /** Streaming ordered-funnel tracker — the stateful-streaming twin of
+    * the batch funnel query (t_funnel_stages): per key, advance through
+    * `stages` IN ORDER as matching events arrive, emitting one
+    * (key, stageReached, eventTs) row per ADVANCE — funnel progression
+    * as a change stream. Within a micro-batch events are sorted by
+    * event time (late arrivals inside one batch are handled); across
+    * batches state only advances, so replays and stragglers for
+    * already-passed stages are no-ops. State per key is ONE int (+
+    * optional processing-time TTL eviction) — constant memory per
+    * tracked key regardless of event volume, the property a 100 TB
+    * event stream needs from its funnel state.
+    */
+  def funnelStages[K](
+      ds: Dataset[(K, String, java.sql.Timestamp)],
+      stages: Seq[String],
+      stateTtl: Option[String] = Some("1 hour")
+  )(implicit
+      kEnc: Encoder[K],
+      outEnc: Encoder[(K, Int, java.sql.Timestamp)]
+  ): Dataset[(K, Int, java.sql.Timestamp)] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (K, Int, java.sql.Timestamp)](
+        OutputMode.Append(),
+        timeoutConf
+      ) { (key: K, rows: Iterator[(K, String, java.sql.Timestamp)], state: GroupState[Int]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var cur = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Int, java.sql.Timestamp)]
+          // (ts, type) sort: deterministic under in-batch disorder
+          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { r =>
+            if (cur < stages.length && r._2 == stages(cur)) {
+              cur += 1
+              out += ((key, cur, r._3))
+            }
+          }
+          if (cur > 0) state.update(cur)
+          stateTtl.foreach(state.setTimeoutDuration)
+          out.iterator
+        }
+      }
+  }
+
   /** Streaming gap-based sessionization — the `session_window` twin of
     * the batch [[graft.operators.Sessionize]] operator. Sessions for a
     * key merge while events arrive within `gapDuration` of each other;

@@ -63,6 +63,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
   }
 
+  test("funnelStages: ordered advancement across batches, in-batch disorder sorted, no regressions") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = StreamOps.funnelStages(
+      stream.toDS(), stages = Seq("view", "click", "purchase"), stateTtl = None)
+    val q = out.writeStream.format("memory").queryName("funnel").outputMode("append").start()
+
+    // batch 1: user 1 does click-then-view OUT OF ORDER in one batch (ts
+    // sort fixes it -> advances to 2); user 2 starts with click only (no
+    // view yet -> no advance)
+    stream.addData((1L, "click", ts(5)), (1L, "view", ts(1)), (2L, "click", ts(2)))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (-> stage 3); a replayed view for user 1
+    // must NOT regress or re-emit; user 2 finally views (-> stage 1)
+    stream.addData((1L, "purchase", ts(9)), (1L, "view", ts(1)), (2L, "view", ts(7)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("funnel").as[(Long, Int, Timestamp)].collect().toSet
+    assert(got == Set(
+      (1L, 1, ts(1)), (1L, 2, ts(5)), (1L, 3, ts(9)),
+      (2L, 1, ts(7))
+    ))
+  }
+
   test("sessionCounts: session_window merges events within the gap, splits across it") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp)]
