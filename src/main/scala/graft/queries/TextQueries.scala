@@ -286,6 +286,34 @@ object TextQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // ---- exact-k deterministic reservoir per group: exactly k docs
+    //      per language, uniformly positioned by the salted-md5 rank
+    //      (NOT top-k by any payload attribute — the unbiased-sample
+    //      counterpart of curation_topk_per_lang). WindowGroupLimit
+    //      prunes per-group losers before the shuffle; a new salt is an
+    //      independent redraw, and re-ingestion reproduces the same
+    //      sample bit-for-bit. ----
+    Q(
+      "curation_reservoir_k",
+      (s, dir) => {
+        val rk = Fingerprint.seededLongHash(col("doc_id").cast("string"), 5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(rk.asc, col("doc_id").asc)
+        Tables
+          .documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .where(col("rnk") <= 20)
+      },
+      Some(s"""SELECT doc_id, lang, n_chars, rnk FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY ${sqlHash(5, "CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS INT) AS rnk
+             |  FROM documents)
+             |WHERE rnk <= 20""".stripMargin)
+    ),
+
     // ---- corpus curation by RELATIVE quality: drop the bottom 20% of
     //      each language by percent_rank — the per-group percentile
     //      pruning real corpora use (an absolute threshold can't follow
