@@ -869,6 +869,58 @@ object TextQueries {
       Some(s"WITH $simhashPairCtes SELECT id_a, id_b, hamming FROM prs")
     ),
 
+    // ---- multi-signal candidate agreement: pairs flagged by BOTH
+    //      independent detectors — MinHash-LSH (shingle/Jaccard signal)
+    //      AND banded SimHash (token-frequency/Hamming signal). Two
+    //      independent candidate generators intersected is the
+    //      production precision pattern: a collision family that fools
+    //      one hash family rarely fools the other. Both branches are
+    //      the EXACT parameterizations of their standalone queries, so
+    //      the oracle is just the intersection of the two shared CTE
+    //      families; the intersect lowers to one agg-shaped shuffle on
+    //      the (id_a, id_b) key. ----
+    Q(
+      "dedup_multi_signal_pairs",
+      (s, dir) => {
+        val docs = Tables
+          .documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        val mh = ApproxDedup
+          .lshCandidatePairs(
+            ApproxDedup.withMinhashSignature(
+              docs.where(size(TextFunctions.tokens(col("text"))) >= 3).select(col("doc_id"), col("text")),
+              col("text"),
+              n = 3,
+              nHashes = NumHashes
+            ),
+            "doc_id",
+            NumHashes,
+            RowsPerBand
+          )
+          .select(col("id_a"), col("id_b"))
+        val sh = ApproxDedup
+          .simhashNearDupPairs(
+            docs,
+            "doc_id",
+            col("text"),
+            nBits = SimhashPairBits,
+            nBands = 4,
+            maxHamming = 3
+          )
+          .select(col("id_a"), col("id_b"))
+        mh.intersect(sh)
+      },
+      // the two CTE families share helper names (h, sh), so each branch
+      // keeps its own WITH scope inside a parenthesized set operand
+      Some(s"""($lshBucketCtes
+             |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM buckets a JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+             |WHERE a.doc_id < b.doc_id)
+             |INTERSECT
+             |(WITH $simhashPairCtes
+             |SELECT id_a, id_b FROM prs)""".stripMargin)
+    ),
+
     // ---- near-dup clustering: connected components over the simhash
     //      pair graph + survivor election (the corpus-dedup apply step) ----
     Q(
