@@ -262,6 +262,39 @@ object TemporalQueries {
              |FROM x""".stripMargin)
     ),
 
+    // ---- rolling DISTINCT (7-day active users): count-distinct does
+    //      not decompose over sliding windows, so the exact form uses
+    //      COVERAGE EXPANSION — dedup to (user, active-day), explode
+    //      each activity onto the 7 window-end days it covers, then one
+    //      plain distinct-count per day. Linear x7 instead of a 7-way
+    //      self-join or a per-day re-scan; the (user, day) dedup bounds
+    //      the explode input at one row per user-day regardless of raw
+    //      event volume. ----
+    Q(
+      "t_rolling_distinct_users",
+      (s, dir) => {
+        val act = Tables
+          .events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        act
+          .select(
+            col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+          .groupBy(col("wday"))
+          .agg(countDistinct(col("user_id")).as("active_7d"))
+          .select(date_format(col("wday"), "yyyy-MM-dd").as("window_end_day"), col("active_7d"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cov AS (
+             |  SELECT user_id, day + to_days(CAST(o.o AS INT)) AS wday
+             |  FROM act, unnest(generate_series(0, 6)) AS o(o))
+             |SELECT strftime(wday, '%Y-%m-%d') AS window_end_day,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+             |FROM cov GROUP BY 1""".stripMargin)
+    ),
+
     // ---- interval concurrency via sweep-line: each order is an
     //      interval [orderdate, orderdate + f(priority) days); peak
     //      simultaneous open orders per customer = the max of a running
