@@ -79,4 +79,14 @@ class HeavyHittersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"probe must broadcast the counter slices:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"counter probe must never sort-merge:\n$plan")
   }
+
+  test("plan: the depth counter slices reuse ONE counter-build exchange, not depth rebuilds") {
+    val df = skewed(200)
+    val out = HeavyHitters.exact(df, col("item"), 20L, width = 64, depth = 3)
+    out.collect() // finalize THIS DataFrame's adaptive plan (reuse appears post-execution)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery") ||
+      plan.contains("TableCacheQueryStage") || plan.contains("reuse"),
+      s"per-seed probe slices must reuse the counter-build exchange:\n$plan")
+  }
 }

@@ -131,6 +131,22 @@ class TemporalOpsSpec extends SparkSpec {
     ))
   }
 
+  test("asof forward/nearest: one hash exchange, no join operator") {
+    // pre-unique local frames: any exchange in the plan belongs to the
+    // operator itself, not fixture prep
+    val versions = Seq((1L, ts("2024-01-01 00:00:00"), "v1"), (1L, ts("2024-01-02 00:00:00"), "v2"))
+      .toDF("k", "vts", "payload")
+    val events = Seq((10L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "k", "ets")
+    for (df <- Seq(
+        AsOfJoin.enrichForward(events, versions, "k", "ets", "k", "vts"),
+        AsOfJoin.enrichNearest(events, versions, "k", "ets", "k", "vts"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"directional as-of must not plan a join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"directional as-of must shuffle exactly once, saw $exchanges:\n$plan")
+    }
+  }
+
   test("asof forward/nearest: fills use growing frames only (no O(n^2) unboundedfollowing)") {
     val versions = Seq((1L, ts("2024-01-01 00:00:00"), "v1")).toDF("k", "vts", "payload")
     val events   = Seq((10L, 1L, ts("2024-01-01 01:00:00"))).toDF("event_id", "k", "ets")
