@@ -95,6 +95,25 @@ object AsOfJoin {
     (last(c, ignoreNulls = true), w)
   }
 
+  /** The backward fill shared by every at-or-before variant: ascending
+    * growing frame, versions before events at equal timestamps
+    * (inclusive at-or-before semantics).
+    */
+  private def prevFill(c: Column): (Column, org.apache.spark.sql.expressions.WindowSpec) = {
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__isv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (last(c, ignoreNulls = true), w)
+  }
+
+  /** Exact event-time in MICROSECOND longs — distance compares must not
+    * go through doubles (a 2024-era epoch has ~0.5 us double ULP, which
+    * can flip an inclusive tolerance boundary or a nearest tie).
+    */
+  private def micros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   def enrich(
       events: DataFrame,
       versions: DataFrame,
@@ -104,13 +123,10 @@ object AsOfJoin {
       vTsCol: String
   ): DataFrame = {
     val (union, vPayloadCols) = staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol)
-    val w = Window
-      .partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__isv").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (fill, w) = prevFill(col("__vp"))
 
     union
-      .withColumn("__active", last(col("__vp"), ignoreNulls = true).over(w))
+      .withColumn("__active", fill.over(w))
       .where(col("__isv") === 0)
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__active").getField(c).as(c)): _*)
   }
@@ -164,17 +180,14 @@ object AsOfJoin {
     val (union, vPayloadCols) =
       staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol, carryVersionTs = true)
 
-    val wb = Window
-      .partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__isv").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (pfill, wb) = prevFill(col("__vp"))
     val (nfill, wf) = nextFill(col("__vp"))
 
-    val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
-    val prevD = eTs - col("__prev").getField("__vts").cast("double")
-    val nextD = col("__next").getField("__vts").cast("double") - eTs
+    val eTs   = micros(col("__ts"))
+    val prevD = eTs - micros(col("__prev").getField("__vts"))
+    val nextD = micros(col("__next").getField("__vts")) - eTs
     union
-      .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(wb))
+      .withColumn("__prev", pfill.over(wb))
       .withColumn("__next", nfill.over(wf))
       .where(col("__isv") === 0)
       .withColumn(
@@ -207,17 +220,13 @@ object AsOfJoin {
     val (union, vPayloadCols) =
       staged(events, versions, keyCol, tsCol, vKeyCol, vTsCol, carryVersionTs = true)
 
-    val w = Window
-      .partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__isv").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val eTs   = col("__ts").cast(org.apache.spark.sql.types.TimestampType).cast("double")
-    val prevD = eTs - col("__prev").getField("__vts").cast("double")
+    val (fill, w) = prevFill(col("__vp"))
+    val prevD = micros(col("__ts")) - micros(col("__prev").getField("__vts"))
 
     union
-      .withColumn("__prev", last(col("__vp"), ignoreNulls = true).over(w))
+      .withColumn("__prev", fill.over(w))
       .where(col("__isv") === 0)
-      .withColumn("__best", when(prevD <= toleranceSeconds.toDouble, col("__prev")))
+      .withColumn("__best", when(prevD <= toleranceSeconds * 1000000L, col("__prev")))
       .select(col("__ep.*") +: vPayloadCols.map(c => col("__best").getField(c).as(c)): _*)
   }
 

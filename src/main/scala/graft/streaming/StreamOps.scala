@@ -87,13 +87,16 @@ object StreamOps {
     * the batch funnel query (t_funnel_stages): per key, advance through
     * `stages` IN ORDER as matching events arrive, emitting one
     * (key, stageReached, eventTs) row per ADVANCE — funnel progression
-    * as a change stream. Within a micro-batch events are sorted by
-    * event time (late arrivals inside one batch are handled); across
-    * batches state only advances, so replays and stragglers for
-    * already-passed stages are no-ops. State per key is ONE int (+
-    * optional processing-time TTL eviction) — constant memory per
-    * tracked key regardless of event volume, the property a 100 TB
-    * event stream needs from its funnel state.
+    * as a change stream. The batch twin's contract holds exactly: each
+    * stage must occur STRICTLY AFTER the previous stage's event time,
+    * enforced against state (stage, lastAdvanceMicros) — so a
+    * next-stage event arriving in a LATER micro-batch with an EARLIER
+    * event time cannot advance (no time-inverted funnels), and batch
+    * boundaries never change the outcome. Within a batch events sort by
+    * (event time, stage position); replays and stragglers are no-ops.
+    * State per key is (int, long) + optional processing-time TTL — one
+    * fixed-size record per tracked key regardless of event volume, the
+    * property a 100 TB event stream needs from its funnel state.
     */
   def funnelStages[K](
       ds: Dataset[(K, String, java.sql.Timestamp)],
@@ -104,29 +107,35 @@ object StreamOps {
       outEnc: Encoder[(K, Int, java.sql.Timestamp)]
   ): Dataset[(K, Int, java.sql.Timestamp)] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    implicit val intEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val stEnc: Encoder[(Int, Long)] = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[Int, (K, Int, java.sql.Timestamp)](
+      .flatMapGroupsWithState[(Int, Long), (K, Int, java.sql.Timestamp)](
         OutputMode.Append(),
         timeoutConf
-      ) { (key: K, rows: Iterator[(K, String, java.sql.Timestamp)], state: GroupState[Int]) =>
+      ) { (key: K, rows: Iterator[(K, String, java.sql.Timestamp)], state: GroupState[(Int, Long)]) =>
         if (state.hasTimedOut) {
           state.remove()
           Iterator.empty
         } else {
-          var cur = state.getOption.getOrElse(0)
+          var (cur, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, Int, java.sql.Timestamp)]
-          // (ts, type) sort: deterministic under in-batch disorder
-          rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { r =>
-            if (cur < stages.length && r._2 == stages(cur)) {
-              cur += 1
-              out += ((key, cur, r._3))
+          // (ts, stage position) sort: at equal timestamps the earlier
+          // stage processes first; strict ts progression below makes the
+          // outcome independent of how events split across batches
+          rows.toSeq
+            .sortBy(r => (r._3.getTime, stages.indexOf(r._2) match { case -1 => Int.MaxValue; case i => i }))
+            .foreach { r =>
+              val ms = r._3.getTime
+              if (cur < stages.length && r._2 == stages(cur) && (cur == 0 || ms > lastMs)) {
+                cur += 1
+                lastMs = ms
+                out += ((key, cur, r._3))
+              }
             }
-          }
-          if (cur > 0) state.update(cur)
+          if (cur > 0) state.update((cur, lastMs))
           stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
         }

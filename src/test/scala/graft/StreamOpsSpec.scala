@@ -89,6 +89,30 @@ class StreamOpsSpec extends SparkSpec {
     ))
   }
 
+  test("funnelStages: a later-batch next-stage event with an EARLIER event time cannot advance") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = StreamOps.funnelStages(
+      stream.toDS(), stages = Seq("view", "click"), stateTtl = None)
+    val q = out.writeStream.format("memory").queryName("funnel_late").outputMode("append").start()
+
+    stream.addData((1L, "view", ts(5)))
+    q.processAllAvailable()
+    // click at 10:01 arrives AFTER the 10:05 view advanced — a
+    // time-inverted progression the batch twin (ts > fv) rejects; the
+    // stream state must reject it too (no batch-boundary dependence)
+    stream.addData((1L, "click", ts(1)))
+    q.processAllAvailable()
+    // a properly-ordered click then advances
+    stream.addData((1L, "click", ts(9)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("funnel_late").as[(Long, Int, Timestamp)].collect().toSet
+    assert(got == Set((1L, 1, ts(5)), (1L, 2, ts(9))))
+  }
+
   test("sessionCounts: session_window merges events within the gap, splits across it") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp)]
