@@ -262,6 +262,46 @@ object TemporalQueries {
              |FROM x""".stripMargin)
     ),
 
+    // ---- event-transition matrix (first-order Markov counts): adjacent
+    //      event-type pairs per user via ONE lag window — the sequence-
+    //      model statistic (what follows what) without materializing
+    //      sequences. One user_id exchange for the lag, then the pair
+    //      counts partial-aggregate on a |types|^2-bounded key space.
+    //      Transition probabilities leave as exact per-row micro ratios
+    //      (count arithmetic, no floats). ----
+    Q(
+      "t_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = Tables
+          .events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .where(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val wFrom = Window.partitionBy(col("prev_type"))
+        pairs
+          .withColumn("from_total", sum(col("n")).over(wFrom))
+          .select(
+            col("prev_type"),
+            col("next_type"),
+            col("n"),
+            floor(col("n") * 1000000L / col("from_total")).cast("long").as("p_micro")
+          )
+      },
+      Some("""WITH pairs AS (
+             |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT event_type, ts, event_id, user_id,
+             |          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |        FROM events)
+             |  WHERE prev_type IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n,
+             |  CAST(floor(n * 1000000 / CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)) AS BIGINT) AS p_micro
+             |FROM pairs""".stripMargin)
+    ),
+
     // ---- rolling DISTINCT (7-day active users): count-distinct does
     //      not decompose over sliding windows, so the exact form uses
     //      COVERAGE EXPANSION — dedup to (user, active-day), explode
