@@ -61,6 +61,65 @@ object BatchPipeline {
       .drop("__hssi", "__hhash")
   }
 
+  /** [[route]] without the broadcast hint — the probe path when the
+    * active set outgrows broadcast range and the join must go
+    * sort-merge. Paired with a mart stored as a table bucketed on the
+    * business key ([[graft.sinks.SnapshotSink.writeMartBucketedTable]])
+    * the mart side reads pre-hash-partitioned buckets with NO exchange;
+    * only the delta-sized feed shuffles (BucketedMartSpec pins it).
+    */
+  def routeSortMerge(conformed: DataFrame, snapshot: DataFrame): DataFrame = {
+    val probe = snapshot
+      .where(col(Scd2.ActiveFlag) === 1)
+      .select(col(SsiCol).as("__hssi"), col(HashCol).as("__hhash"))
+    CdcRouter
+      .route(conformed, probe, SsiCol, HashCol, "__hssi", "__hhash")
+      .drop("__hssi", "__hhash")
+  }
+
+  private def snapshotSchema(conformed: DataFrame) = {
+    // some conform pipelines already stamp the SCD2 columns on the feed
+    // (SourcePipelines) — append only the ones missing
+    val have = conformed.schema.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      conformed.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(Scd2.ActiveFlag, org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(Scd2.StartDate, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(Scd2.EndDate, org.apache.spark.sql.types.StringType)
+      ).filterNot(f => have.contains(f.name))
+    )
+  }
+
+  /** One increment against a BUCKETED snapshot (already-conformed feed):
+    * both the active-row probe and the merge touch only the partitions
+    * whose key bucket the batch hits — O(delta), not O(mart), per load.
+    * A historic row whose key is absent from the feed can never match
+    * the probe's left join, so pruning the probe to the feed's buckets
+    * is semantics-preserving; the merge prune is owned by
+    * [[graft.sinks.SnapshotSink.upsertBucketed]].
+    */
+  def loadIncrementBucketed(
+      spark: SparkSession,
+      snapshotPath: String,
+      conformed: DataFrame,
+      loadTs: String,
+      endOfTime: String = "2099-12-31 00:00:00",
+      validCol: Option[String] = Some(ValidCol),
+      numBuckets: Int = 32
+  ): AuditCounts = {
+    val probeBuckets = conformed
+      .select(SnapshotSink.bucketOf(col(SsiCol), numBuckets).as("__b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val snapshot = SnapshotSink.readSnapshotBucketed(
+      spark, snapshotPath, snapshotSchema(conformed), Some(probeBuckets))
+    val routed = route(conformed, snapshot)
+    SnapshotSink.upsertBucketed(
+      spark, snapshotPath, routed, SsiCol, lit(loadTs), lit(endOfTime), validCol, numBuckets)
+  }
+
   /** Run one increment against the SCD2 snapshot at `snapshotPath`.
     * `loadTs` is a frozen per-batch timestamp string (reference's
     * datetime.now() captured once — SURVEY §7.4 risk 5).
@@ -98,4 +157,20 @@ object BatchPipeline {
       partitionBy = partitionBy
     )
   }
+
+  /** [[runIncrement]] against the bucketed snapshot layout — the
+    * O(delta)-per-load shape a 100 TB mart needs.
+    */
+  def runIncrementBucketed(
+      spark: SparkSession,
+      snapshotPath: String,
+      feed: DataFrame,
+      spec: FeedSpec,
+      loadTs: String,
+      endOfTime: String = "2099-12-31 00:00:00",
+      numBuckets: Int = 32
+  ): AuditCounts =
+    loadIncrementBucketed(
+      spark, snapshotPath, conformFeed(feed, spec), loadTs, endOfTime,
+      Some(ValidCol), numBuckets)
 }

@@ -86,27 +86,36 @@ object JobEnv {
       ts: String
   ): AuditCounts = {
     val martDir = cfg("mart.dir")
-    val snapshot = SnapshotSink.readSnapshot(
-      spark,
-      martDir,
-      StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
-    )
-    val routed = BatchPipeline.route(conformed, snapshot)
-    // optional hive-style partition layout for the mart, e.g.
-    // mart.partitionBy=SOURCE_ID — prunes the probe scan at mart scale
-    val partitionBy =
-      cfg.opt("mart.partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-    val counts = SnapshotSink.upsert(
-      spark,
-      martDir,
-      routed,
-      BatchPipeline.SsiCol,
-      lit(ts),
-      lit("2099-12-31 00:00:00"),
-      validCol = Some("IS_VALID_DATA"),
-      partitionBy = partitionBy
-    )
+    // mart.buckets=<n> selects the bucketed snapshot layout: probe and
+    // merge touch only the key buckets the batch hits (O(delta) per
+    // load) — the default at mart scale. Without it, the legacy
+    // whole-snapshot layout (optionally hive-partitioned via
+    // mart.partitionBy=SOURCE_ID) is kept for drop-in compatibility.
+    val counts = cfg.opt("mart.buckets") match {
+      case Some(n) =>
+        BatchPipeline.loadIncrementBucketed(
+          spark, martDir, conformed, ts, numBuckets = n.toInt)
+      case None =>
+        val snapshot = SnapshotSink.readSnapshot(
+          spark,
+          martDir,
+          StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
+        )
+        val routed = BatchPipeline.route(conformed, snapshot)
+        val partitionBy =
+          cfg.opt("mart.partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+        SnapshotSink.upsert(
+          spark,
+          martDir,
+          routed,
+          BatchPipeline.SsiCol,
+          lit(ts),
+          lit("2099-12-31 00:00:00"),
+          validCol = Some("IS_VALID_DATA"),
+          partitionBy = partitionBy
+        )
+    }
     AuditSink.record(
       spark, cfg("audit.dir"), dataLoadId, dagId, "SUCCESS", ts, ts, counts)
     counts

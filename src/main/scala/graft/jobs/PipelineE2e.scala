@@ -3,10 +3,9 @@ package graft.jobs
 import graft.Tables
 import graft.conform.{SourcePipelines, SyntheticFeeds}
 import graft.queries.ConformQueries
-import graft.sinks.{AuditSink, SnapshotSink}
+import graft.sinks.AuditSink
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Orchestrated end-to-end run of the FULL reference operating mode —
   * feed -> per-source conform -> CDC route -> SCD2 upsert -> audit — for
@@ -63,15 +62,10 @@ object PipelineE2e {
       dataLoadId: Long,
       ts: String
   ): graft.sinks.AuditCounts = {
-    val snapshot = SnapshotSink.readSnapshot(
-      spark,
-      martDir,
-      StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
-    )
-    val routed = BatchPipeline.route(conformed, snapshot)
-    val counts = SnapshotSink.upsert(
-      spark, martDir, routed, BatchPipeline.SsiCol,
-      lit(ts), lit("2099-12-31 00:00:00"), validCol = Some("IS_VALID_DATA"))
+    // bucketed snapshot layout: probe and merge touch only the key
+    // buckets this batch hits — O(delta) per load, not O(mart)
+    val counts = BatchPipeline.loadIncrementBucketed(
+      spark, martDir, conformed, ts, numBuckets = 16)
     AuditSink.record(spark, auditDir, dataLoadId, s"e2e_$dataLoadId", "SUCCESS", ts, ts, counts)
     counts
   }

@@ -93,6 +93,192 @@ object SnapshotSink {
     counts
   }
 
+  // ---------------------------------------------------------------------
+  // Bucketed snapshot layout: O(delta) incremental merge.
+  //
+  // `upsert` above rewrites the WHOLE mart per load — correct and
+  // crash-safe, but O(|mart|) I/O per increment. At a 100 TB mart with a
+  // 0.1% daily delta that is the scale killer. The bucketed layout lays
+  // the snapshot out as hive partition dirs KEY_BUCKET=<b> where
+  // b = pmod(xxhash64(business key), numBuckets): every version of a key
+  // lives in exactly one directory, so a load that touches K keys only
+  // reads and rewrites the <=K (usually far fewer) partitions containing
+  // them — the close-out join, the active-row probe, and the write are
+  // all delta-proportional, and untouched partitions' files are never
+  // opened, let alone rewritten. The rename-aside crash discipline of
+  // `upsert` is kept PER PARTITION (.bak_KEY_BUCKET=<b> aside dirs,
+  // restored by recoverBucketSwaps), so every crash point leaves each
+  // partition either fully old or fully new; re-running the load
+  // converges because already-applied rows route as DUPLICATE.
+  // ---------------------------------------------------------------------
+
+  /** Reserved hive-partition column of the bucketed snapshot layout. */
+  val BucketCol = "KEY_BUCKET"
+
+  /** Deterministic bucket id of a business key. Stable across loads (no
+    * RNG, no session state) — the one invariant the layout depends on.
+    */
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    pmod(xxhash64(key), lit(numBuckets)).cast("int")
+
+  /** Restore partitions left dangling by a crash mid-swap: a lone
+    * `.bak_KEY_BUCKET=<b>` dir (old partition renamed aside, new one not
+    * yet in place) is renamed back; a `.bak` next to a live partition is
+    * a completed swap's leftover and is dropped. Dot-prefixed names are
+    * invisible to partition discovery, so readers never see the aside
+    * copy as data.
+    */
+  def recoverBucketSwaps(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p  = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(p)) {
+      fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(s".bak_$BucketCol=")) {
+          val live = new org.apache.hadoop.fs.Path(p, nm.stripPrefix(".bak_"))
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
+  /** Read the bucketed snapshot (or an empty frame when the mart does not
+    * exist yet), pruned to `buckets` when given — the prune is a filter
+    * on the partition column, so only the matching `KEY_BUCKET=<b>` dirs
+    * are listed and scanned (PartitionFilters, not PushedFilters). The
+    * partition column is dropped from the result: callers see the same
+    * payload+SCD2 shape `readSnapshot` returns.
+    */
+  def readSnapshotBucketed(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      buckets: Option[Seq[Int]] = None
+  ): DataFrame = {
+    recoverBucketSwaps(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val empty =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) empty
+    else if (buckets.exists(_.isEmpty)) empty
+    else {
+      val full = org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          BucketCol, org.apache.spark.sql.types.IntegerType))
+      val df = spark.read.schema(full).option("basePath", path).parquet(path)
+      buckets
+        .map(bs => df.where(col(BucketCol).isin(bs.map(b => b: Any): _*)))
+        .getOrElse(df)
+        .drop(BucketCol)
+    }
+  }
+
+  /** O(delta) merge into a bucketed snapshot: rewrites ONLY the
+    * partitions whose bucket contains a routed INSERT/UPDATE key; every
+    * other partition's files are left byte-identical (BucketedSnapshotSpec
+    * pins this). The routed delta is materialized once up front so the
+    * feed's conform/route lineage runs a single time — the merge, the
+    * audit, and the touched-bucket discovery all read the delta parquet,
+    * not the upstream pipeline.
+    */
+  def upsertBucketed(
+      spark: SparkSession,
+      path: String,
+      routed: DataFrame,
+      key: String,
+      loadTs: Column,
+      endOfTime: Column,
+      validCol: Option[String] = None,
+      numBuckets: Int = 32
+  ): AuditCounts = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val base = routed.drop(CdcRouter.RouterCol).schema
+    require(
+      !base.fieldNames.contains(BucketCol),
+      s"payload column '$BucketCol' collides with the bucketed layout's partition column")
+    val scdFields = Seq(
+      org.apache.spark.sql.types.StructField(Scd2.ActiveFlag, org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(Scd2.StartDate, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(Scd2.EndDate, org.apache.spark.sql.types.StringType)
+    ).filterNot(f => base.fieldNames.contains(f.name))
+    val payloadSchema = org.apache.spark.sql.types.StructType(base.fields ++ scdFields)
+
+    val fs    = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val delta = path + ".delta"
+    val tmp   = path + ".staging"
+    fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+
+    routed.write.mode(SaveMode.Overwrite).parquet(delta)
+    val deltaDf  = spark.read.parquet(delta)
+    val incoming = CdcRouter.dropDuplicates(deltaDf)
+    // bounded driver-side list: <= numBuckets ints regardless of delta size
+    val touched = incoming
+      .select(bucketOf(col(key), numBuckets).as("__b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+      .toSeq
+    val counts = audit(incoming, validCol)
+
+    if (touched.nonEmpty) {
+      val current = readSnapshotBucketed(spark, path, payloadSchema, Some(touched))
+      val merged = Scd2
+        .merge(current, deltaDf, key, loadTs, endOfTime)
+        .withColumn(BucketCol, bucketOf(col(key), numBuckets))
+      // one writer per touched bucket -> one file per partition per load
+      // (bounded file growth; PartitionedLake.compact handles the rest)
+      merged
+        .repartition(touched.size, col(BucketCol))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+        .parquet(tmp)
+
+      val dst = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(dst)) fs.mkdirs(dst)
+      touched.foreach { b =>
+        val src  = new org.apache.hadoop.fs.Path(tmp, s"$BucketCol=$b")
+        val pdst = new org.apache.hadoop.fs.Path(dst, s"$BucketCol=$b")
+        val pbak = new org.apache.hadoop.fs.Path(dst, s".bak_$BucketCol=$b")
+        if (fs.exists(src)) {
+          if (fs.exists(pbak)) fs.delete(pbak, true)
+          if (fs.exists(pdst)) fs.rename(pdst, pbak)
+          fs.rename(src, pdst)
+          fs.delete(pbak, true)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+    counts
+  }
+
+  /** At-scale probe store: the mart as a catalog table BUCKETED by the
+    * business key. When the active set outgrows broadcast range, the CDC
+    * probe join goes sort-merge — and with the table bucketed on exactly
+    * the join key, the mart side reads its pre-hash-partitioned buckets
+    * straight into the join with NO exchange; only the (delta-sized)
+    * feed shuffles. Same contract as IncrementalDedup.writeStoreBucketed;
+    * BucketedMartSpec pins the one-fewer-Exchange plan.
+    */
+  def writeMartBucketedTable(
+      mart: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      nBuckets: Int
+  ): Unit =
+    mart.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** One aggregation pass over the loaded batch (replaces the reference's
     * driver-side per-row counters, ETL/CSV_Batch_Processing.py:258-329).
     */

@@ -1,0 +1,184 @@
+package graft
+
+import graft.jobs.BatchPipeline
+import graft.operators.CdcRouter
+import graft.sinks.SnapshotSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Pins the O(delta) contract of the bucketed SCD2 snapshot layout: an
+  * increment rewrites ONLY the partitions whose key bucket it touches —
+  * every other partition's files stay byte-identical on disk — while the
+  * merged mart content stays exactly equal to the whole-rewrite path's.
+  * On a 100 TB mart with a daily delta this is the difference between
+  * O(|mart|) and O(|delta|) I/O per load.
+  */
+class BucketedSnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val NB        = 32
+  private val LoadTs1   = "2024-01-01 00:00:00"
+  private val LoadTs2   = "2024-02-01 00:00:00"
+  private val EndOfTime = "2099-12-31 00:00:00"
+
+  /** Routed frame: (bk, payload, ROUTER_GROUP). */
+  private def routedOf(rows: Seq[(String, String, String)]): DataFrame =
+    rows.toDF("bk", "payload", CdcRouter.RouterCol)
+
+  private def seed: DataFrame =
+    routedOf((1 to 100).map(k => (s"K-$k", s"v1-$k", CdcRouter.Insert)))
+
+  /** partition dir name -> (file name -> md5 of bytes) */
+  private def fileState(path: String): Map[String, Map[String, String]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("KEY_BUCKET=")).map { d =>
+      d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }.toMap
+  }
+
+  private def martRows(path: String): Set[(String, String, Int, String, String)] =
+    spark.read.parquet(path)
+      .select($"bk", $"payload", col("ACTIVE_FLAG"), col("START_DATE"), col("END_DATE"))
+      .as[(String, String, Int, String, String)]
+      .collect()
+      .toSet
+
+  test("increment rewrites only touched buckets; untouched partition files are byte-identical") {
+    val path = tempDir("bsnap") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    val before = fileState(path)
+    assert(before.nonEmpty)
+
+    // increment: 2 updates + 1 insert -> at most 3 touched buckets
+    val inc = routedOf(Seq(
+      ("K-7", "v2-7", CdcRouter.Update),
+      ("K-14", "v2-14", CdcRouter.Update),
+      ("K-999", "v1-999", CdcRouter.Insert)
+    ))
+    SnapshotSink.upsertBucketed(
+      spark, path, inc, "bk", lit(LoadTs2), lit(EndOfTime), numBuckets = NB)
+    val after = fileState(path)
+
+    val touched = Seq("K-7", "K-14", "K-999")
+      .toDF("bk")
+      .select(SnapshotSink.bucketOf($"bk", NB))
+      .as[Int].collect().toSet.map((b: Int) => s"KEY_BUCKET=$b")
+    assert(touched.size <= 3)
+    // every untouched partition: same file names, same bytes
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+    untouched.foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    // every touched partition changed (close-out / new version landed)
+    touched.filter(before.contains).foreach { p =>
+      assert(after(p) != before(p), s"touched partition $p was not rewritten")
+    }
+
+    // content: exactly the SCD2 result — K-7/K-14 closed + v2 active, K-999 new
+    val rows = martRows(path)
+    assert(rows.contains(("K-7", "v1-7", 0, LoadTs1, LoadTs2)))
+    assert(rows.contains(("K-7", "v2-7", 1, LoadTs2, EndOfTime)))
+    assert(rows.contains(("K-14", "v1-14", 0, LoadTs1, LoadTs2)))
+    assert(rows.contains(("K-14", "v2-14", 1, LoadTs2, EndOfTime)))
+    assert(rows.contains(("K-999", "v1-999", 1, LoadTs2, EndOfTime)))
+    assert(rows.size == 103)
+  }
+
+  test("bucketed merge result equals the whole-rewrite upsert's, duplicates included") {
+    val dir      = tempDir("bsnap-eq")
+    val bucketed = s"$dir/bucketed"
+    val full     = s"$dir/full"
+    val inc = routedOf(
+      (1 to 40).map(k => (s"K-$k", s"v2-$k", CdcRouter.Update)) ++
+        Seq(("K-500", "v1-500", CdcRouter.Insert), ("K-2", "v1-2", CdcRouter.Duplicate)))
+
+    SnapshotSink.upsertBucketed(
+      spark, bucketed, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    SnapshotSink.upsertBucketed(
+      spark, bucketed, inc, "bk", lit(LoadTs2), lit(EndOfTime), numBuckets = NB)
+    SnapshotSink.upsert(spark, full, seed, "bk", lit(LoadTs1), lit(EndOfTime))
+    SnapshotSink.upsert(spark, full, inc, "bk", lit(LoadTs2), lit(EndOfTime))
+
+    assert(martRows(bucketed) == martRows(full))
+  }
+
+  test("probe read prunes to the touched buckets at planning time") {
+    val path = tempDir("bsnap-prune") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    val schema = spark.read.parquet(path).drop(SnapshotSink.BucketCol).schema
+    val someBuckets = Seq("K-7").toDF("bk")
+      .select(SnapshotSink.bucketOf($"bk", NB)).as[Int].collect().toSeq
+    val pruned = SnapshotSink.readSnapshotBucketed(spark, path, schema, Some(someBuckets))
+    val scan = pruned.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.exists(_.toString.contains(SnapshotSink.BucketCol)))
+    val listed = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    val want = someBuckets.map(b => s"KEY_BUCKET=$b/")
+    assert(listed.nonEmpty && listed.forall(f => want.exists(f.contains)), listed.mkString("\n"))
+    assert(pruned.where($"bk" === "K-7").count() == 1)
+  }
+
+  test("crash mid-swap: dangling .bak partition is restored before the next read") {
+    val path = tempDir("bsnap-crash") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    val before = martRows(path)
+
+    // simulate the crash window: one partition renamed aside, new one never landed
+    val root = new java.io.File(path)
+    val victim = root.listFiles().filter(_.getName.startsWith("KEY_BUCKET=")).head
+    val aside = new java.io.File(root, s".bak_${victim.getName}")
+    assert(victim.renameTo(aside))
+
+    val schema = spark.read.parquet(path).drop(SnapshotSink.BucketCol).schema
+    val restored = SnapshotSink.readSnapshotBucketed(spark, path, schema)
+    assert(restored.count() == 100)
+    assert(martRows(path) == before)
+
+    // and a completed-swap leftover (bak next to a live partition) is dropped
+    val victim2 = root.listFiles().filter(_.getName.startsWith("KEY_BUCKET=")).head
+    val aside2 = new java.io.File(root, s".bak_${victim2.getName}")
+    java.nio.file.Files.createDirectory(aside2.toPath)
+    SnapshotSink.recoverBucketSwaps(spark, path)
+    assert(!aside2.exists())
+  }
+
+  test("re-running an increment against a half-applied mart converges (idempotent re-load)") {
+    // the crash model between partition swaps: some buckets new, some old.
+    // A re-run routes already-applied rows as DUPLICATE (hash equal) and
+    // re-applies the rest — the final mart equals the never-crashed run.
+    val dir   = tempDir("bsnap-rerun")
+    val mart  = s"$dir/mart"
+    val mart2 = s"$dir/mart2"
+    def feed(v: Int) =
+      (1 to 60).map(k => (s"K-$k", if (k % 3 == 0) s"v$v-$k" else s"v1-$k")).toDF("bk", "payload")
+    val spec = graft.jobs.FeedSpec("bk", "S - ", Seq(col("payload")), Seq("payload"))
+
+    // never-crashed reference run: seed + one increment
+    BatchPipeline.runIncrementBucketed(spark, mart2, feed(1), spec, LoadTs1, numBuckets = NB)
+    BatchPipeline.runIncrementBucketed(spark, mart2, feed(2), spec, LoadTs2, numBuckets = NB)
+
+    // crashed run: seed, increment, then the SAME increment replayed
+    BatchPipeline.runIncrementBucketed(spark, mart, feed(1), spec, LoadTs1, numBuckets = NB)
+    BatchPipeline.runIncrementBucketed(spark, mart, feed(2), spec, LoadTs2, numBuckets = NB)
+    val replay = BatchPipeline.runIncrementBucketed(
+      spark, mart, feed(2), spec, LoadTs2, numBuckets = NB)
+    assert(replay.total == 0, "replay of an applied increment must route all-DUPLICATE")
+
+    def snap(p: String) = spark.read.parquet(p)
+      .select(col(BatchPipeline.SsiCol), $"payload", col("ACTIVE_FLAG"),
+        col("START_DATE"), col("END_DATE"))
+      .as[(String, String, Int, String, String)].collect().toSet
+    assert(snap(mart) == snap(mart2))
+  }
+}
