@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration one equi-join of the edge list against
   * the current ranks (both hash-partitioned on src) and one shuffled
   * aggregation by dst — the textbook Pregel-as-relational-ops loop.
-  * Edge list, degrees, and node set are `localCheckpoint`ed ONCE
-  * upfront (eager) so the per-iteration plan re-reads materialized
-  * partitions instead of replaying their lineage; each iteration's
-  * ranks checkpoint too, keeping lineage depth O(1) like
-  * [[ClusterDedup]]. Dangling nodes (no out-edges) leak their mass by
+  * Edge list, degrees, and node set are checkpointed ONCE upfront
+  * (eager) so the per-iteration plan re-reads materialized partitions
+  * instead of replaying their lineage; each iteration's ranks
+  * checkpoint too, keeping lineage depth O(1) like [[ClusterDedup]].
+  * Checkpoints are executor-local by default (fast, single-node) or
+  * RELIABLE via `checkpointDir` (survives executor loss — required at
+  * cluster scale). Dangling nodes (no out-edges) leak their mass by
   * design — the simplified PageRank variant — and the oracle mirrors
   * that choice.
   */
@@ -38,16 +40,31 @@ object PageRank {
     * cluster, every 2-3 rounds halves the per-round barrier cost when
     * iterations are few (each skipped checkpoint leaves one more
     * join+agg in the recomputation path of the next one).
+    *
+    * `checkpointDir` selects RELIABLE checkpoints (HDFS/object-store
+    * files) instead of `localCheckpoint`: local checkpoints store
+    * blocks on executors, so on a real cluster one lost executor kills
+    * the truncated lineage and the whole run. With a reliable dir every
+    * materialization survives executor loss — the only choice for long
+    * iterative jobs at cluster scale (same contract as
+    * [[ClusterDedup.connectedComponents]]). Ranks are integer-exact, so
+    * the results are bit-identical either way (PageRankSpec pins it).
     */
-  def ranks(edges: DataFrame, iterations: Int, checkpointEvery: Int = 2): DataFrame = {
+  def ranks(
+      edges: DataFrame,
+      iterations: Int,
+      checkpointEvery: Int = 2,
+      checkpointDir: Option[String] = None
+  ): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val e   = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    val nodes = e
-      .select(explode(array(col("src"), col("dst"))).as("id"))
-      .distinct()
-      .localCheckpoint()
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val e   = materialize(edges.select(col("src"), col("dst")))
+    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nodes = materialize(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 
     var r = nodes.withColumn("r", lit(InitMicro))
     for (i <- 1 to iterations) {
@@ -64,7 +81,7 @@ object PageRank {
           (lit(InitMicro - DampMilli * 1000L) +
             expr(s"($DampMilli * coalesce(s, 0L)) div 1000")).as("r")
         )
-      if (i % checkpointEvery == 0 || i == iterations) r = r.localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iterations) r = materialize(r)
     }
     r
   }

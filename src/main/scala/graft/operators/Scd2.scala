@@ -93,11 +93,16 @@ object Scd2 {
     * sentinel, but snapshots ingested from systems that leave END_DATE
     * NULL for the active version would otherwise null-filter their
     * entire active set (`ts < NULL` is NULL) — coalesce treats NULL as
-    * open-ended. Stays a codegen'd scan filter either way.
+    * open-ended. The sentinel is CAST to END_DATE's own type so the
+    * comparison domain never silently shifts with the snapshot's column
+    * type (a bare string literal would coerce a timestamp-typed
+    * END_DATE's coalesce to string comparison). Stays a codegen'd scan
+    * filter either way.
     */
-  def asOf(snapshot: DataFrame, ts: Column): DataFrame =
-    snapshot.where(
-      col(StartDate) <= ts && ts < coalesce(col(EndDate), lit("9999-12-31 23:59:59")))
+  def asOf(snapshot: DataFrame, ts: Column): DataFrame = {
+    val sentinel = lit("9999-12-31 23:59:59").cast(snapshot.schema(EndDate).dataType)
+    snapshot.where(col(StartDate) <= ts && ts < coalesce(col(EndDate), sentinel))
+  }
 
   /** Active-rows probe projection for the next CDC round (reference S2). */
   def activeProbe(snapshot: DataFrame, key: String, hash: String, id: String): DataFrame =

@@ -120,22 +120,29 @@ object StreamOps {
           state.remove()
           Iterator.empty
         } else {
-          var (cur, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
+          // FULL timestamp precision: Timestamp.getTime truncates to
+          // millis, but the batch twin compares whole timestamps — two
+          // stage events inside the same millisecond (distinct micros,
+          // correctly ordered) must still advance. Epoch micros carry
+          // the sub-milli fraction from getNanos.
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+          var (cur, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[(K, Int, java.sql.Timestamp)]
           // (ts, stage position) sort: at equal timestamps the earlier
           // stage processes first; strict ts progression below makes the
           // outcome independent of how events split across batches
           rows.toSeq
-            .sortBy(r => (r._3.getTime, stages.indexOf(r._2) match { case -1 => Int.MaxValue; case i => i }))
+            .sortBy(r => (micros(r._3), stages.indexOf(r._2) match { case -1 => Int.MaxValue; case i => i }))
             .foreach { r =>
-              val ms = r._3.getTime
-              if (cur < stages.length && r._2 == stages(cur) && (cur == 0 || ms > lastMs)) {
+              val us = micros(r._3)
+              if (cur < stages.length && r._2 == stages(cur) && (cur == 0 || us > lastUs)) {
                 cur += 1
-                lastMs = ms
+                lastUs = us
                 out += ((key, cur, r._3))
               }
             }
-          if (cur > 0) state.update((cur, lastMs))
+          if (cur > 0) state.update((cur, lastUs))
           stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
         }

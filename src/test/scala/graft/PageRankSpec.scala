@@ -31,4 +31,27 @@ class PageRankSpec extends SparkSpec {
     val got = run(Seq((7L, 8L)), iters = 0)
     assert(got == Map(7L -> 1000000L, 8L -> 1000000L))
   }
+
+  test("reliable checkpointDir variant: bit-identical ranks, checkpoint files written") {
+    // a denser fixture than the trajectory tests: two cycles bridged by
+    // a dangling hub, 4 iterations crossing two checkpoint barriers
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L), (3L, 4L), (1L, 6L))
+    val df   = edges.toDF("src", "dst")
+    val dir  = tempDir("pagerank-ckpt")
+    val base = PageRank.ranks(df, 4).as[(Long, Long)].collect().toMap
+    val reliable = PageRank
+      .ranks(df, 4, checkpointDir = Some(dir))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // integer arithmetic: the reliable path must be BIT-identical
+    assert(reliable == base)
+    // and the materializations really went to the reliable dir (files
+    // survive executor loss — the cluster-scale fault-tolerance contract)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(dir)).nonEmpty, "no checkpoint files written")
+  }
 }

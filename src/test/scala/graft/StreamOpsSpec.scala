@@ -113,6 +113,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set((1L, 1, ts(5)), (1L, 2, ts(9))))
   }
 
+  test("funnelStages: sub-millisecond stage progression advances at full micros precision") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // two stage events inside the SAME millisecond, 250us apart — the
+    // batch twin compares whole timestamps, so the stream must advance
+    // (a millis-truncated comparison would see equal times and stall)
+    def us(u: Int): Timestamp = {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      t.setNanos(u * 1000); t
+    }
+    val out = StreamOps.funnelStages(
+      stream.toDS(), stages = Seq("view", "click", "purchase"), stateTtl = None)
+    val q = out.writeStream.format("memory").queryName("funnel_us").outputMode("append").start()
+
+    // same batch: view at +250us, click at +500us — strictly after at micros
+    stream.addData((1L, "view", us(250)), (1L, "click", us(500)))
+    q.processAllAvailable()
+    // later batch: purchase at +750us, still inside the same millisecond
+    stream.addData((1L, "purchase", us(750)))
+    q.processAllAvailable()
+    // replayed click at +500us (== state's last-advance micros) is a no-op
+    stream.addData((1L, "click", us(500)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("funnel_us").as[(Long, Int, Timestamp)].collect().toSet
+    assert(got == Set((1L, 1, us(250)), (1L, 2, us(500)), (1L, 3, us(750))))
+  }
+
   test("sessionCounts: session_window merges events within the gap, splits across it") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp)]
