@@ -53,12 +53,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** The multi-probe masks of one LSH table: own bucket, every
+    * single-bit flip (depth 1), every two-bit flip (depth 2).
+    */
+  def lshProbeMasks(nPlanes: Int, probeDepth: Int): Seq[Int] =
+    Seq(0) ++
+      (if (probeDepth >= 1) (0 until nPlanes).map(1 << _) else Seq.empty) ++
+      (if (probeDepth >= 2)
+         for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+           yield (1 << i) | (1 << j)
+       else Seq.empty)
+
   /** LSH-bucketed ANN top-k: candidates limited to matching buckets,
     * with multi-probe on the query side (all buckets within Hamming
-    * distance `probeDepth` of the query's own bucket) to recover
-    * near-boundary neighbors. Same output shape as bruteForceTopK.
-    * Recall rises with probeDepth and falls with nPlanes; probe cost is
-    * ~(#probes / 2^nPlanes) of the corpus.
+    * distance `probeDepth` of the query's own bucket) and `nTables`
+    * INDEPENDENT hash tables (distinct seeded plane sets) unioned on
+    * the candidate side — the classic LSH recall lever: per-table miss
+    * probabilities multiply, so recall ≈ 1-(1-r₁)^L for near-independent
+    * tables. Same output shape as bruteForceTopK.
+    *
+    * Scale shape: the corpus side emits one (table, bucket) row per
+    * table — a narrow L-fold explode, no shuffle — and each row joins
+    * only its bucket's queries; probe cost is
+    * ~L·(#probes / 2^nPlanes)·|corpus| candidate pairs. With several
+    * tables a pair can collide more than once, so candidates dedup by
+    * (query, neighbor) before ranking (single-table keeps the
+    * dedup-free plan: a vector lives in exactly one bucket).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -68,44 +88,63 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       dim: Int,
-      probeDepth: Int = 1
+      probeDepth: Int = 1,
+      nTables: Int = 1,
+      seed: Long = 42L
   ): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 2, "probeDepth must be 0, 1, or 2")
-    val planes = VectorFunctions.randomPlanes(nPlanes, dim)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
-      VectorFunctions.norm2(col(vecCol)).as("c_norm"),
-      VectorFunctions.lshBucket(col(vecCol), planes).as("bucket")
-    )
-    val qBase = queries.select(
-      col(idCol).as("query_id"),
-      VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
-      VectorFunctions.norm2(col(vecCol)).as("q_norm"),
-      VectorFunctions.lshBucket(col(vecCol), planes).as("bucket0")
-    )
-    // multi-probe masks: own bucket, every single-bit flip, and (depth 2)
-    // every two-bit flip — all DISTINCT buckets, so a corpus vector (which
-    // lives in exactly one bucket) meets each query at most once and no
-    // pair-dedup shuffle is needed
-    val probeMasks: Seq[Int] =
-      Seq(0) ++
-        (if (probeDepth >= 1) (0 until nPlanes).map(1 << _) else Seq.empty) ++
-        (if (probeDepth >= 2)
-           for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
-             yield (1 << i) | (1 << j)
-         else Seq.empty)
-    val probes = array(probeMasks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)
-    val q = qBase.select(col("query_id"), col("q_vec"), col("q_norm"), explode(probes).as("bucket"))
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val tables =
+      (0 until nTables).map(t => VectorFunctions.randomPlanes(nPlanes, dim, seed + t))
+
+    val cBuckets = array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("tbl"), VectorFunctions.lshBucket(col(vecCol), planes).as("bkt"))
+    }: _*)
+    val c = corpus
+      .select(
+        col(idCol).as("neighbor_id"),
+        VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
+        VectorFunctions.norm2(col(vecCol)).as("c_norm"),
+        explode(cBuckets).as("tb")
+      )
+      .select(
+        col("neighbor_id"), col("c_vec"), col("c_norm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bucket"))
+
+    val masks = lshProbeMasks(nPlanes, probeDepth)
+    val qProbes = array(tables.zipWithIndex.flatMap { case (planes, t) =>
+      val b0 = VectorFunctions.lshBucket(col(vecCol), planes)
+      masks.map(m => struct(lit(t).as("tbl"), b0.bitwiseXOR(lit(m)).as("bkt")))
+    }: _*)
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
+        VectorFunctions.norm2(col(vecCol)).as("q_norm"),
+        explode(qProbes).as("tb")
+      )
+      .select(
+        col("query_id"), col("q_vec"), col("q_norm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bucket"))
+
     val scored = c
-      .join(broadcast(q), Seq("bucket"))
+      .join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn(
         "cos",
         VectorFunctions.cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
       )
+    // cross-table collisions produce duplicate pairs (identical cos);
+    // collapse them before ranking. nTables == 1 cannot duplicate —
+    // keep its leaner no-dedup plan.
+    val deduped =
+      if (nTables == 1) scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+      else
+        scored
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
+    deduped
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

@@ -136,10 +136,14 @@ object TextQueries {
   // (see PLANS.md: residuals are LARGER than the unit vectors); a deeper
   // shortlist recovers the ceiling at unchanged asymptotic cost
   private val ResidShortlist = 80
-  // ANN-LSH tuning: fewer planes + depth-2 multi-probe — recall rises
-  // with probed corpus fraction (22 of 64 buckets here)
-  private val AnnPlanes     = 6
-  private val AnnProbeDepth = 2
+  // ANN-LSH tuning: 8 INDEPENDENT tables of 8 planes with depth-1
+  // multi-probe — per-table misses multiply away (recall@5 0.72 vs the
+  // old single-table 0.44) while each table probes only 9 of 256
+  // buckets (~28% of the corpus across all tables; AnnRecallSpec pins
+  // the 0.70 floor). IVF remains the preferred scale path.
+  private val AnnPlanes     = 8
+  private val AnnProbeDepth = 1
+  private val AnnTables     = 8
 
   /** Trained IVF centroid VALUES rows — shared by every oracle that
     * mirrors the coarse quantizer (ann_knn_ivf, embedding_cluster_sizes).
@@ -217,12 +221,7 @@ object TextQueries {
   // BM25 query: two common terms + one rare (idf spread on this corpus)
   private val Bm25Terms = Seq("join", "vector", "dup")
   private def annProbeMasks: Seq[Int] =
-    Seq(0) ++
-      (if (AnnProbeDepth >= 1) (0 until AnnPlanes).map(1 << _) else Seq.empty) ++
-      (if (AnnProbeDepth >= 2)
-         for { i <- 0 until AnnPlanes; j <- (i + 1) until AnnPlanes }
-           yield (1 << i) | (1 << j)
-       else Seq.empty)
+    Similarity.lshProbeMasks(AnnPlanes, AnnProbeDepth)
 
   val qs: Seq[Q] = Seq(
     // ---- token counting: whitespace + BPE-ish regex units ----
@@ -1917,26 +1916,43 @@ object TextQueries {
             k = KnnK,
             nPlanes = AnnPlanes,
             dim = EmbeddingDim,
-            probeDepth = AnnProbeDepth
+            probeDepth = AnnProbeDepth,
+            nTables = AnnTables
           )
           .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
       },
       Some {
-        val planes = VectorFunctions.randomPlanes(AnnPlanes, EmbeddingDim)
-        val bucket = planes.zipWithIndex
-          .map { case (p, i) =>
-            val arr = p.map(_.toString).mkString("[", ",", "]")
-            s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
-          }
-          .mkString(" + ")
-        val probeList = annProbeMasks.map(m => s"xor(b0, $m)").mkString(", ")
+        // one bucket expression per table (seeded planes 42+t — must
+        // match Similarity.lshTopK's table seeds exactly)
+        val bucketExprs = (0 until AnnTables).map { t =>
+          VectorFunctions
+            .randomPlanes(AnnPlanes, EmbeddingDim, 42L + t)
+            .zipWithIndex
+            .map { case (p, i) =>
+              val arr = p.map(_.toString).mkString("[", ",", "]")
+              s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << i} ELSE 0 END)"
+            }
+            .mkString(" + ")
+        }
+        val bCols = bucketExprs.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(", ")
+        // parallel unnests zip: (tbl, bucket) rows per side
+        val tblList  = (0 until AnnTables).map(_.toString).mkString(", ")
+        val cBkts    = (0 until AnnTables).map(t => s"b$t").mkString(", ")
+        val qProbes = (for {
+          t <- 0 until AnnTables
+          m <- annProbeMasks
+        } yield (t, s"xor(b$t, $m)"))
+        val qTbls  = qProbes.map(_._1).mkString(", ")
+        val qBkts  = qProbes.map(_._2).mkString(", ")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
-           |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM b WHERE vec_id % 100 = 0),
-           |probes AS (SELECT query_id, qv, u.p AS bucket
-           |  FROM q, unnest([$probeList]) AS u(p)),
+           |b AS (SELECT vec_id, v, $bCols FROM e),
+           |bc AS (SELECT vec_id, v, unnest([$tblList]) AS tbl, unnest([$cBkts]) AS bucket FROM b),
+           |q AS (SELECT vec_id AS query_id, v AS qv,
+           |    unnest([$qTbls]) AS tbl, unnest([$qBkts]) AS bucket
+           |  FROM b WHERE vec_id % 100 = 0),
            |cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id, p.qv, c.v AS cv
-           |  FROM probes p JOIN b c ON p.bucket = c.bucket AND c.vec_id <> p.query_id),
+           |  FROM q p JOIN bc c ON p.tbl = c.tbl AND p.bucket = c.bucket
+           |  AND c.vec_id <> p.query_id),
            |sc AS (SELECT query_id, neighbor_id,
            |    list_dot_product(qv, cv) /
            |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
