@@ -17,8 +17,13 @@ import org.apache.spark.sql.types._
   * every decoded luminance value from `md5(text)` without owning a PNG
   * codec: only a correct decode of real PNG bytes reproduces them.
   *
-  * VIDEO stays a stub ([[sampleFrames]] chunk-samples the payload — no
-  * demuxer exists in a bare JVM); the fan-out shape is the contract.
+  * VIDEO uses a REAL demuxer over a motion-PNG container
+  * (concatenated PNG frames — the one video container a bare JVM can
+  * both produce and decode): [[pngFrameExtents]] recovers frame
+  * boundaries from actual PNG file structure and [[sampleFrames]]
+  * emits genuine decodable per-frame PNGs. General containers
+  * (MP4/H.264) still need a native codec at deployment; the demux,
+  * fan-out, and decode plumbing here is the real contract.
   * All codec stages keep the batched `mapPartitions` shape
   * (mapInPandas/mapInArrow batch semantics): a heavier codec would
   * amortize per-BATCH init, and the plan stays a typed Dataset
@@ -270,13 +275,114 @@ object Multimodal {
       )
   }
 
-  /** STUB video frame sampling: real implementation demuxes and decodes
-    * every `stride`-th frame; the stub cuts the payload into fixed-size
-    * chunks and keeps every `stride`-th one. Emits one row per sampled
-    * frame — the fan-out shape (explode semantics, frame_no ordering,
-    * per-frame payloads) is the real contract.
+  /** Render each payload into a REAL video container: `nFrames`
+    * genuine grayscale PNG files CONCATENATED back to back (the
+    * motion-PNG shape — MJPEG with PNG frames; several tools emit
+    * exactly this for lossless screen capture). Frame `f`'s pixels are
+    * the md5 bytes of (payload ++ "#frame-f"), cycled — every decoded
+    * pixel of every frame is predictable from the source bytes, so SQL
+    * oracles verify true demux + decode end to end, mirroring
+    * [[toImagePayload]]'s contract for still images.
     */
-  def sampleFrames(packed: DataFrame, stride: Int, frameBytes: Int = 32): DataFrame = {
+  def toVideoPayload(
+      packed: DataFrame,
+      w: Int,
+      h: Int,
+      nFrames: Int,
+      batchSize: Int = 64
+  ): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.collect {
+            case (id, payload) if payload != null =>
+              val bos = new java.io.ByteArrayOutputStream()
+              var f = 0
+              while (f < nFrames) {
+                val md = java.security.MessageDigest.getInstance("MD5")
+                md.update(payload)
+                md.update(s"#frame-$f".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                bos.write(encodeGrayPng(md.digest(), w, h))
+                f += 1
+              }
+              (id, bos.toByteArray)
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+      .select(
+        col("media_id"),
+        lit("video").as("modality"),
+        col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          lit("video/x-motion-png").as("mime"),
+          md5(col("payload")).as("checksum")
+        ).as("meta")
+      )
+  }
+
+  /** STRUCTURAL demux of a motion-PNG container: walk the payload
+    * parsing each PNG's real file structure — 8-byte signature, then
+    * length-prefixed chunks (4-byte big-endian length + 4-byte type +
+    * data + CRC) until IEND — to recover every frame's exact byte
+    * extent. No fixed frame size is assumed; deflate makes frames
+    * variable-length, which is precisely why chunk-arithmetic slicing
+    * cannot demux this container. A truncated or non-PNG tail ends the
+    * stream (a decoder would stop there too); a payload that does not
+    * start with a PNG signature yields no frames.
+    */
+  private[graft] def pngFrameExtents(payload: Array[Byte]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def hasSig(o: Int): Boolean =
+      o + 8 <= payload.length &&
+        payload(o) == 0x89.toByte && payload(o + 1) == 'P' && payload(o + 2) == 'N' &&
+        payload(o + 3) == 'G' && payload(o + 4) == 0x0d && payload(o + 5) == 0x0a &&
+        payload(o + 6) == 0x1a && payload(o + 7) == 0x0a
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    var pos = 0
+    var halt = false
+    while (!halt && hasSig(pos)) {
+      var p    = pos + 8
+      var done = false
+      var ok   = true
+      while (!done && ok) {
+        if (p + 8 > payload.length) ok = false
+        else {
+          val len  = be32(p)
+          val typ  = new String(payload, p + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val next = p + 8 + len + 4 // length + type + data + CRC
+          if (next > payload.length) ok = false
+          else {
+            p = next.toInt
+            if (typ == "IEND") done = true
+          }
+        }
+      }
+      if (ok && done) { out += ((pos, p)); pos = p }
+      else halt = true // truncated frame: keep the complete prefix
+    }
+    out.toSeq
+  }
+
+  /** REAL video frame sampling over the motion-PNG container: demux the
+    * payload into its frames by PNG file structure
+    * ([[pngFrameExtents]]), keep every `stride`-th one, and emit one
+    * row per sampled frame with the frame's EXACT bytes — each a
+    * complete, decodable PNG ([[extractFeatures]] composes for decoded
+    * pixels; the multimodal_frame_sample query verifies decoded
+    * luminance against the md5-derived contract). Non-video payloads
+    * (no leading PNG signature) yield no rows, matching the
+    * undecodable-payload contract of the image path.
+    */
+  def sampleFrames(packed: DataFrame, stride: Int): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
     val spark = packed.sparkSession
     import spark.implicits._
@@ -286,11 +392,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap {
           case (id, payload) if payload != null =>
-            payload
-              .grouped(frameBytes)
-              .zipWithIndex
+            pngFrameExtents(payload).zipWithIndex
               .filter(_._2 % stride == 0)
-              .map { case (chunk, i) => (id, i, chunk) }
+              .map { case ((s, e), i) => (id, i, java.util.Arrays.copyOfRange(payload, s, e)) }
           case _ => Iterator.empty
         }
       }

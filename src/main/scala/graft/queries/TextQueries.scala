@@ -2073,9 +2073,16 @@ object TextQueries {
              |FROM documents, unnest(generate_series(0, 3)) AS u(i)""".stripMargin)
     ),
 
-    // ---- multimodal: video-style frame sampling (explode fan-out shape;
-    //      stub codec chunks the payload, corpus is ASCII so the oracle's
-    //      string chunks are byte-identical) ----
+    // ---- multimodal: REAL video demux + decode. Each document renders
+    //      to a motion-PNG container (6 genuine concatenated PNG frames,
+    //      frame f's pixels = md5(text || '#frame-f') bytes), the
+    //      STRUCTURAL demuxer recovers frame extents from PNG chunk
+    //      framing (deflate makes frames variable-length — chunk
+    //      arithmetic cannot demux this), every 2nd frame is kept, and
+    //      the sampled frames DECODE through the real javax.imageio
+    //      path. The oracle predicts every decoded luminance value from
+    //      md5 — only a correct demux of real PNG boundaries followed by
+    //      a correct pixel decode reproduces them. ----
     Q(
       "multimodal_frame_sample",
       (s, dir) => {
@@ -2083,24 +2090,36 @@ object TextQueries {
           Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
           idCol = "doc_id",
           dataCol = "text",
-          modality = "video",
-          mime = "application/octet-stream"
+          modality = "text",
+          mime = "text/plain"
         )
+        val video  = Multimodal.toVideoPayload(packed, w = 4, h = 4, nFrames = 6)
+        val frames = Multimodal.sampleFrames(video, stride = 2)
+        // composite id threads (doc, frame) through the per-frame decode
         Multimodal
-          .sampleFrames(packed, stride = 2, frameBytes = 32)
+          .extractFeatures(
+            frames.select(
+              (col("media_id") * 1000 + col("frame_no")).as("media_id"),
+              col("frame").as("payload")),
+            batchSize = 64
+          )
           .select(
-            col("media_id"),
-            col("frame_no"),
-            octet_length(col("frame")).as("n_bytes"),
-            md5(col("frame")).as("frame_md5")
+            expr("media_id div 1000").as("media_id"),
+            (col("media_id") % 1000).cast("int").as("frame_no"),
+            col("feat_dim"),
+            posexplode(col("features")).as(Seq("i", "feature"))
+          )
+          .select(
+            col("media_id"), col("frame_no"), col("feat_dim"),
+            col("i"), col("feature").cast("double").as("feature")
           )
       },
-      Some("""SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_no,
-             |CAST(length(substr(text, CAST(u.i * 32 + 1 AS INT), 32)) AS INT) AS n_bytes,
-             |md5(substr(text, CAST(u.i * 32 + 1 AS INT), 32)) AS frame_md5
-             |FROM documents,
-             |unnest(generate_series(0, CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS u(i)
-             |WHERE u.i % 2 = 0 AND length(text) > 0""".stripMargin)
+      Some("""SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame_no, 16 AS feat_dim,
+             |CAST(u.i AS INT) AS i,
+             |CAST(CAST(CAST('0x' || substr(md5(text || '#frame-' || CAST(f.f AS VARCHAR)),
+             |  CAST(2*u.i+1 AS INT), 2) AS INT) / 255.0 AS FLOAT) AS DOUBLE) AS feature
+             |FROM documents, unnest([0, 2, 4]) AS f(f),
+             |unnest(generate_series(0, 15)) AS u(i)""".stripMargin)
     ),
 
     // ---- multimodal: opaque binary payload + typed metadata ----

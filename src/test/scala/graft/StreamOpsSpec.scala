@@ -304,15 +304,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(payload.sameElements(again))
   }
 
-  test("multimodal sampleFrames: every stride-th fixed-size chunk, ordered") {
-    val data   = ("x" * 100) // 100 bytes -> 13 chunks of 8
-    val packed = Multimodal.pack(Seq((5L, data)).toDF("id", "data"), "id", "data", "video", "vid/fake")
-    val frames = Multimodal
-      .sampleFrames(packed, stride = 3, frameBytes = 8)
-      .orderBy("frame_no")
-      .collect()
-    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9, 12))
-    assert(frames.take(4).forall(_.getAs[Array[Byte]]("frame").length == 8))
-    assert(frames.last.getAs[Array[Byte]]("frame").length == 4) // tail chunk
+  test("multimodal sampleFrames: structural PNG demux, sampled frames decode to per-frame pixels") {
+    val packed = Multimodal.pack(Seq((5L, "clip-one")).toDF("id", "data"), "id", "data", "video", "vid/raw")
+    val video  = Multimodal.toVideoPayload(packed, w = 4, h = 4, nFrames = 7)
+    val payload = video.head().getAs[Array[Byte]]("payload")
+    // the container is 7 variable-length real PNGs; the structural demux
+    // must recover exactly 7 contiguous extents covering every byte
+    val extents = Multimodal.pngFrameExtents(payload)
+    assert(extents.size == 7)
+    assert(extents.head._1 == 0 && extents.last._2 == payload.length)
+    assert(extents.sliding(2).forall { case Seq(a, b) => a._2 == b._1; case _ => true })
+
+    val frames = Multimodal.sampleFrames(video, stride = 3).orderBy("frame_no").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3, 6))
+    // every sampled frame is a complete PNG that DECODES to the md5-seeded
+    // pixels of exactly that frame index
+    frames.foreach { r =>
+      val f     = r.getInt(1)
+      val bytes = r.getAs[Array[Byte]]("frame")
+      val md    = java.security.MessageDigest.getInstance("MD5")
+      md.update("clip-one".getBytes("UTF-8"))
+      md.update(s"#frame-$f".getBytes("UTF-8"))
+      val digest = md.digest()
+      val Some((w, h, lum)) = Multimodal.decodeLuminance(bytes)
+      assert((w, h) == (4, 4))
+      assert(lum.toSeq == digest.map(b => ((b & 0xff) / 255.0).toFloat).toSeq)
+    }
+
+    // a truncated tail keeps the complete prefix; non-PNG payloads demux to nothing
+    assert(Multimodal.pngFrameExtents(payload.dropRight(3)).size == 6)
+    assert(Multimodal.pngFrameExtents("not a png".getBytes("UTF-8")).isEmpty)
+    val nonVideo = Multimodal.pack(Seq((9L, "plain")).toDF("id", "data"), "id", "data", "text", "text/plain")
+    assert(Multimodal.sampleFrames(nonVideo, stride = 1).count() == 0)
   }
 }
