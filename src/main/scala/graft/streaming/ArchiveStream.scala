@@ -41,6 +41,49 @@ object ArchiveStream {
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 
+  /** One micro-batch's archive append: stamp archive ids, append to
+    * parquet. Public as the unit the chaos/recovery specs compose — the
+    * crash window between this append and the checkpoint commit is
+    * exactly where at-least-once duplicates come from, and the
+    * consumer-side dedup ([[latestPerStreamRecord]]) must absorb them.
+    */
+  def archiveBatch(batch: DataFrame, batchId: Long, archiveDir: String): Unit = {
+    // monotonically_increasing_id packs partitionId at bit 33, so
+    // naively adding batchId*2^32 collides across batches (batch 2,
+    // partition 0 == batch 0, partition 1). Explicit bit fields:
+    // [batchId:19 | partitionId:20 | rowInPartition:24] = 63 bits.
+    require(
+      batchId < (1L << 19),
+      s"archive_id batchId field overflow: $batchId >= 2^19"
+    )
+    // lower 33 bits of monotonically_increasing_id are the
+    // per-partition row counter; the layout grants it 24 bits, so
+    // anything past 16M rows/partition/batch must abort the batch,
+    // not silently bleed into the partitionId field
+    val rowInPartition =
+      monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    val guardedRow = when(
+      rowInPartition >= (1L << 24),
+      raise_error(
+        concat(
+          lit("archive_id rowInPartition field overflow (>=2^24): "),
+          rowInPartition.cast("string")
+        )
+      ).cast("long")
+    ).otherwise(rowInPartition)
+    batch
+      .withColumn(
+        ArchiveIdCol,
+        lit(batchId << 44) +
+          shiftleft(spark_partition_id().cast("long"), 24) +
+          guardedRow
+      )
+      .write
+      .mode("append")
+      .parquet(archiveDir)
+    ()
+  }
+
   /** Start the archive query: filter past-watermark rows, stamp archive
     * ids, append to parquet every `intervalSeconds`.
     */
@@ -57,40 +100,7 @@ object ArchiveStream {
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // monotonically_increasing_id packs partitionId at bit 33, so
-        // naively adding batchId*2^32 collides across batches (batch 2,
-        // partition 0 == batch 0, partition 1). Explicit bit fields:
-        // [batchId:19 | partitionId:20 | rowInPartition:24] = 63 bits.
-        require(
-          batchId < (1L << 19),
-          s"archive_id batchId field overflow: $batchId >= 2^19"
-        )
-        // lower 33 bits of monotonically_increasing_id are the
-        // per-partition row counter; the layout grants it 24 bits, so
-        // anything past 16M rows/partition/batch must abort the batch,
-        // not silently bleed into the partitionId field
-        val rowInPartition =
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-        val guardedRow = when(
-          rowInPartition >= (1L << 24),
-          raise_error(
-            concat(
-              lit("archive_id rowInPartition field overflow (>=2^24): "),
-              rowInPartition.cast("string")
-            )
-          ).cast("long")
-        ).otherwise(rowInPartition)
-        batch
-          .withColumn(
-            ArchiveIdCol,
-            lit(batchId << 44) +
-              shiftleft(spark_partition_id().cast("long"), 24) +
-              guardedRow
-          )
-          .write
-          .mode("append")
-          .parquet(archiveDir)
-        ()
+        archiveBatch(batch, batchId, archiveDir)
       }
       .start()
 
