@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, Similarity, SubstringDedup}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -126,6 +126,10 @@ object TextQueries {
   private val CosPlanes   = 8
   private val EmbeddingDim = 64
   private val CosMin      = 0.3
+  // SemDeDup epsilon: prunes ~14% of the synthetic corpus at sf0.01 —
+  // high enough to be selective, low enough that the gate exercises a
+  // non-trivial pruned set (the synthetic embeddings have no true dups)
+  private val SemDedupTau = 0.35
   private val IvfProbe    = 4
   // the composed IVF-PQ indexes probe deeper: recall is ceiling-limited
   // by cell coverage (nProbe 4 caps at 0.84, nProbe 8 at 0.92 on this
@@ -1501,6 +1505,39 @@ object TextQueries {
            |SELECT cell, CAST(count(*) AS BIGINT) AS n,
            |  CAST(round(max(d) * 1000000) AS BIGINT) AS max_dot_micro
            |FROM ad WHERE rn = 1 GROUP BY 1""".stripMargin
+      )
+    ),
+
+    // ---- semantic dedup (SemDeDup): coarse-quantizer cells + in-cell
+    //      greedy epsilon-ball prune, lowest-id representative ----
+    Q(
+      "dedup_semantic",
+      (s, dir) =>
+        SemDedup.prune(
+          Tables.embeddings(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "vec_id",
+          vecCol = "embedding",
+          cells = IvfCentroids.cells,
+          threshold = SemDedupTau
+        ),
+      Some(
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |ad AS (SELECT vec_id, cell, v, row_number() OVER (PARTITION BY vec_id
+           |         ORDER BY list_dot_product(v, cv) DESC, cell) AS rn
+           |       FROM e CROSS JOIN cents),
+           |a2 AS (SELECT vec_id, cell, v FROM ad WHERE rn = 1),
+           |pr AS (SELECT DISTINCT b.vec_id FROM a2 a
+           |  JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  -- zero-norm guard: NULL fails >= on both engines (the Spark
+           |  -- kernel's NaN cosine drops the pair the same way)
+           |  WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
+           |               OR list_dot_product(b.v, b.v) = 0 THEN NULL
+           |        ELSE list_dot_product(a.v, b.v) /
+           |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           |        END >= $SemDedupTau)
+           |SELECT a2.vec_id AS id, a2.cell, (pr.vec_id IS NOT NULL) AS pruned
+           |FROM a2 LEFT JOIN pr ON a2.vec_id = pr.vec_id""".stripMargin
       )
     ),
 

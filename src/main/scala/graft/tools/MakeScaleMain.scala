@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a larger scale-factor fixture from an existing one by
+  * replicating fact tables N times with consistent key remapping.
+  *
+  * Scale-stability harness only (VERDICT r5 item 5): the driver's real
+  * fixtures stop at sf0.1; this builds an sf1-shaped dataset so the full
+  * Verify + oracle gate and the bench can run at 10x rows. Shapes follow
+  * TPC-H scaling: region/nation stay fixed, everything else multiplies.
+  *
+  * Remapping contract (what keeps the data non-degenerate at 10x):
+  *   - every scaled table's key gets `copy * (max_key + 1)` added, and
+  *     foreign keys get the SAME offset as their parent, so join fan-outs
+  *     per key are IDENTICAL to the source sf — the scale-up grows the
+  *     number of keys, not the per-key row counts (matching how TPC-H
+  *     itself scales);
+  *   - `documents.text` gets a short per-copy suffix so cross-copy pairs
+  *     are near-dups, not byte-identical (exercises MinHash/SimHash at
+  *     realistic, non-tied hash distributions);
+  *   - `embeddings.embedding[0]` gets a tiny per-copy epsilon so ANN
+  *     top-k has no cross-copy cosine ties (tie order under exact
+  *     duplication is comparator-dependent and would flap the oracle).
+  *
+  * Usage: MakeScaleMain <srcSfDir> <outDir> <factor>
+  */
+object MakeScaleMain {
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def scale(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    new java.io.File(out).mkdirs()
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // single-FILE parquet per table, exactly the driver fixture shape
+    // (check.py and the oracle glob a file path, not a directory)
+    def write(df: DataFrame, t: String): Unit = {
+      val tmp = s"$out/_tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $t"))
+      val dest = new java.io.File(s"$out/$t.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+    }
+
+    // fixed dims: copy through untouched
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    // one offset per scaled key domain, derived from the source data so
+    // remapped keys never collide with originals
+    def off(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0) + 1L
+
+    val custOff = off("customer", "c_custkey")
+    val suppOff = off("supplier", "s_suppkey")
+    val partOff = off("part", "p_partkey")
+    val ordOff = off("orders", "o_orderkey")
+    val evOff = off("events", "event_id")
+    val userOff = off("events", "user_id")
+    val docOff = off("documents", "doc_id")
+    val vecOff = off("embeddings", "vec_id")
+
+    // cross-join each fact with the copy index; keys shift by copy*offset
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(
+        spark.range(factor.toLong).select(col("id").as("__copy")))
+
+    def shift(c: String, o: Long) = col(c) + col("__copy") * lit(o)
+
+    write(
+      copies(read("customer"))
+        .withColumn("c_custkey", shift("c_custkey", custOff))
+        .drop("__copy"),
+      "customer")
+    write(
+      copies(read("supplier"))
+        .withColumn("s_suppkey", shift("s_suppkey", suppOff))
+        .drop("__copy"),
+      "supplier")
+    write(
+      copies(read("part"))
+        .withColumn("p_partkey", shift("p_partkey", partOff))
+        .drop("__copy"),
+      "part")
+    write(
+      copies(read("orders"))
+        .withColumn("o_orderkey", shift("o_orderkey", ordOff))
+        .withColumn("o_custkey", shift("o_custkey", custOff))
+        .drop("__copy"),
+      "orders")
+    write(
+      copies(read("lineitem"))
+        .withColumn("l_orderkey", shift("l_orderkey", ordOff))
+        .withColumn("l_partkey", shift("l_partkey", partOff))
+        .withColumn("l_suppkey", shift("l_suppkey", suppOff))
+        .drop("__copy"),
+      "lineitem")
+    write(
+      copies(read("events"))
+        .withColumn("event_id", shift("event_id", evOff))
+        .withColumn("user_id", shift("user_id", userOff))
+        .drop("__copy"),
+      "events")
+    // near-dup (not identical) text across copies: suffix breaks exact
+    // hash ties while keeping >0.9 Jaccard to the source doc
+    write(
+      copies(read("documents"))
+        .withColumn("doc_id", shift("doc_id", docOff))
+        .withColumn(
+          "text",
+          when(col("__copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rev"), col("__copy"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__copy"),
+      "documents")
+    // epsilon on dim 0 breaks cosine ties between copies; magnitude is
+    // far below inter-point distances so cluster structure is unchanged
+    write(
+      copies(read("embeddings"))
+        .withColumn("vec_id", shift("vec_id", vecOff))
+        .withColumn(
+          "embedding",
+          concat(
+            array((col("embedding")(0) +
+              col("__copy").cast("float") * lit(1e-3f)).cast("float")),
+            slice(col("embedding"), 2, 100000)))
+        .drop("__copy"),
+      "embeddings")
+  }
+}
