@@ -127,6 +127,14 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_jaro_winkler expects 2 arguments, got ${children.size}")
+        JaroWinkler(children.head, children(1))
+      }
+    ),
+    (
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) => {

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, EntityResolution, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -2391,6 +2391,80 @@ object TextQueries {
              |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
              |WHERE abs(length(a.txt) - length(b.txt)) <= 2
              |  AND levenshtein(a.txt, b.txt) <= 2""".stripMargin)
+    ),
+
+    // ---- Jaro-Winkler blocked name resolution: the record-linkage
+    //      comparator for short identity strings (rewards shared
+    //      prefixes, under-penalizes transpositions — where Levenshtein
+    //      over-counts). Same canon-vocabulary-first + blocking
+    //      discipline as dedup_edit_distance; scoring runs the native
+    //      graft_jaro_winkler kernel, bit-identical to DuckDB's builtin
+    //      on ASCII so the oracle is the builtin itself, raw doubles
+    //      compared with no rounding. ----
+    Q(
+      "er_fuzzy_part_pairs",
+      (s, dir) => {
+        val canon = Tables
+          .part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id"))
+        EntityResolution.blockedPairs(
+          canon.select(col("id"), col("p_name")),
+          col("id"),
+          col("p_name"),
+          element_at(split(col("p_name"), " "), 2),
+          minSim = 0.80
+        )
+      },
+      Some("""WITH c AS (SELECT p_name AS txt, min(p_partkey) AS id FROM part GROUP BY 1),
+             |t AS (SELECT *, split_part(txt, ' ', 2) AS blk FROM c)
+             |SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b,
+             |       jaro_winkler_similarity(a.txt, b.txt) AS sim
+             |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+             |WHERE jaro_winkler_similarity(a.txt, b.txt) >= 0.80""".stripMargin)
+    ),
+
+    // ---- cross-catalog best-match linkage: second catalog = the canon
+    //      names with the last character clipped (the truncated-feed
+    //      shape real linkage sees), blocked on the leading word. Each
+    //      left record elects ONE best right match (max JW, ties to the
+    //      lowest right id) via a window over scored candidates only —
+    //      512 candidates at sf0.01, never |left| x |right|. ----
+    Q(
+      "er_link_best",
+      (s, dir) => {
+        val canon = Tables
+          .part(s, dir)
+          .groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id"))
+        val clipped = canon.select(
+          (col("id") + lit(1000000L)).as("id"),
+          expr("substr(p_name, 1, length(p_name) - 1)").as("p_name")
+        )
+        EntityResolution.linkBest(
+          canon,
+          clipped,
+          col("id"),
+          col("p_name"),
+          col("id"),
+          col("p_name"),
+          element_at(split(col("p_name"), " "), 1),
+          element_at(split(col("p_name"), " "), 1),
+          minSim = 0.85
+        )
+      },
+      Some("""WITH c AS (SELECT p_name AS txt, min(p_partkey) AS id FROM part GROUP BY 1),
+             |sw AS (SELECT id + 1000000 AS id, substr(txt, 1, length(txt) - 1) AS txt FROM c),
+             |l AS (SELECT id, txt, split_part(txt, ' ', 1) AS blk FROM c),
+             |r AS (SELECT id, txt, split_part(txt, ' ', 1) AS blk FROM sw),
+             |s AS (SELECT l.id AS left_id, l.txt AS left_text, r.id AS right_id,
+             |             r.txt AS right_text, jaro_winkler_similarity(l.txt, r.txt) AS sim
+             |      FROM l JOIN r USING (blk)
+             |      WHERE jaro_winkler_similarity(l.txt, r.txt) >= 0.85),
+             |b AS (SELECT *, row_number() OVER (PARTITION BY left_id
+             |        ORDER BY sim DESC, right_id) AS rn FROM s)
+             |SELECT left_id, left_text, right_id, right_text, sim
+             |FROM b WHERE rn = 1""".stripMargin)
     ),
 
     // ---- CCNet-style cross-document line dedup: lines (3-word chunks
