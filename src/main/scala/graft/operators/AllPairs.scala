@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT all-pairs set-similarity join via prefix filtering (Bayardo,
+  * Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007;
+  * the PPJoin prefix bound of Xiao et al., WWW 2008) — the guaranteed-
+  * no-false-negative complement of the LSH candidate generators in
+  * [[ApproxDedup]]: LSH recall is probabilistic in the band geometry;
+  * this join returns EVERY pair with Jaccard >= t, with pruning that is
+  * purely a performance device.
+  *
+  * Prefix principle: order every set's elements by a single global
+  * total order (ascending document frequency, ties by element value —
+  * rarest first). For Jaccard threshold t, two sets can only reach t if
+  * they share an element among their first `|s| - ceil(t*|s|) + 1`
+  * elements, so only those PREFIX elements are ever indexed. Rare
+  * elements index; corpus-hot elements land in suffixes and never
+  * generate candidates — exactly the posting-explosion control a 100 TB
+  * corpus needs. A length filter (`den*min >= num*max`) prunes
+  * cross-size candidates before the verify.
+  *
+  * All arithmetic is integer: the threshold is the rational num/den and
+  * every comparison cross-multiplies (`inter * den >= uni * num`), so
+  * there is no floating-point boundary anywhere — Spark and the oracle
+  * agree exactly by construction.
+  *
+  * Shuffle shape: one agg for df, one window shuffle on id for prefix
+  * ranks, one equi-join on prefix element, one distinct on the
+  * candidate pair key, and an exact verify that touches only candidate
+  * pairs (array intersect of the two staged element arrays). Never a
+  * corpus cross-join.
+  */
+object AllPairs {
+
+  /** All pairs (id_a < id_b) with Jaccard(setA, setB) >= num/den.
+    *
+    * @param sets   one row per set
+    * @param idCol  unique orderable id column name
+    * @param setCol array column; elements are deduplicated internally
+    * @param num    threshold numerator (Jaccard >= num/den)
+    * @param den    threshold denominator
+    * @return (id_a, id_b, inter, uni) — intersection / union sizes
+    */
+  def jaccardPairs(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int
+  ): DataFrame = {
+    require(num > 0 && num <= den, s"threshold must be in (0,1]: got $num/$den")
+    val docs = sets
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("es"))
+      .where(size(col("es")) > 0)
+    val elems = docs.select(col("id"), size(col("es")).as("n"), explode(col("es")).as("e"))
+    val dfreq = elems.groupBy("e").agg(count(lit(1)).as("df"))
+    // global element order: (df asc, element asc) — rarest first, total
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("e"))
+    val prefix = elems
+      .join(dfreq, "e")
+      .withColumn("rn", row_number().over(w))
+      // prefix length |s| - ceil(t*|s|) + 1, integer ceil
+      .where(col("rn") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+      .select(col("e"), col("id"), col("n"))
+    val cand = prefix
+      .as("a")
+      .join(
+        prefix.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id") &&
+          least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("es").as("ea")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("es").as("eb")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("ea"), col("eb"))).cast("long").as("inter"),
+        (size(col("ea")) + size(col("eb"))).cast("long").as("__sum")
+      )
+      .withColumn("uni", col("__sum") - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+}

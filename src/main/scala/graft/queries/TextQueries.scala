@@ -2393,6 +2393,46 @@ object TextQueries {
              |  AND levenshtein(a.txt, b.txt) <= 2""".stripMargin)
     ),
 
+    // ---- EXACT all-pairs similarity join (Bayardo WWW'07 prefix
+    //      filtering): the no-false-negative complement of the LSH
+    //      candidate paths — returns EVERY shingle-set pair with
+    //      Jaccard >= 3/10. Elements order by ascending df so only
+    //      rare shingles index (3,058 candidates vs 11,533 share-any
+    //      pairs at sf0.01); threshold arithmetic is integer cross-
+    //      multiplication, so no FP boundary exists in either engine.
+    //      The oracle is the NAIVE exact join — algorithm-independent
+    //      ground truth. ----
+    Q(
+      "dedup_allpairs_exact",
+      (s, dir) => {
+        val staged = Tables
+          .documents(s, dir)
+          .where(size(TextFunctions.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+          .repartition(s.sparkContext.defaultParallelism)
+        // staged token array -> shingle strings in a SEPARATE projection
+        // (the documented HOF re-evaluation discipline)
+        val sets = staged.select(
+          col("doc_id"),
+          expr(
+            "transform(sequence(0, size(__t) - 3), i -> concat(__t[i], ' ', __t[i+1], ' ', __t[i+2]))"
+          ).as("sh")
+        )
+        graft.operators.AllPairs.jaccardPairs(sets, "doc_id", "sh", num = 3, den = 10)
+      },
+      Some(s"""$ShinglesSql,
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |i AS (
+              |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT ia AS id_a, ib AS id_b,
+              |       CAST(i AS BIGINT) AS inter,
+              |       CAST(sa.n + sb.n - i AS BIGINT) AS uni
+              |FROM i JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+              |WHERE i * 10 >= (sa.n + sb.n - i) * 3""".stripMargin)
+    ),
+
     // ---- Jaro-Winkler blocked name resolution: the record-linkage
     //      comparator for short identity strings (rewards shared
     //      prefixes, under-penalizes transpositions — where Levenshtein
