@@ -73,6 +73,60 @@ object Curation {
   ): DataFrame =
     df.where(TextFunctions.splitBucket(col(idCol), WeightDenominator, salt) < weightMicro)
 
+  /** Token-BUDGET data mixture: the production form of data mixing.
+    * Mixing targets are stated as "the training run sees B tokens,
+    * with share s_g of the budget from group g" — not as per-group
+    * keep-rates, which depend on how much data each group HAS. This
+    * operator converts (shares, budget) into per-group rates against
+    * the groups' actual token mass and samples deterministically:
+    *
+    *   keep(row) iff bucket_micro(id) < (s_g/1000 * B) / T_g * 1e6
+    *
+    * evaluated as one exact integer CROSS-MULTIPLICATION in decimal
+    * (`bucket * 1000 * T_g < s_g * B * 1e6`) — no division, no FP, so
+    * the kept set is bit-reproducible across runs, engines, and
+    * partitioning, and per-row monotone in the group's allocation.
+    * Groups whose mass is under their allocation keep everything
+    * (rate >= 1 makes the predicate always true) — the undersubscribed
+    * case; redistribution of their unused allocation is a policy
+    * choice left to the caller (re-run with adjusted shares).
+    *
+    * Scale shape: one tiny per-group agg (|groups| rows, broadcast
+    * back), then a codegen'd filter on a narrow map stage — the corpus
+    * itself never shuffles. Expected kept tokens per group ≈
+    * min(T_g, s_g/1000 * B); sampling noise is O(sqrt) because the
+    * md5 bucket is uniform and independent of token counts.
+    */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokensCol: Column,
+      sharesPermille: Map[String, Int],
+      defaultPermille: Int,
+      budgetTokens: Long,
+      salt: String
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(
+      (sharesPermille.values ++ Seq(defaultPermille)).forall(r => r >= 0 && r <= RateDenominator),
+      s"shares must be in [0, $RateDenominator] per-mille"
+    )
+    val share: Column = sharesPermille.toSeq
+      .sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (g, s)) =>
+        when(col(groupCol) === g, s).otherwise(acc)
+      }
+    val totals = df.groupBy(col(groupCol)).agg(sum(tokensCol).as("__tg"))
+    val bucket = TextFunctions.splitBucket(col(idCol), WeightDenominator, salt)
+    df.join(broadcast(totals), groupCol)
+      .where(
+        bucket.cast("decimal(38,0)") * lit(RateDenominator.toLong) * col("__tg") <
+          share.cast("decimal(38,0)") * lit(budgetTokens) * lit(WeightDenominator.toLong)
+      )
+      .drop("__tg")
+  }
+
   /** Deterministic corpus SHUFFLE assignment — the standard way to
     * randomize 100 TB of training data: give every row a pseudorandom
     * but reproducible position (shard, pos_in_shard) derived from a

@@ -1324,6 +1324,52 @@ object TextQueries {
               |GROUP BY 1""".stripMargin)
     ),
 
+    // ---- token-BUDGET mixture: mixing targets stated the way training
+    //      runs state them — "B tokens total, share s_g from group g" —
+    //      converted to per-group rates against each group's ACTUAL
+    //      token mass (one tiny agg broadcast back) and sampled by the
+    //      same salted-md5 primitive. The keep predicate is one exact
+    //      decimal cross-multiplication (bucket*1000*T_g <
+    //      s_g*B*1e6): no division, no FP boundary, engines agree by
+    //      construction. Budget 10k over ~27k corpus tokens -> every
+    //      group partially sampled (rates 0.30-0.43). ----
+    Q(
+      "curation_token_budget_mix",
+      (s, dir) => {
+        val d = Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")
+          )
+        Curation
+          .tokenBudgetMix(
+            d,
+            idCol = "doc_id",
+            groupCol = "lang",
+            tokensCol = col("n_tok"),
+            sharesPermille = Map("en" -> 500),
+            defaultPermille = 125,
+            budgetTokens = 10000L,
+            salt = "mixv1"
+          )
+          .select("doc_id", "lang", "n_tok")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |tg AS (SELECT lang, sum(n_tok) AS tg FROM t GROUP BY 1)
+              |SELECT t.doc_id, t.lang, t.n_tok
+              |FROM t JOIN tg USING (lang)
+              |WHERE CAST('0x' || substr(md5('mixv1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              |        % ${Curation.WeightDenominator}
+              |      * ${Curation.RateDenominator} * tg
+              |    < CAST(CASE lang WHEN 'en' THEN 500 ELSE 125 END AS BIGINT)
+              |        * 10000 * ${Curation.WeightDenominator}""".stripMargin)
+    ),
+
     // ---- corpus curation: deterministic stratified sampling (the
     //      data-mixing step — per-language keep rates, salted-md5
     //      buckets, reproducible under re-ingestion; one codegen'd

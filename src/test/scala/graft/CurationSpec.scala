@@ -87,6 +87,33 @@ class CurationSpec extends SparkSpec {
     assert(other != kept(lit(250000L)))
   }
 
+  test("tokenBudgetMix: undersubscribed keeps all, kept token mass tracks allocation") {
+    // en: 600 docs x 10 tok = 6000; de: 300 x 10 = 3000; xx: 100 x 10 = 1000
+    val d = (0L until 1000L)
+      .map(i => (i, if (i % 10 < 6) "en" else if (i % 10 < 9) "de" else "xx", 10L))
+      .toDF("id", "lang", "n_tok")
+    def mix(budget: Long) =
+      Curation.tokenBudgetMix(
+        d, "id", "lang", col("n_tok"),
+        sharesPermille = Map("en" -> 500, "de" -> 300), defaultPermille = 200,
+        budgetTokens = budget, salt = "tb-1")
+    val kept = mix(4000L) // alloc: en 2000/6000, de 1200/3000, xx 800/1000
+    val byLang = kept.groupBy("lang").agg(sum("n_tok").as("t")).as[(String, Long)].collect().toMap
+    // sampling noise tolerance: +-40% of the allocation
+    assert(byLang("en") > 1200 && byLang("en") < 2800, s"en mass ${byLang("en")} vs alloc 2000")
+    assert(byLang("de") > 700 && byLang("de") < 1700, s"de mass ${byLang("de")} vs alloc 1200")
+    // xx allocation 800 of 1000 available -> heavy partial
+    assert(byLang("xx") > 500 && byLang("xx") <= 1000, s"xx mass ${byLang("xx")} vs alloc 800")
+    // undersubscribed: a budget bigger than the corpus keeps EVERYTHING
+    assert(mix(100000L).count() == 1000L)
+    // deterministic and monotone in the budget
+    def ids(b: Long) = mix(b).select("id").as[Long].collect().toSet
+    assert(ids(4000L) == ids(4000L))
+    assert(ids(2000L).subsetOf(ids(4000L)))
+    // budget 0 keeps nothing
+    assert(mix(0L).count() == 0L)
+  }
+
   test("rate 0 drops a stratum entirely; rate 1000 keeps it entirely") {
     val kept = Curation
       .stratifiedSample(docs, "id", "lang", Map("en" -> 0, "de" -> 1000), 0, "t-v1")
