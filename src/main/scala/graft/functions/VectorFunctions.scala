@@ -58,6 +58,50 @@ object VectorFunctions {
   def hyperplaneSignBit(v: Column, plane: Array[Double]): Column =
     when(planeDot(v, plane) >= 0, 1).otherwise(0)
 
+  /** Rademacher (±1) Johnson-Lindenstrauss sign matrix, k rows of dim
+    * entries, derived from md5 so BOTH engines can regenerate it
+    * exactly: sign(i, j) = +1 iff the 60-bit prefix of
+    * md5("salt:i:j") is even — the same salted-md5-determinism
+    * convention as every other curation primitive (no RNG object, no
+    * seed-order dependence). Achlioptas 2003 shows ±1 entries satisfy
+    * the JL lemma with the same distortion bound as Gaussians; with
+    * int8-quantized inputs the projection is a SUM OF SIGNED BYTES —
+    * exact in double (|proj| <= 127*dim), so engines agree bit-for-bit
+    * with no rounding grid.
+    */
+  def rademacherSigns(dim: Int, k: Int, salt: String): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { j =>
+      Array.tabulate(dim) { i =>
+        val hex = md
+          .digest(s"$salt:$i:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x")
+          .mkString
+          .substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** JL random projection to k dimensions: k codegen'd `graft_dot`
+    * calls against literal ±1 sign vectors — a NARROW map stage, no
+    * shuffle, no per-row allocation beyond the output array. Appends
+    * `outCol` = array<double> of length k. Input should be the
+    * (exact-in-double) int8-quantized vector for bit-reproducibility;
+    * float vectors work but inherit float-sum semantics.
+    */
+  def withRandomProjection(
+      df: org.apache.spark.sql.DataFrame,
+      vecCol: String,
+      outCol: String,
+      dim: Int,
+      k: Int,
+      salt: String
+  ): org.apache.spark.sql.DataFrame = {
+    val signs = rademacherSigns(dim, k, salt)
+    df.withColumn(outCol, array(signs.map(sv => planeDot(col(vecCol), sv)): _*))
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits packed into an int.
     * cos-similar vectors collide with high probability; used by
     * `Similarity.lshCosineTopK` to cut the candidate space from O(n^2) to

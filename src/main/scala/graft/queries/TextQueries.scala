@@ -1648,6 +1648,48 @@ object TextQueries {
              |FROM s, unnest(generate_series(1, len(v))) AS u(i)""".stripMargin)
     ),
 
+    // ---- Johnson-Lindenstrauss random projection (Achlioptas ±1
+    //      signs): 64 -> 16 dims as k codegen'd graft_dot calls against
+    //      literal sign vectors — a NARROW map stage, no shuffle. The
+    //      sign matrix derives from md5("jl:i:j") parity so both
+    //      engines REGENERATE it (no shipped literal table); inputs are
+    //      the int8-quantized vectors, so every projection is a sum of
+    //      signed bytes — exact in double, bit-identical, no grid. ----
+    Q(
+      "embedding_random_projection",
+      (s, dir) => {
+        val quant = VectorFunctions.withInt8Quant(
+          Tables
+            .embeddings(s, dir)
+            .select(col("vec_id"), col("embedding"))
+            .repartition(s.sparkContext.defaultParallelism),
+          "embedding",
+          "scale",
+          "q"
+        )
+        VectorFunctions
+          .withRandomProjection(quant, "q", "p", dim = EmbeddingDim, k = 16, salt = "jl")
+          .select(col("vec_id"), posexplode(col("p")).as(Seq("j", "proj")))
+          .select(col("vec_id"), col("j").cast("int").as("j"), col("proj").cast("long").as("proj"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, CAST(u.i - 1 AS INT) AS i,
+             |        CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[u.i] / scale) END AS INT) AS qi
+             |      FROM s, unnest(generate_series(1, len(v))) AS u(i)),
+             |g AS (SELECT ii.i, jj.j,
+             |        CASE WHEN CAST('0x' || substr(md5('jl:' || ii.i || ':' || jj.j), 1, 15) AS BIGINT) % 2 = 0
+             |             THEN 1 ELSE -1 END AS sgn
+             |      FROM (SELECT unnest(generate_series(0, 63)) AS i) ii,
+             |           (SELECT unnest(generate_series(0, 15)) AS j) jj)
+             |SELECT q.vec_id, CAST(g.j AS INT) AS j,
+             |       CAST(sum(q.qi * g.sgn) AS BIGINT) AS proj
+             |FROM q JOIN g ON q.i = g.i
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // ---- product-quantization encode: M 4-bit codes per embedding
     //      (16 bytes vs 256 for float64 — the ANN storage codec at
     //      100 TB memory budgets). Trained codebooks ship as literals;
