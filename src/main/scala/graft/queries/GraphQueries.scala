@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.PageRank
+import graft.operators.{LabelPropagation, PageRank}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph/centrality queries — the link-analysis quality-signal family
@@ -14,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
   private val Iterations = 5
+  private val LpaRounds  = 4
+
+  /** Shared undirected part <-> supplier co-occurrence edge list (both
+    * directions from ONE lineitem scan via explode).
+    */
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(
+        explode(
+          array(
+            struct((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")),
+            struct((col("l_suppkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+
+  private val EdgesSql =
+    """edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT l_suppkey*2+1, l_partkey*2 FROM lineitem))""".stripMargin
 
   /** Undirected part <-> supplier co-occurrence graph from lineitem,
     * node ids disambiguated by parity (part = 2k, supplier = 2k+1).
@@ -70,6 +96,44 @@ object GraphQueries {
            |it0 AS (SELECT id, CAST($init AS BIGINT) AS r FROM nodes),
            |$steps
            |SELECT id, r FROM it$Iterations""".stripMargin
+      }
+    ),
+
+    // ---- deterministic synchronous label propagation (community
+    //      detection): every node adopts its in-neighbors' most
+    //      frequent label, ties to the SMALLEST label — a pure function
+    //      of (edges, rounds), unlike the async/random-tie textbook
+    //      LPA, so the oracle replays every round. Per round: one
+    //      edge-label join + (dst,lbl) counts partial-agg + max_by —
+    //      never a window over raw neighbor rows. The oracle picks via
+    //      row_number, an independent argmax formulation. ----
+    Q(
+      "graph_label_prop",
+      (s, dir) =>
+        LabelPropagation
+          .propagate(coEdges(s, dir), LpaRounds)
+          .select(col("id"), col("lbl")),
+      Some {
+        val steps = (1 to LpaRounds)
+          .map { i =>
+            s"""c$i AS (
+               |  SELECT e.dst AS id, p.lbl, count(*) AS c
+               |  FROM edges e JOIN it${i - 1} p ON p.id = e.src GROUP BY 1, 2),
+               |w$i AS (
+               |  SELECT id, lbl, row_number() OVER (
+               |    PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM c$i),
+               |it$i AS (
+               |  SELECT prev.id, coalesce(w.lbl, prev.lbl) AS lbl
+               |  FROM it${i - 1} prev
+               |  LEFT JOIN (SELECT id, lbl FROM w$i WHERE rn = 1) w ON w.id = prev.id)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH $EdgesSql,
+           |nodes AS (SELECT DISTINCT id FROM (
+           |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |it0 AS (SELECT id, id AS lbl FROM nodes),
+           |$steps
+           |SELECT id, lbl FROM it$LpaRounds""".stripMargin
       }
     )
   )
