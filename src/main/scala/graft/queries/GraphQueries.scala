@@ -135,6 +135,38 @@ object GraphQueries {
            |$steps
            |SELECT id, lbl FROM it$LpaRounds""".stripMargin
       }
+    ),
+
+    // ---- exact per-node triangle counts (local clustering coefficient
+    //      ingredient) over the part-part co-purchase graph (parts
+    //      sharing an order). Spark runs the degree-ordered orientation
+    //      (compact-forward): wedge fan-out bounded O(sqrt(m)) per
+    //      node, closing is one equi-join; the oracle is the naive
+    //      a<b<c enumeration — an independent formulation. ----
+    Q(
+      "graph_triangles",
+      (s, dir) => {
+        val pp = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pp
+          .as("a")
+          .join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.operators.Triangles.perNode(edges)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+             |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |x AS (SELECT unnest([a, b, c]) AS id FROM tri),
+             |cnt AS (SELECT id, count(*) AS n FROM x GROUP BY 1),
+             |nodes AS (SELECT DISTINCT u AS id FROM e UNION SELECT v FROM e)
+             |SELECT n.id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri
+             |FROM nodes n LEFT JOIN cnt c USING (id)""".stripMargin)
     )
   )
 }

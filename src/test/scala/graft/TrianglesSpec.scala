@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Triangles
+import org.apache.spark.sql.functions._
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Triangles
+      .perNode(pairs.toDF("src", "dst"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+
+  private def naive(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = pairs
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2))
+    val tris = for {
+      (a, b) <- und
+      c <- nodes
+      if b < c && und.contains((b, c)) && und.contains((a, c))
+    } yield (a, b, c)
+    val base = nodes.map(_ -> 0L).toMap
+    tris.toSeq.flatMap(t => Seq(t._1, t._2, t._3)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap.foldLeft(base) { case (m, (k, v)) => m.updated(k, v) }
+  }
+
+  test("K4: every node in 3 triangles; C5 ring: zero; star hub: zero") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(counts(c5).values.forall(_ == 0L))
+    val star = (2L to 30L).map(i => (1L, i))
+    assert(counts(star).values.forall(_ == 0L))
+  }
+
+  test("duplicate, reversed, and self-loop edges are ignored") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (2L, 2L), (1L, 2L))
+    assert(counts(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("equals naive enumeration on random graphs including a hub") {
+    val r = new java.util.Random(11)
+    val rand = (1 to 500).map(_ => (r.nextInt(40).toLong + 1, r.nextInt(40).toLong + 1))
+    // graft a hub connected to everything — the degree-ordered
+    // orientation must keep it correct (and cheap)
+    val hub = (1L to 40L).map(i => (99L, i))
+    val all = rand ++ hub
+    assert(counts(all) == naive(all))
+  }
+}
