@@ -393,6 +393,42 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin)
     ),
 
+    // ---- DQ: order-free multiset content digest per group — the
+    //      replica-diff primitive ("is this copy of the mart the
+    //      same?"). Sum (mod 2^60) of 60-bit row-fingerprint hashes:
+    //      commutative/associative -> partial-agg map-side, no sort;
+    //      sum not xor so duplicate rows accumulate. Exact decimal
+    //      accumulation then mod keeps engine overflow semantics out
+    //      of the result. Integer-only value columns so the canonical
+    //      CAST-to-string agrees across engines. ----
+    Q(
+      "dq_content_digest",
+      (s, dir) =>
+        graft.operators.Integrity.contentDigest(
+          Tables.lineitem(s, dir),
+          groupCols = Seq(col("l_returnflag")),
+          valueCols = Seq(
+            col("l_orderkey"),
+            col("l_partkey"),
+            col("l_suppkey"),
+            col("l_linenumber"),
+            col("l_returnflag"),
+            col("l_linestatus")
+          )
+        ),
+      Some(s"""SELECT l_returnflag,
+              |  CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum(CAST('0x' || substr(md5(concat_ws('||',
+              |      coalesce(CAST(l_orderkey AS VARCHAR), 'NULL'),
+              |      coalesce(CAST(l_partkey AS VARCHAR), 'NULL'),
+              |      coalesce(CAST(l_suppkey AS VARCHAR), 'NULL'),
+              |      coalesce(CAST(l_linenumber AS VARCHAR), 'NULL'),
+              |      coalesce(l_returnflag, 'NULL'),
+              |      coalesce(l_linestatus, 'NULL'))), 1, 15) AS BIGINT))
+              |    % ${graft.operators.Integrity.DigestMod} AS BIGINT) AS digest
+              |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
     // ---- DQ: one-pass column profiling (null rate / distinct / bounds)
     //      — the audit stage before trusting a feed ----
     Q(
