@@ -250,4 +250,87 @@ object StreamOps {
     events
       .withWatermark(tsCol, delayThreshold)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-dup ingest gate: per micro-batch, flag documents
+    * whose MinHash band signatures collide with the persisted corpus
+    * store ([[graft.operators.IncrementalDedup]]) or with an earlier
+    * (lower-id) document of the same batch, then append the batch's
+    * signatures to the store — the "is this new document a near-copy of
+    * ANYTHING ingested so far" gate, running continuously at ingest.
+    *
+    * foreachBatch, not a stream-stream join: the store is both an input
+    * and an output of every batch (self-referential state Structured
+    * Streaming cannot express as a join), and the flag must see the
+    * WHOLE corpus history, not a watermarked window of it. Per batch:
+    * one narrow signature stage over batch docs, one band-bucket join
+    * against the store (store side pre-partitioned by band), one append
+    * of batch-sized signature rows.
+    *
+    * Crash contract (at-least-once + idempotent flagging): a replayed
+    * batch re-meets its own stored signatures, which the same-id guard
+    * ignores, so flags are unchanged on replay; the store accumulates
+    * duplicate (id, band, sig) rows, which change no collision answer
+    * (membership, not counts) and are reclaimed by store compaction.
+    *
+    * `sink` receives the flagged batch: original columns plus
+    * `near_dup` (boolean) and the micro-batch id.
+    */
+  def nearDupGate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      n: Int,
+      nHashes: Int,
+      rowsPerBand: Int,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.operators.IncrementalDedup
+          .bandSignatures(batch, idCol, col(textCol), n, nHashes, rowsPerBand)
+          .cache()
+        try {
+          val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          val haveStore = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+          // vs-store: the BATCH doc is the dup, whatever the id order
+          val vsStore =
+            if (haveStore)
+              bands
+                .select(col("band"), col("sig"), col("id").as("__bid"))
+                .join(
+                  graft.operators.IncrementalDedup
+                    .readStore(spark, storePath)
+                    .select(col("band"), col("sig"), col("id").as("__sid")),
+                  Seq("band", "sig")
+                )
+                .where(col("__bid") =!= col("__sid"))
+                .select(col("__bid").as("id"))
+            else bands.select(col("id")).where(lit(false)) // typed-empty: no store yet
+          // within-batch: survivor election by min id — id_b is the dup
+          val within = graft.operators.ApproxDedup
+            .pairsFromBandRows(bands, graft.operators.ApproxDedup.DefaultMaxBucket)
+            .select(col("id_b").as("id"))
+          val dupIds = vsStore.unionByName(within).distinct()
+          val flagged = batch.join(
+            dupIds.withColumn("near_dup", lit(true)).withColumnRenamed("id", idCol),
+            Seq(idCol),
+            "left_outer"
+          )
+          sink(
+            flagged.withColumn("near_dup", coalesce(col("near_dup"), lit(false))),
+            batchId
+          )
+          if (haveStore) graft.operators.IncrementalDedup.appendToStore(bands, storePath)
+          else graft.operators.IncrementalDedup.writeStore(bands, storePath)
+        } finally {
+          bands.unpersist()
+          ()
+        }
+      }
+      .start()
 }
