@@ -109,8 +109,15 @@ object TextQueries {
        |h AS (SELECT doc_id, ${sqlHash(0, "t")} AS hv FROM tok),
        |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
        |sh AS (SELECT doc_id, $assemble AS sh FROM bits),
-       |bk AS (SELECT doc_id, sh, u.b AS band, (sh >> (u.b * $bandBits)) & ${(1 << bandBits) - 1} AS sig
+       |bk0 AS (SELECT doc_id, sh, u.b AS band, (sh >> (u.b * $bandBits)) & ${(1 << bandBits) - 1} AS sig
        |  FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+       |-- mirror the kernel's deterministic bucket cap: graft_hamming_pairs
+       |-- pairs only the first maxBucket SMALLEST ids of each (band, sig)
+       |-- bucket (a no-op below sf1; binding at sf1+ crowd buckets)
+       |bk AS (SELECT doc_id, sh, band, sig FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+       |    FROM bk0)
+       |  WHERE rn <= ${graft.operators.ApproxDedup.DefaultMaxBucket}),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    a.sh AS sha, b.sh AS shb
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig
