@@ -393,6 +393,41 @@ object RelationalQueries {
              |FROM events GROUP BY 1""".stripMargin)
     ),
 
+    // ---- incrementally maintained aggregate view: two append loads
+    //      refresh a stored per-status rollup by merging ALGEBRAIC
+    //      aggregates (count +, sum +, min/max least/greatest) — the
+    //      fact history is never rescanned, view side is group-sized.
+    //      The ORACLE aggregates the full table directly, so the gate
+    //      proves incremental == direct exactly (prices in integer
+    //      cents — no FP accumulation-order term). ----
+    Q(
+      "view_incremental_rollup",
+      (s, dir) => {
+        val orders = Tables
+          .orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c")
+          )
+        val path = TmpWorkspace.scoped(s, "graft_incview", dir) + "/rollup"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true) // fresh per run
+        val g = Seq("o_orderstatus")
+        val v = Seq("price_c")
+        graft.operators.IncrementalAgg
+          .refresh(s, path, orders.where(col("o_orderkey") % 3 =!= 0).drop("o_orderkey"), g, v)
+        graft.operators.IncrementalAgg
+          .refresh(s, path, orders.where(col("o_orderkey") % 3 === 0).drop("o_orderkey"), g, v)
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+             |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_price_c,
+             |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_price_c
+             |FROM orders GROUP BY 1""".stripMargin)
+    ),
+
     // ---- DQ: order-free multiset content digest per group — the
     //      replica-diff primitive ("is this copy of the mart the
     //      same?"). Sum (mod 2^60) of 60-bit row-fingerprint hashes:
