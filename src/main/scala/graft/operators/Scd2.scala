@@ -104,6 +104,26 @@ object Scd2 {
     snapshot.where(col(StartDate) <= ts && ts < coalesce(col(EndDate), sentinel))
   }
 
+  /** CDC change feed between two instants: every version OPENED in
+    * (fromTs, toTs] (an insert or a new version of an updated key) and
+    * every version CLOSED in it, tagged `change_type` OPEN/CLOSE — the
+    * downstream-consumer view of a mart ("what changed since my last
+    * sync?") derived purely from the SCD2 date columns. Two codegen'd
+    * scan filters + a union: zero shuffle; on a lake partitioned by
+    * START_DATE the open branch prunes to the window's partitions.
+    * Open-ended rows (NULL or sentinel END_DATE beyond toTs) never
+    * appear as closes — `NULL > fromTs` is NULL and filters out.
+    */
+  def changeFeed(snapshot: DataFrame, fromTs: Column, toTs: Column): DataFrame = {
+    val opens = snapshot
+      .where(col(StartDate) > fromTs && col(StartDate) <= toTs)
+      .withColumn("change_type", lit("OPEN"))
+    val closes = snapshot
+      .where(col(EndDate) > fromTs && col(EndDate) <= toTs)
+      .withColumn("change_type", lit("CLOSE"))
+    opens.unionByName(closes)
+  }
+
   /** Active-rows probe projection for the next CDC round (reference S2). */
   def activeProbe(snapshot: DataFrame, key: String, hash: String, id: String): DataFrame =
     snapshot

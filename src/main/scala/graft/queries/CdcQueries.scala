@@ -243,6 +243,32 @@ object CdcQueries {
               |WHERE m.start_date <= p.probe_ts AND p.probe_ts < m.end_date""".stripMargin)
     ),
 
+    // ---- SCD2 change feed: "what changed since my last sync" — every
+    //      version OPENed or CLOSEd in (InitialTs, LoadTs], tagged, from
+    //      two codegen'd scan filters + union over the merged mart.
+    //      Zero shuffle; START_DATE-partitioned lakes prune the open
+    //      branch. Open-ended sentinel rows never appear as closes. ----
+    Q(
+      "scd2_change_feed",
+      (s, dir) =>
+        Scd2
+          .changeFeed(mergedMart(s, dir), lit(InitialTs), lit(LoadTs))
+          .select(
+            col("change_type"),
+            col("ssi"),
+            col("src_hash"),
+            col(Scd2.ActiveFlag).as("active_flag"),
+            col(Scd2.StartDate).as("start_date"),
+            col(Scd2.EndDate).as("end_date")
+          ),
+      Some(s"""$MergedSqlCtes
+              |SELECT 'OPEN' AS change_type, ssi, src_hash, active_flag, start_date, end_date
+              |FROM merged WHERE start_date > '$InitialTs' AND start_date <= '$LoadTs'
+              |UNION ALL
+              |SELECT 'CLOSE', ssi, src_hash, active_flag, start_date, end_date
+              |FROM merged WHERE end_date > '$InitialTs' AND end_date <= '$LoadTs'""".stripMargin)
+    ),
+
     // ---- K3: per-load audit over the routed batch ----
     Q(
       "k1_audit_counts",

@@ -127,4 +127,35 @@ class PipelineSpec extends SparkSpec {
     val active = Scd2.asOf(snapshot, lit("2024-06-01 00:00:00")).select("name").as[String].collect()
     assert(active.toSeq == Seq("v2"), "NULL END_DATE must not null-filter the active row")
   }
+
+  test("changeFeed: (from, to] boundaries; open-ended rows never close") {
+    val snapshot = Seq(
+      // key 1: v1 closed at Feb, v2 open-ended (sentinel)
+      (1L, "v1", 0, "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "v2", 1, "2024-02-01 00:00:00", "2099-12-31 23:59:59"),
+      // key 2: unchanged since January (nothing in any later window)
+      (2L, "w1", 1, "2024-01-01 00:00:00", "2099-12-31 23:59:59"),
+      // key 3: NULL end (foreign convention) — open, must not close
+      (3L, "x1", 1, "2024-02-01 00:00:00", null.asInstanceOf[String])
+    ).toDF("id", "name", Scd2.ActiveFlag, Scd2.StartDate, Scd2.EndDate)
+    def feed(from: String, to: String) =
+      Scd2
+        .changeFeed(snapshot, lit(from), lit(to))
+        .select("change_type", "name")
+        .as[(String, String)]
+        .collect()
+        .toSet
+    // window catching the Feb transition: v1 closes, v2 and x1 open
+    assert(
+      feed("2024-01-01 00:00:00", "2024-02-01 00:00:00") ==
+        Set(("CLOSE", "v1"), ("OPEN", "v2"), ("OPEN", "x1"))
+    )
+    // from-bound is EXCLUSIVE: a window starting AT the transition is empty
+    assert(feed("2024-02-01 00:00:00", "2024-03-01 00:00:00") == Set.empty)
+    // the January loads are visible from an earlier sync point
+    assert(
+      feed("2023-12-31 00:00:00", "2024-01-15 00:00:00") ==
+        Set(("OPEN", "v1"), ("OPEN", "w1"))
+    )
+  }
 }
