@@ -109,6 +109,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), "match counts must combine map-side")
   }
 
+  test("round-6 operators: no cartesian/nested-loop anywhere, kernels in plan") {
+    // ER pairs: block-bucket agg + in-bucket explode — zero join nodes,
+    // the native JW kernel scores inside the projection
+    val er = plan("er_fuzzy_part_pairs")
+    assert(!er.contains("CartesianProduct") && !er.contains("BroadcastNestedLoop"), er)
+    assert(er.contains("graft_jaro_winkler"), er)
+    // linkage: the clipped catalog is a broadcast equi-join, election is
+    // a window over scored candidates only
+    val lb = plan("er_link_best")
+    assert(lb.contains("BroadcastHashJoin") && !lb.contains("CartesianProduct"), lb)
+    // all-pairs: prefix-index equi-joins only — a cartesian would mean
+    // the prefix filter degenerated
+    val ap = plan("dedup_allpairs_exact")
+    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
+    // triangles: the wedge close is a LeftSemi equi-join, no OR-join
+    val tr = plan("graph_triangles")
+    assert(tr.contains("LeftSemi") && !tr.contains("CartesianProduct"), tr)
+  }
+
+  test("random projection: narrow map stage — no hash exchange, native dot kernel") {
+    val p = plan("embedding_random_projection")
+    assert(p.contains("graft_dot"), p)
+    assert(
+      !p.contains("Exchange hashpartitioning"),
+      "the projection must not shuffle (posexplode is narrow):\n" + p
+    )
+  }
+
+  test("token-budget mix: group mass broadcasts back; digest aggregates partially") {
+    assert(plan("curation_token_budget_mix").contains("BroadcastHashJoin"))
+    assert(plan("dq_content_digest").contains("partial_sum"))
+  }
+
   test("pair operators: payloads ride the pair structs, never a bucket map") {
     // probing a bucket-local id->payload map per pair is an O(bucket)
     // scan that pushdown alias-substitution re-evaluates at every
