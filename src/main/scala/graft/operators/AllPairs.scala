@@ -42,6 +42,15 @@ object AllPairs {
     * @param setCol array column; elements are deduplicated internally
     * @param num    threshold numerator (Jaccard >= num/den)
     * @param den    threshold denominator
+    * @param materializeSets cut the set/prefix lineage with eager
+    *   localCheckpoints. The element arrays appear in SIX plan branches
+    *   and recompute in each — but for CHEAP constructions (in-memory
+    *   string shingling) the measured recompute is FASTER than
+    *   serializing the fat arrays to executor storage (8.9 s vs
+    *   10.2 s at sf0.1), so the default stays false. Turn it on when
+    *   building a set row is genuinely expensive — remote reads,
+    *   heavy parsing, UDF-priced tokenization — where one
+    *   materialization beats six re-executions.
     * @return (id_a, id_b, inter, uni) — intersection / union sizes
     */
   def jaccardPairs(
@@ -49,22 +58,27 @@ object AllPairs {
       idCol: String,
       setCol: String,
       num: Int,
-      den: Int
+      den: Int,
+      materializeSets: Boolean = false
   ): DataFrame = {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: got $num/$den")
-    val docs = sets
+    val docsPlan = sets
       .select(col(idCol).as("id"), array_distinct(col(setCol)).as("es"))
       .where(size(col("es")) > 0)
+    val docs = if (materializeSets) docsPlan.localCheckpoint() else docsPlan
     val elems = docs.select(col("id"), size(col("es")).as("n"), explode(col("es")).as("e"))
     val dfreq = elems.groupBy("e").agg(count(lit(1)).as("df"))
     // global element order: (df asc, element asc) — rarest first, total
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("e"))
-    val prefix = elems
+    val prefixPlan = elems
       .join(dfreq, "e")
       .withColumn("rn", row_number().over(w))
       // prefix length |s| - ceil(t*|s|) + 1, integer ceil
       .where(col("rn") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
       .select(col("e"), col("id"), col("n"))
+    // the prefix index feeds BOTH sides of the candidate self-join —
+    // materialize it once too (it is the small end: |prefix| < |elems|)
+    val prefix = if (materializeSets) prefixPlan.localCheckpoint() else prefixPlan
     val cand = prefix
       .as("a")
       .join(
