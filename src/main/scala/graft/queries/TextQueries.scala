@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
-import graft.multimodal.Multimodal
+import graft.multimodal.{Audio, Multimodal}
 import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, EntityResolution, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
@@ -2271,6 +2271,87 @@ object TextQueries {
              |md5(text) AS content_md5,
              |lower(hex(CAST(substr(text, 1, 8) AS BLOB))) AS head_hex
              |FROM documents""".stripMargin)
+    ),
+
+    // ---- multimodal: REAL RIFF/WAVE audio parse -> integer signal
+    //      stats. Each doc renders to a genuine mono PCM16 WAV (LIST
+    //      metadata chunk included — fixed-offset slicing fails, only
+    //      true chunk walking parses it) whose samples are md5 bytes of
+    //      the text as LE int16 pairs, cycled; the oracle predicts every
+    //      decoded sample from md5, so peak/energy/zero-crossing stats
+    //      verify container parse + sample decode end to end. ----
+    Q(
+      "multimodal_audio_stats",
+      (s, dir) => {
+        val packed = Multimodal.pack(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "doc_id",
+          dataCol = "text",
+          modality = "text",
+          mime = "text/plain"
+        )
+        Audio
+          .audioStats(Audio.toWavPayload(packed, sampleRate = 8000, nSamples = 40))
+          .select(
+            col("media_id"), col("sample_rate"), col("n_samples"),
+            col("duration_ms"), col("peak_abs"), col("sum_sq"), col("zero_crossings")
+          )
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, u.i AS i,
+             |    CAST('0x' || substr(md5(text), CAST(2*((2*u.i) % 16)+1 AS INT), 2) AS INT)
+             |      + 256 * CAST('0x' || substr(md5(text), CAST(2*((2*u.i+1) % 16)+1 AS INT), 2) AS INT) AS v16
+             |  FROM documents, unnest(generate_series(0, 39)) AS u(i)),
+             |sv AS (SELECT doc_id, i, CASE WHEN v16 >= 32768 THEN v16 - 65536 ELSE v16 END AS v FROM s),
+             |lg AS (SELECT doc_id, i, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sv)
+             |SELECT doc_id AS media_id,
+             |  CAST(8000 AS INT) AS sample_rate,
+             |  CAST(40 AS INT) AS n_samples,
+             |  CAST(5 AS BIGINT) AS duration_ms,
+             |  CAST(max(abs(v)) AS INT) AS peak_abs,
+             |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+             |FROM lg GROUP BY doc_id""".stripMargin)
+    ),
+
+    // ---- multimodal: REAL audio downsampling — parse, decimate 4x
+    //      (8 kHz -> 2 kHz, duration preserved), re-encode, re-parse.
+    //      The stats run over the RESAMPLED container, so the oracle
+    //      (samples at original indices 4j) verifies a full
+    //      decode -> transform -> encode -> decode round trip. ----
+    Q(
+      "multimodal_audio_resample",
+      (s, dir) => {
+        val packed = Multimodal.pack(
+          Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism),
+          idCol = "doc_id",
+          dataCol = "text",
+          modality = "text",
+          mime = "text/plain"
+        )
+        val wav = Audio.toWavPayload(packed, sampleRate = 8000, nSamples = 40)
+        Audio
+          .audioStats(Audio.resample(wav, factor = 4))
+          .select(
+            col("media_id"), col("sample_rate"), col("n_samples"),
+            col("duration_ms"), col("peak_abs"), col("sum_sq"), col("zero_crossings")
+          )
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, u.j AS j,
+             |    CAST('0x' || substr(md5(text), CAST(2*((8*u.j) % 16)+1 AS INT), 2) AS INT)
+             |      + 256 * CAST('0x' || substr(md5(text), CAST(2*((8*u.j+1) % 16)+1 AS INT), 2) AS INT) AS v16
+             |  FROM documents, unnest(generate_series(0, 9)) AS u(j)),
+             |sv AS (SELECT doc_id, j, CASE WHEN v16 >= 32768 THEN v16 - 65536 ELSE v16 END AS v FROM s),
+             |lg AS (SELECT doc_id, j, v, lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv FROM sv)
+             |SELECT doc_id AS media_id,
+             |  CAST(2000 AS INT) AS sample_rate,
+             |  CAST(10 AS INT) AS n_samples,
+             |  CAST(5 AS BIGINT) AS duration_ms,
+             |  CAST(max(abs(v)) AS INT) AS peak_abs,
+             |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+             |FROM lg GROUP BY doc_id""".stripMargin)
     ),
 
     // ---- PII detection + redaction (pre-ship corpus scrub). The
