@@ -69,4 +69,69 @@ object RangeJoin {
       )
       .drop("__bk")
   }
+
+  /** Interval-OVERLAP join — the general (interval x interval) case of
+    * [[bucketedContainJoin]]: pairs of rows whose closed intervals
+    * `[lStart, lEnd]` and `[rStart, rEnd]` intersect
+    * (`max(starts) <= min(ends)`), without a cross product.
+    *
+    * Both sides explode onto fixed-width buckets and equi-join on the
+    * bucket id. Unlike the containment case, a pair can now meet in
+    * MANY buckets (every bucket both intervals cover) — the classic
+    * fix-up is a distinct pass over the output, which re-shuffles every
+    * result row. This instead assigns each pair to ONE canonical
+    * bucket: the bucket of `max(starts)`, the later interval's start.
+    * When the intervals overlap, `max(starts) <= min(ends)`, so that
+    * bucket lies in BOTH intervals' bucket ranges — the pair meets
+    * there exactly once, and the predicate
+    * `bucket == floor(max(starts) / width)` keeps it nowhere else. No
+    * distinct, no second shuffle.
+    *
+    * Cost model: each side inflates by `ceil(span / bucket)`; candidate
+    * pairs per bucket are |left-in-bucket| x |right-in-bucket|, so pick
+    * `bucketSeconds` near the typical span, and a burst bucket is an
+    * AQE-skew-split candidate. Column names must be disjoint across the
+    * two inputs (the join emits both sides).
+    */
+  def bucketedOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketSeconds: Long,
+      extraPred: Column = lit(true)
+  ): DataFrame = {
+    val b = bucketSeconds * 1000000L
+    val l = left.withColumn(
+      "__bka",
+      explode(sequence(
+        expr(s"unix_micros($lStart) div ${b}L"),
+        expr(s"unix_micros($lEnd) div ${b}L")
+      ))
+    )
+    val r = right.withColumn(
+      "__bkb",
+      explode(sequence(
+        expr(s"unix_micros($rStart) div ${b}L"),
+        expr(s"unix_micros($rEnd) div ${b}L")
+      ))
+    )
+    l.join(
+        r,
+        col("__bka") === col("__bkb") &&
+          // canonical-bucket filter: count the pair only where the
+          // later-starting interval begins (in-bucket, non-equi — the
+          // planner keeps __bka = __bkb as the shuffle key)
+          col("__bka") === greatest(
+            expr(s"unix_micros($lStart) div ${b}L"),
+            expr(s"unix_micros($rStart) div ${b}L")
+          ) &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          extraPred,
+        "inner"
+      )
+      .drop("__bka", "__bkb")
+  }
 }

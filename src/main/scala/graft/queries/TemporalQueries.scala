@@ -555,6 +555,60 @@ object TemporalQueries {
              |GROUP BY 1, 2, 3, 4""".stripMargin)
     ),
 
+    // ---- interval-OVERLAP join (interval x interval — the general
+    //      case of the containment join above): which users' daily
+    //      activity spans overlapped, and for how long. Naive overlap
+    //      has no equi-key (nested loop, quadratic); bucketedOverlapJoin
+    //      equi-joins on time buckets and dedups multi-bucket meetings
+    //      with the canonical max(starts)-bucket filter — no distinct
+    //      pass. 6h buckets make day-wide spans genuinely multi-bucket,
+    //      so the gate exercises the dedup filter, not just the join.
+    //      Output is aggregated per user (pair space is dense by
+    //      construction — most users are active every day). ----
+    Q(
+      "t_interval_overlap_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def spans(p: String) = ev
+          .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+          .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
+        val pairs = graft.operators.RangeJoin
+          .bucketedOverlapJoin(
+            spans("l_"),
+            spans("r_"),
+            lStart = "l_start",
+            lEnd = "l_end",
+            rStart = "r_start",
+            rEnd = "r_end",
+            bucketSeconds = 21600L,
+            extraPred = col("l_user") < col("r_user")
+          )
+          .select(
+            col("l_user"),
+            col("r_user"),
+            (least(expr("unix_micros(l_end)"), expr("unix_micros(r_end)")) -
+              greatest(expr("unix_micros(l_start)"), expr("unix_micros(r_start)"))).as("ov_us")
+          )
+        // symmetric per-user totals: each pair contributes to both ends
+        pairs
+          .select(explode(array(col("l_user"), col("r_user"))).as("user_id"), col("ov_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_overlaps"), sum(col("ov_us")).as("sum_overlap_us"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS a, max(ts) AS b
+             |  FROM events GROUP BY 1, 2),
+             |p AS (
+             |  SELECT l.user_id AS ua, r.user_id AS ub,
+             |         epoch_us(least(l.b, r.b)) - epoch_us(greatest(l.a, r.a)) AS ov
+             |  FROM s l JOIN s r
+             |    ON l.user_id < r.user_id AND l.a <= r.b AND r.a <= l.b),
+             |e AS (SELECT ua AS user_id, ov FROM p UNION ALL SELECT ub, ov FROM p)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+             |       CAST(sum(ov) AS BIGINT) AS sum_overlap_us
+             |FROM e GROUP BY user_id""".stripMargin)
+    ),
+
     // ---- time-series gap-fill + forward-fill: densify each user's
     //      event stream to an hourly grid (sequence + explode — a
     //      narrow generator, no driver loop) and carry the last

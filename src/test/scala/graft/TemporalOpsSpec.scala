@@ -365,4 +365,60 @@ class TemporalOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join degenerated to a nested loop:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("overlap join: bucketed equals naive, each pair exactly once despite multi-bucket meetings") {
+    import graft.operators.RangeJoin
+    // crafted to hit: a pair sharing MANY buckets (dedup must keep one),
+    // touching endpoints (closed intervals -> zero-length overlap
+    // counts), nested intervals, zero-width, cross-midnight, disjoint
+    val lhs = Seq(
+      (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 07:50:00")), // 8 buckets @1h
+      (2L, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:00:00")), // zero-width
+      (3L, ts("2024-01-01 23:30:00"), ts("2024-01-02 00:30:00")), // cross-midnight
+      (4L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))  // overlaps nothing
+    ).toDF("l_id", "l_lo", "l_hi")
+    val rhs = Seq(
+      (10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 06:00:00")), // 6 shared buckets with 1
+      (11L, ts("2024-01-01 07:50:00"), ts("2024-01-01 09:00:00")), // touches 1's end exactly
+      (12L, ts("2024-01-01 02:59:59"), ts("2024-01-01 03:00:01")), // straddles the zero-width 2
+      (13L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")), // inside 3, zero-width
+      (14L, ts("2024-02-01 00:00:00"), ts("2024-02-01 01:00:00"))  // disjoint from all
+    ).toDF("r_id", "r_lo", "r_hi")
+
+    // collect as a SEQ, not a set: a duplicated pair (the multi-bucket
+    // bug this operator's canonical filter prevents) must fail
+    val bucketed = RangeJoin
+      .bucketedOverlapJoin(lhs, rhs, "l_lo", "l_hi", "r_lo", "r_hi", bucketSeconds = 3600L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    val naive = lhs.crossJoin(rhs)
+      .where(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(bucketed == naive)
+    assert(bucketed == Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 12L), (3L, 13L)))
+
+    // extraPred composes (and is applied before the output)
+    val pred = RangeJoin
+      .bucketedOverlapJoin(lhs, rhs, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketSeconds = 3600L, extraPred = col("r_id") =!= 10L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(pred == Seq((1L, 11L), (1L, 12L), (2L, 12L), (3L, 13L)))
+  }
+
+  test("overlap join plans a bucket equi-join with no dedup aggregation") {
+    import graft.operators.RangeJoin
+    def spans(p: String) = Tables.events(spark, Sf)
+      .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+      .agg(min(col("ts")).as(p + "lo"), max(col("ts")).as(p + "hi"))
+    val out = RangeJoin.bucketedOverlapJoin(
+      spans("l_"), spans("r_"), "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketSeconds = 21600L, extraPred = col("l_user") < col("r_user"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join degenerated:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"))
+    // the canonical-bucket filter replaces a distinct pass: the plan must
+    // NOT re-aggregate the join output (dedup-free by construction)
+    val afterJoin = plan.substring(0, plan.indexOf("Join"))
+    assert(!afterJoin.contains("HashAggregate"), s"unexpected post-join dedup:\n$plan")
+  }
 }
