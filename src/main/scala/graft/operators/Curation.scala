@@ -161,4 +161,43 @@ object Curation {
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Robust per-group outlier pruning by median/MAD — the distribution-
+    * aware sibling of a fixed length cut: keep rows with
+    * `|x - median| <= (kNum/kDen) * MAD` where MAD is the median
+    * absolute deviation WITHIN the row's group. Mean/stddev gates move
+    * with the outliers they should catch; median/MAD do not (50%
+    * breakdown point), which is why corpus quality pruning uses them.
+    *
+    * Exactness discipline: medians of integers land on halves, so the
+    * comparison is carried in scaled integers — `med2 = 2*median(x)`
+    * and `mad4 = 2*median(|2x - med2|)` are integer-VALUED doubles
+    * (exact), and the keep predicate cross-multiplies
+    * `2*kDen*|2x - med2| <= kNum*mad4` — no division, no FP boundary,
+    * bit-reproducible against any engine with interpolating quantiles.
+    *
+    * Scale shape: two group-sized aggregations (exact `percentile` —
+    * for unbounded-cardinality groups swap in `approx_percentile`, the
+    * documented sketch path), each broadcast back onto the corpus scan;
+    * the data itself never shuffles. Groups are strata (language,
+    * source) — small by construction.
+    */
+  def robustOutlierPrune(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      kNum: Int,
+      kDen: Int
+  ): DataFrame = {
+    require(kNum >= 0 && kDen >= 1, s"threshold must be >= 0: got $kNum/$kDen")
+    val gs  = groupCols.map(col)
+    val x2  = col(valueCol).cast("double") * 2
+    val med = df.groupBy(gs: _*).agg(expr(s"2 * percentile($valueCol, 0.5d)").as("__med2"))
+    val dev = df.join(broadcast(med), groupCols).withColumn("__dev2", abs(x2 - col("__med2")))
+    val mad = dev.groupBy(gs: _*).agg(expr("2 * percentile(__dev2, 0.5d)").as("__mad4"))
+    dev
+      .join(broadcast(mad), groupCols)
+      .where(col("__dev2") * (2 * kDen) <= col("__mad4") * kNum)
+      .drop("__med2", "__dev2", "__mad4")
+  }
 }

@@ -354,6 +354,37 @@ object TextQueries {
              |SELECT doc_id, lang, quality, pr_micro FROM r WHERE pr_micro >= 200000""".stripMargin)
     ),
 
+    // ---- corpus curation by ROBUST dispersion: per-language median/MAD
+    //      gate (|len - median| <= 1.5*MAD, stated as 3/2 — prunes ~20%
+    //      of this corpus). Mean/stddev gates move with
+    //      the outliers they should catch; median/MAD have a 50%
+    //      breakdown point. The comparison runs in scaled integers
+    //      (2*median / 4*MAD are integer-valued — no FP boundary), and
+    //      the corpus never shuffles: two group-sized percentile aggs
+    //      broadcast back onto the scan. ----
+    Q(
+      "curation_outlier_prune",
+      (s, dir) =>
+        Curation
+          .robustOutlierPrune(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+            groupCols = Seq("lang"),
+            valueCol = "n_chars",
+            kNum = 3,
+            kDen = 2
+          )
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""WITH m AS (
+             |  SELECT lang, 2*quantile_cont(n_chars, 0.5) AS med2 FROM documents GROUP BY lang),
+             |d AS (
+             |  SELECT doc_id, documents.lang AS lang, n_chars, abs(2*n_chars - med2) AS dev2
+             |  FROM documents JOIN m USING (lang)),
+             |md AS (SELECT lang, 2*quantile_cont(dev2, 0.5) AS mad4 FROM d GROUP BY lang)
+             |SELECT doc_id, d.lang AS lang, n_chars
+             |FROM d JOIN md USING (lang)
+             |WHERE dev2 * 4 <= mad4 * 3""".stripMargin)
+    ),
+
     // ---- corpus curation: keep the best k docs per language by quality
     //      (WindowGroupLimit prunes per-group losers BEFORE the shuffle;
     //      deterministic (quality DESC, doc_id ASC) cut) ----

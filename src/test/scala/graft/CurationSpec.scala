@@ -121,4 +121,52 @@ class CurationSpec extends SparkSpec {
     assert(!kept.contains("en") && !kept.contains("xx"))
     assert(kept("de") == docs.where(col("lang") === "de").count())
   }
+
+  test("robustOutlierPrune: median/MAD gate on a hand-computed fixture") {
+    import graft.operators.Curation
+    // lang a: values 10,12,14,16,1000 -> median 14, deviations
+    // 4,2,0,2,986 -> MAD 2; k=3 keeps |x-14| <= 6 -> drops 1000 only.
+    // lang b: all equal -> MAD 0, keeps exactly the equal values.
+    // lang c: even count 1,3,5,1001 -> median 4, devs 3,1,1,997 ->
+    // MAD = (1+3)/2 = 2 -> keep |x-4| <= 6 -> 1,3,5 survive.
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 14L), ("a", 4L, 16L), ("a", 5L, 1000L),
+      ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 7L),
+      ("c", 9L, 1L), ("c", 10L, 3L), ("c", 11L, 5L), ("c", 12L, 1001L)
+    ).toDF("lang", "id", "len")
+    val kept = Curation
+      .robustOutlierPrune(df, Seq("lang"), "len", kNum = 3, kDen = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L, 11L))
+  }
+
+  test("robustOutlierPrune: mean/stddev would move with the outlier, MAD does not") {
+    import graft.operators.Curation
+    // one extreme value inflates stddev enough that a 3-sigma gate KEEPS
+    // it; the MAD gate still rejects it — the breakdown-point property
+    // that motivates the operator.
+    // with ONE extreme point among n the outlier's z-score is bounded by
+    // (n-1)/sqrt(n); n = 10 keeps that bound (2.85) under 3 sigma for
+    // ANY outlier magnitude, so the 3-sigma gate provably keeps it
+    val vals = Seq.tabulate(9)(i => ("x", i.toLong, 100L + i)) :+ (("x", 99L, 100000L))
+    val df = vals.toDF("g", "id", "v")
+    val stats = df.agg(avg("v"), stddev_pop("v")).head()
+    val (mu, sd) = (stats.getDouble(0), stats.getDouble(1))
+    assert(math.abs(100000L - mu) <= 3 * sd, "fixture: 3-sigma keeps the outlier")
+    val kept = Curation
+      .robustOutlierPrune(df, Seq("g"), "v", 3, 1)
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(99L) && kept.size == 9)
+  }
+
+  test("robustOutlierPrune: corpus never shuffles — percentile aggs broadcast back") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("lang"), col("n_chars"))
+    val plan = Curation
+      .robustOutlierPrune(docs, Seq("lang"), "n_chars", 3, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"group stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side re-shuffled:\n$plan")
+  }
 }
