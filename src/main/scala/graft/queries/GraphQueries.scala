@@ -167,6 +167,54 @@ object GraphQueries {
              |nodes AS (SELECT DISTINCT u AS id FROM e UNION SELECT v FROM e)
              |SELECT n.id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tri
              |FROM nodes n LEFT JOIN cnt c USING (id)""".stripMargin)
+    ),
+
+    // ---- common-neighbor link prediction over the same co-purchase
+    //      graph: top-5 non-edges per part ranked by capped common-
+    //      neighbor count, with exact-integer Jaccard against true
+    //      degrees. The per-center cap (32 smallest neighbor ids) is
+    //      the deterministic-truncation scale lever — a hub's wedge
+    //      fan-out is bounded at cap^2/2 regardless of its degree, and
+    //      the oracle replays the identical cap. ----
+    Q(
+      "graph_link_prediction",
+      (s, dir) => {
+        val pp = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pp
+          .as("a")
+          .join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.operators.LinkPrediction
+          .predictLinks(edges, capDeg = 32, minCommon = 2L, topK = 5)
+      },
+      Some("""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS eu, b.p AS ev
+             |      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+             |adj AS (SELECT eu AS w, ev AS n FROM e UNION ALL SELECT ev, eu FROM e),
+             |deg AS (SELECT w AS id, count(*) AS d FROM adj GROUP BY 1),
+             |capped AS (SELECT w, n FROM (
+             |    SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY n ASC) AS rn
+             |    FROM adj) WHERE rn <= 32),
+             |wed AS (SELECT a.n AS u, b.n AS v
+             |        FROM capped a JOIN capped b ON a.w = b.w AND a.n < b.n),
+             |cnt AS (SELECT u, v, count(*) AS cn FROM wed GROUP BY 1, 2
+             |        HAVING count(*) >= 2),
+             |ne AS (SELECT cnt.u, cnt.v, cnt.cn FROM cnt
+             |       LEFT JOIN e ON cnt.u = e.eu AND cnt.v = e.ev WHERE e.eu IS NULL),
+             |sc AS (SELECT ne.u, ne.v, ne.cn, du.d AS du, dv.d AS dv,
+             |         (1000000 * ne.cn) // (du.d + dv.d - ne.cn) AS jac
+             |       FROM ne JOIN deg du ON du.id = ne.u JOIN deg dv ON dv.id = ne.v),
+             |sym AS (SELECT u AS node, v AS candidate, cn, du, dv, jac FROM sc
+             |        UNION ALL SELECT v, u, cn, dv, du, jac FROM sc),
+             |r AS (SELECT node, candidate, cn, du, dv, jac,
+             |        row_number() OVER (PARTITION BY node ORDER BY cn DESC, candidate ASC) AS rnk
+             |      FROM sym)
+             |SELECT node, candidate, CAST(cn AS BIGINT) AS cn, CAST(du AS BIGINT) AS du,
+             |  CAST(dv AS BIGINT) AS dv, CAST(jac AS BIGINT) AS jac_micro, CAST(rnk AS INT) AS rnk
+             |FROM r WHERE rnk <= 5""".stripMargin)
     )
   )
 }
