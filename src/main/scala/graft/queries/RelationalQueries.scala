@@ -428,6 +428,54 @@ object RelationalQueries {
              |FROM orders GROUP BY 1""".stripMargin)
     ),
 
+    // ---- incrementally maintained DISTINCT-count view (sketch-backed:
+    //      distinct is not algebraic, so the stored state is a per-group
+    //      HLL sketch; unions merge register-wise and are IDEMPOTENT —
+    //      load 2 deliberately re-sends a slice of load 1 to prove
+    //      replays don't inflate, which count/sum maintenance cannot
+    //      survive). Estimates are deterministic but implementation-
+    //      defined, so the gate verifies the ERROR BOUND as data: a
+    //      per-group within-10% flag (≈6 sigma at lgK 12) the oracle
+    //      computes from exact counts — any estimate drifting past the
+    //      bound, or any group lost by the merge, hash-mismatches. ----
+    Q(
+      "view_incremental_distinct",
+      (s, dir) => {
+        val li = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_partkey"))
+        val path = TmpWorkspace.scoped(s, "graft_incdistinct", dir) + "/sketches"
+        val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true) // fresh per run
+        val g = Seq("l_returnflag")
+        graft.operators.IncrementalDistinct
+          .refresh(s, path, li.where(col("l_orderkey") % 3 =!= 0), g, "l_partkey")
+        val view = graft.operators.IncrementalDistinct
+          .refresh(
+            s,
+            path,
+            // the %5 slice overlaps load 1: an at-least-once replay
+            li.where(col("l_orderkey") % 3 === 0 || col("l_orderkey") % 5 === 0),
+            g,
+            "l_partkey"
+          )
+        val est = graft.operators.IncrementalDistinct.estimates(view, g)
+        val exact = li
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_exact"))
+        est
+          .join(exact, g)
+          .select(
+            col("l_returnflag"),
+            col("n_exact").cast("long").as("n_exact"),
+            (abs(col("n_distinct_est") - col("n_exact")) * 100 <= col("n_exact") * 10)
+              .as("within_10pct")
+          )
+      },
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+             |TRUE AS within_10pct FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
     // ---- DQ: order-free multiset content digest per group — the
     //      replica-diff primitive ("is this copy of the mart the
     //      same?"). Sum (mod 2^60) of 60-bit row-fingerprint hashes:
