@@ -617,6 +617,62 @@ object TextQueries {
              |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)
     ),
 
+    // ---- corpus drift: trending tokens between two epochs (token
+    //      rate ratio late/early, add-one smoothed, in exact basis
+    //      points — integer cross-multiplication, no FP; BIGINT
+    //      headroom holds to ~sf10, lift to decimal beyond). The
+    //      monitoring signal a continuously ingested corpus needs:
+    //      which vocabulary is surging before it skews the mixture.
+    //      One token-keyed agg (map-side partial over both epoch
+    //      counters at once), totals broadcast back; the final rank
+    //      window is vocabulary-sized, not corpus-sized. ----
+    Q(
+      "text_trending_tokens",
+      (s, dir) => {
+        val li   = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val ord  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+        val part = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+        val tok = li
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(
+            explode(split(col("p_name"), " ")).as("token"),
+            (col("o_orderdate") >= lit("1998-01-01").cast("date")).cast("int").as("epoch")
+          )
+        val counts = tok
+          .groupBy(col("token"))
+          .agg(
+            sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("c1")
+          )
+        val totals = counts.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ratio_bp").desc, col("token").asc)
+        counts
+          .crossJoin(broadcast(totals))
+          .withColumn("ratio_bp", expr("((c1 + 1) * 10000 * (t0 + 1)) div ((c0 + 1) * (t1 + 1))"))
+          .select(col("token"), col("c0"), col("c1"), col("ratio_bp"))
+          .withColumn("rnk", row_number().over(w).cast("int"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(p_name, ' ')) AS token,
+             |         CASE WHEN o_orderdate >= DATE '1998-01-01' THEN 1 ELSE 0 END AS epoch
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN part ON l_partkey = p_partkey),
+             |c AS (SELECT token,
+             |        sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS c0,
+             |        sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS c1
+             |      FROM tok GROUP BY 1),
+             |t AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM c),
+             |r AS (SELECT token, c0, c1,
+             |        ((c1+1) * 10000 * (t0+1)) // ((c0+1) * (t1+1)) AS ratio_bp
+             |      FROM c, t)
+             |SELECT token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+             |  CAST(ratio_bp AS BIGINT) AS ratio_bp,
+             |  CAST(row_number() OVER (ORDER BY ratio_bp DESC, token ASC) AS INT) AS rnk
+             |FROM r""".stripMargin)
+    ),
+
     // ---- exact heavy hitters via a relational count-min-sketch
     //      prefilter (HeavyHitters scaladoc): build a depth x width
     //      seeded counter relation (partial-agg'd, tiny), broadcast it
