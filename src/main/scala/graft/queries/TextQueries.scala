@@ -61,6 +61,7 @@ object TextQueries {
   // sliding-window chunking geometry (text_chunk_sliding, both engines)
   private val ChunkWindow = 64
   private val ChunkStride = 48
+  private val LangProfTopN = 40
 
   /** Shared CTE chain ending in `buckets(doc_id, band, sig)`: per-doc
     * LSH band fingerprints from the md5 minhash family — used by the
@@ -277,6 +278,55 @@ object TextQueries {
            |CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
            |FROM b""".stripMargin
       }
+    ),
+
+    // ---- TRAINED language ID (Cavnar-Trenkle rank profiles): learn
+    //      per-language character-trigram rank profiles from the
+    //      labeled corpus, classify every doc by out-of-place distance.
+    //      Integer ranks/distances with total tie orders make BOTH the
+    //      training and the classification SQL-replayable. The profile
+    //      is |langs| x topN rows and broadcasts; classification stays
+    //      doc-keyed (linear). ----
+    Q(
+      "text_langid_trained",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val profiles = graft.operators.LangProfile
+          .train(docs, langCol = "lang", textCol = "text", topN = LangProfTopN)
+        graft.operators.LangProfile
+          .classify(docs, profiles, idCol = "doc_id", textCol = "text", topN = LangProfTopN)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(
+            col("doc_id"),
+            col("pred_lang"),
+            col("dist"),
+            (col("pred_lang") === col("lang")).as("label_match")
+          )
+      },
+      Some(s"""WITH tg AS (
+             |  SELECT doc_id, lang, substr(text, CAST(u.i AS INT), 3) AS tg
+             |  FROM documents, unnest(generate_series(1, greatest(length(text)-2, 0))) AS u(i)),
+             |ltc AS (SELECT lang, tg, count(*) AS n FROM tg GROUP BY 1, 2),
+             |prof AS (SELECT lang, tg, pr FROM (
+             |  SELECT lang, tg, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg ASC) AS pr
+             |  FROM ltc) WHERE pr <= $LangProfTopN),
+             |dtc AS (SELECT doc_id, tg, count(*) AS n FROM tg GROUP BY 1, 2),
+             |dprof AS (SELECT doc_id, tg, dr FROM (
+             |  SELECT doc_id, tg, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tg ASC) AS dr
+             |  FROM dtc) WHERE dr <= $LangProfTopN),
+             |langs AS (SELECT DISTINCT lang FROM documents),
+             |dist AS (
+             |  SELECT dp.doc_id, l.lang, sum(coalesce(abs(dp.dr - p.pr), $LangProfTopN)) AS dist
+             |  FROM dprof dp CROSS JOIN langs l
+             |  LEFT JOIN prof p ON p.lang = l.lang AND p.tg = dp.tg
+             |  GROUP BY 1, 2),
+             |best AS (SELECT doc_id, lang AS pred_lang, dist FROM (
+             |  SELECT doc_id, lang, dist,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+             |  FROM dist) WHERE rn = 1)
+             |SELECT b.doc_id, b.pred_lang, CAST(b.dist AS BIGINT) AS dist,
+             |  (b.pred_lang = d.lang) AS label_match
+             |FROM best b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin)
     ),
 
     // ---- quality scoring + content fingerprint ----
