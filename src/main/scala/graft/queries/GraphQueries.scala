@@ -215,6 +215,50 @@ object GraphQueries {
              |SELECT node, candidate, CAST(cn AS BIGINT) AS cn, CAST(du AS BIGINT) AS du,
              |  CAST(dv AS BIGINT) AS dv, CAST(jac AS BIGINT) AS jac_micro, CAST(rnk AS INT) AS rnk
              |FROM r WHERE rnk <= 5""".stripMargin)
+    ),
+
+    // ---- k-core peeling over the co-purchase graph: 4 SYNCHRONOUS
+    //      rounds (every round simultaneously removes all survivors
+    //      with surviving-degree < k), emitting each node's removal
+    //      round — the onion-layer depth signal. The round cap makes
+    //      the result round-count-deterministic at ANY scale (the
+    //      PageRank unrolled-iterations discipline; at sf0.01 true
+    //      convergence needs 5 rounds, so the cap genuinely binds);
+    //      KCoreSpec pins the uncapped fixpoint == a naive peel. ----
+    Q(
+      "graph_kcore",
+      (s, dir) => {
+        val pp = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = pp
+          .as("a")
+          .join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("src"), col("b.p").as("dst"))
+        graft.operators.KCore.peel(edges, k = 80L, maxRounds = Some(4))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          val prev = if (r == 1) "n0" else s"a${r - 1}"
+          s"""d$r AS (SELECT adj.id, count(*) AS d FROM adj
+             |  JOIN $prev x ON adj.id = x.id JOIN $prev y ON adj.nbr = y.id GROUP BY 1),
+             |r$r AS (SELECT $prev.id FROM $prev LEFT JOIN d$r ON $prev.id = d$r.id
+             |  WHERE coalesce(d, 0) < 80),
+             |a$r AS (SELECT id FROM $prev EXCEPT SELECT id FROM r$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT DISTINCT a.p AS eu, b.p AS ev
+           |      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+           |n0 AS (SELECT DISTINCT eu AS id FROM e UNION SELECT ev FROM e),
+           |adj AS (SELECT eu AS id, ev AS nbr FROM e UNION ALL SELECT ev, eu FROM e),
+           |$rounds
+           |SELECT id, CAST(0 AS INT) AS removed_round FROM a4
+           |UNION ALL SELECT id, 1 FROM r1
+           |UNION ALL SELECT id, 2 FROM r2
+           |UNION ALL SELECT id, 3 FROM r3
+           |UNION ALL SELECT id, 4 FROM r4""".stripMargin
+      }
     )
   )
 }
