@@ -1339,6 +1339,42 @@ object RelationalQueries {
              |       arg_max(o_orderstatus, lpad(CAST(n AS VARCHAR), 20, '0') || '|' || o_orderstatus) AS mode_status,
              |       max(n) AS n_max
              |FROM c GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- market-basket association rules: which parts predict which,
+    //      as directed rules with exact-integer confidence and lift.
+    //      Apriori downward-closure prune (pairs only among
+    //      individually frequent items) bounds the per-basket pair
+    //      expansion; the top-500 cut under a TOTAL order
+    //      (s_pair DESC, ante, cons) keeps the output scale-stable. ----
+    Q(
+      "mb_assoc_rules",
+      (s, dir) => {
+        val baskets = Tables
+          .lineitem(s, dir)
+          .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+        graft.operators.Association
+          .pairRules(baskets, "basket", "item", minSupport = 2L)
+          .orderBy(col("s_pair").desc, col("ante").asc, col("cons").asc)
+          .limit(500)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+             |n AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+             |supp AS (SELECT i, count(*) AS s FROM it GROUP BY 1),
+             |freq AS (SELECT i, s FROM supp WHERE s >= 2),
+             |fit AS (SELECT it.b, it.i FROM it JOIN freq ON it.i = freq.i),
+             |pr AS (SELECT x.i AS pa, y.i AS pb, count(*) AS s_pair
+             |       FROM fit x JOIN fit y ON x.b = y.b AND x.i < y.i
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sc AS (SELECT pa, pb, s_pair, fa.s AS s_a, fb.s AS s_b
+             |       FROM pr JOIN freq fa ON fa.i = pa JOIN freq fb ON fb.i = pb),
+             |r AS (SELECT pa AS ante, pb AS cons, s_pair, s_a AS s_ante, s_b AS s_cons FROM sc
+             |      UNION ALL SELECT pb, pa, s_pair, s_b, s_a FROM sc)
+             |SELECT ante, cons, CAST(s_pair AS BIGINT) AS s_pair,
+             |  CAST(s_ante AS BIGINT) AS s_ante, CAST(s_cons AS BIGINT) AS s_cons,
+             |  CAST((1000000 * s_pair) // s_ante AS BIGINT) AS conf_micro,
+             |  CAST((1000000 * s_pair * (SELECT n_baskets FROM n)) // (s_ante * s_cons) AS BIGINT) AS lift_micro
+             |FROM r ORDER BY s_pair DESC, ante ASC, cons ASC LIMIT 500""".stripMargin)
     )
   )
 }
