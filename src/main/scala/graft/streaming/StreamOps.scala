@@ -275,6 +275,57 @@ object StreamOps {
     * `sink` receives the flagged batch: original columns plus
     * `near_dup` (boolean) and the micro-batch id.
     */
+  /** Streaming per-key approximate distinct count — the streaming twin
+    * of [[graft.operators.IncrementalDistinct]]: state per key is ONE
+    * serialized DataSketches HLL sketch (~2^lgK bytes, constant
+    * regardless of stream volume), updated per micro-batch, emitting
+    * (key, estimate) after every batch that touches the key — a
+    * cardinality change stream ("distinct users per campaign so far").
+    *
+    * The sketch state is what makes unbounded-cardinality streaming
+    * distinct possible at all: exact dedup state grows with the value
+    * universe; the sketch does not, and replays are absorbed (HLL
+    * insertion is idempotent — the at-least-once contract holds with
+    * NO dedup pass). Estimates are deterministic for a given multiset
+    * history; cross-batch accumulation equals a single-batch build
+    * (spec-pinned), so batch boundaries never change the answer.
+    */
+  def approxDistinctByKey[K: Encoder](
+      ds: Dataset[(K, String)],
+      lgK: Int = 12,
+      stateTtl: Option[String] = None
+  ): Dataset[(K, Long)] = {
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.datasketches.memory.Memory
+    implicit val stateEnc: Encoder[Array[Byte]] = Encoders.BINARY
+    implicit val outEnc: Encoder[(K, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], (K, Long)](
+        OutputMode.Update(),
+        timeoutConf
+      ) { (key: K, rows: Iterator[(K, String)], state: GroupState[Array[Byte]]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sk =
+            if (state.exists) HllSketch.heapify(Memory.wrap(state.get))
+            else new HllSketch(lgK)
+          var touched = false
+          rows.foreach { case (_, v) => if (v != null) { sk.update(v); touched = true } }
+          if (touched) {
+            state.update(sk.toUpdatableByteArray)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single((key, Math.round(sk.getEstimate)))
+          } else Iterator.empty
+        }
+      }
+  }
+
   def nearDupGate(
       docs: DataFrame,
       idCol: String,

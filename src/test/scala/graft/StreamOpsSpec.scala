@@ -337,4 +337,24 @@ class StreamOpsSpec extends SparkSpec {
     val nonVideo = Multimodal.pack(Seq((9L, "plain")).toDF("id", "data"), "id", "data", "text", "text/plain")
     assert(Multimodal.sampleFrames(nonVideo, stride = 1).count() == 0)
   }
+
+  test("approxDistinctByKey: sketch state accumulates across batches, replays absorbed") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val out = StreamOps.approxDistinctByKey[String](stream.toDS(), lgK = 12, stateTtl = None)
+    val q = out.toDF("k", "est").writeStream
+      .format("memory").queryName("adk").outputMode("update").start()
+    // batch 1: a sees 200 distinct values, b sees 50
+    stream.addData((0 until 200).map(i => ("a", s"v$i")) ++ (0 until 50).map(i => ("b", s"v$i")): _*)
+    q.processAllAvailable()
+    // batch 2: a replays all 200 (must NOT inflate) plus 100 new; b untouched
+    stream.addData((0 until 300).map(i => ("a", s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("adk").as[(String, Long)].collect().toSeq
+    // HLL is exact at these cardinalities (coupon mode below ~512 for
+    // lgK 12), so the change stream is exactly: a->200, b->50, a->300;
+    // b emits nothing in batch 2 (no rows touched its state)
+    assert(rows.sorted === Seq(("a", 200L), ("a", 300L), ("b", 50L)))
+  }
 }
