@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the web-corpus prep step BEFORE any URL-keyed
+  * dedup or join: the same page arrives as `HTTP://Example.COM:80/a?b=1`,
+  * `http://example.com/a?utm_source=x&b=1`, and `http://example.com/a?b=1#frag`,
+  * and un-canonicalized keys make every downstream exact-dedup miss.
+  *
+  * Canonical form applied (the conservative, reversibility-preserving
+  * subset of RFC 3986 normalization plus tracking-param stripping):
+  *   - scheme and host lowercased (path/query case preserved)
+  *   - default ports stripped (:80 for http, :443 for https)
+  *   - fragment dropped
+  *   - query parameters: tracking params removed (utm_*, fbclid,
+  *     gclid), the rest SORTED for order-insensitive equality, empty
+  *     query dropped
+  *   - trailing slash on a non-root path dropped
+  *
+  * Everything is composed from Spark's codegen'd string/array
+  * built-ins (regexp_extract, split, filter, array_sort, concat_ws) —
+  * no UDF, stays in whole-stage codegen, and every step has an exact
+  * DuckDB twin (string_split, list_filter, list_sort, list_aggregate)
+  * so oracles verify the normalization bit-for-bit.
+  */
+object UrlFunctions {
+  private val TrackingRe = "^(utm_[a-zA-Z0-9_]*|fbclid|gclid)="
+
+  /** Canonicalize a URL column. Strings that do not look like
+    * scheme://... pass through unchanged (conservative: never corrupt
+    * a non-URL).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme   = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val host     = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port     = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val hostOut = concat(host, when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // non-root trailing slash dropped; empty path stays empty
+    val pathOut = when(
+      path =!= "/" && path.endsWith("/"),
+      path.substr(lit(1), length(path) - 1)
+    ).otherwise(path)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(
+      filter(split(query, "&"), p => !(p.rlike(TrackingRe) || p === ""))
+    )
+    val queryOut = when(size(kept) > 0, concat(lit("?"), concat_ws("&", kept)))
+      .otherwise(lit(""))
+    val rebuilt = concat(scheme, lit("://"), hostOut, pathOut, queryOut)
+    when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), rebuilt).otherwise(u)
+  }
+}

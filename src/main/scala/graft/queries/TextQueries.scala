@@ -667,6 +667,74 @@ object TextQueries {
              |GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 50""".stripMargin)
     ),
 
+    // ---- URL canonicalization: the web-corpus prep step before any
+    //      URL-keyed dedup (same page, three spellings — case, default
+    //      ports, fragments, tracking params, param order, trailing
+    //      slash). Composed entirely from codegen'd string/array
+    //      built-ins with exact DuckDB twins; the fixture CONSTRUCTS
+    //      messy URLs data-dependently from order/customer columns
+    //      (incl. a non-URL decoy that must pass through untouched). ----
+    Q(
+      "text_url_canonicalize",
+      (s, dir) => {
+        val messy = concat(
+          lit("HTTP://Shop-"), col("c_mktsegment"), lit(".Example.COM:80/cat/"),
+          (col("o_orderkey") % 50).cast("string"),
+          when(col("o_orderkey") % 2 === 0, "/").otherwise(""),
+          lit("?utm_source=mail&id="), col("o_custkey").cast("string"),
+          lit("&z="), (col("o_orderkey") % 7).cast("string"), lit("&a=1"),
+          when(col("o_orderkey") % 3 === 0, "#sec").otherwise("")
+        )
+        val url = when(col("o_orderkey") % 10 === 0,
+          concat(lit("not a url "), col("o_orderkey").cast("string"))).otherwise(messy)
+        Tables
+          .orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), url.as("url"))
+          .withColumn("canon_url", graft.functions.UrlFunctions.canonicalizeUrl(col("url")))
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 10 = 0 THEN 'not a url ' || CAST(o_orderkey AS VARCHAR)
+             |    ELSE 'HTTP://Shop-' || c_mktsegment || '.Example.COM:80/cat/' ||
+             |      CAST(o_orderkey % 50 AS VARCHAR) ||
+             |      (CASE WHEN o_orderkey % 2 = 0 THEN '/' ELSE '' END) ||
+             |      '?utm_source=mail&id=' || CAST(o_custkey AS VARCHAR) ||
+             |      '&z=' || CAST(o_orderkey % 7 AS VARCHAR) || '&a=1' ||
+             |      (CASE WHEN o_orderkey % 3 = 0 THEN '#sec' ELSE '' END)
+             |    END AS url
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |p AS (
+             |  SELECT o_orderkey, url,
+             |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+             |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS query
+             |  FROM u),
+             |q AS (
+             |  SELECT *,
+             |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+             |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             |    list_sort(list_filter(string_split(query, '&'),
+             |      x -> NOT (regexp_matches(x, '^(utm_[a-zA-Z0-9_]*|fbclid|gclid)=') OR x = ''))) AS kept
+             |  FROM p),
+             |c AS (
+             |  SELECT o_orderkey, url,
+             |    scheme || '://' || host ||
+             |    (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+             |          AND NOT (scheme = 'https' AND port = '443')
+             |     THEN ':' || port ELSE '' END) ||
+             |    (CASE WHEN path <> '/' AND path LIKE '%/'
+             |     THEN substr(path, 1, length(path) - 1) ELSE path END) ||
+             |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+             |    AS rebuilt
+             |  FROM q)
+             |SELECT o_orderkey, url,
+             |  CASE WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+             |       THEN rebuilt ELSE url END AS canon_url
+             |FROM c""".stripMargin)
+    ),
+
     // ---- corpus drift: trending tokens between two epochs (token
     //      rate ratio late/early, add-one smoothed, in exact basis
     //      points — integer cross-multiplication, no FP; BIGINT

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.UrlFunctions
+import org.apache.spark.sql.functions._
+
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(UrlFunctions.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("scheme/host lowercase; path and query case preserved") {
+    assert(canon("HTTP://WWW.Example.COM/Path/File?Key=Value") ===
+      Seq("http://www.example.com/Path/File?Key=Value"))
+  }
+
+  test("default ports stripped, non-default kept, scheme-aware") {
+    assert(canon(
+      "http://a.com:80/x",
+      "https://a.com:443/x",
+      "http://a.com:443/x",   // NOT http's default -> kept
+      "https://a.com:80/x",   // NOT https's default -> kept
+      "http://a.com:8080/x"
+    ) === Seq(
+      "http://a.com/x",
+      "https://a.com/x",
+      "http://a.com:443/x",
+      "https://a.com:80/x",
+      "http://a.com:8080/x"
+    ))
+  }
+
+  test("fragments dropped, tracking params removed, remainder sorted") {
+    assert(canon("http://a.com/p?z=2&utm_source=news&a=1&fbclid=xyz&gclid=1&utm_campaign=c#top") ===
+      Seq("http://a.com/p?a=1&z=2"))
+    // all params tracking -> query dropped entirely
+    assert(canon("http://a.com/p?utm_source=x") === Seq("http://a.com/p"))
+  }
+
+  test("trailing slash: dropped on non-root, root and empty path preserved") {
+    assert(canon("http://a.com/dir/", "http://a.com/", "http://a.com") ===
+      Seq("http://a.com/dir", "http://a.com/", "http://a.com"))
+  }
+
+  test("order-insensitive equality is restored for permuted params") {
+    val Seq(c1, c2) = canon("http://a.com/p?x=1&y=2", "http://A.com/p?y=2&x=1")
+    assert(c1 === c2)
+  }
+
+  test("non-URLs pass through untouched; params named like utm survive value-side") {
+    assert(canon("plain text", "mailto-ish no scheme", "a?utm_source=1") ===
+      Seq("plain text", "mailto-ish no scheme", "a?utm_source=1"))
+    // utm only strips as a PARAM NAME prefix, not anywhere in the string
+    assert(canon("http://a.com/p?q=utm_source") === Seq("http://a.com/p?q=utm_source"))
+  }
+
+  test("stays in whole-stage codegen — no UDF in the plan") {
+    val plan = Tables.documents(spark, Sf)
+      .select(UrlFunctions.canonicalizeUrl(concat(lit("http://h/"), col("text"))).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+}
