@@ -1341,6 +1341,48 @@ object RelationalQueries {
              |FROM c GROUP BY 1""".stripMargin)
     ),
 
+    // ---- DQ: correlation SUFFICIENT STATISTICS per group — exact
+    //      integer/decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) from which
+    //      Pearson r derives as (nΣxy−ΣxΣy)/√(nΣx²−Σx²)√(nΣy²−Σy²).
+    //      corr() itself is FP with engine- and order-dependent
+    //      accumulation (never hash-comparable); the sufficient-stats
+    //      form is the mergeable, bit-exact thing a 100 TB profiler
+    //      actually stores (sums combine across partitions/loads like
+    //      IncrementalAgg). Cents-scaled inputs; DECIMAL(38,0) product
+    //      sums — no overflow at any realistic scale. ----
+    Q(
+      "dq_corr_stats",
+      (s, dir) => {
+        val qc = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+        val pc = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        Tables
+          .lineitem(s, dir)
+          .select(col("l_returnflag"), qc.as("x"), pc.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy")
+          )
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(x) AS BIGINT) AS sx,
+             |  CAST(sum(y) AS BIGINT) AS sy,
+             |  CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+             |  CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+             |  CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+             |FROM b GROUP BY 1""".stripMargin)
+    ),
+
     // ---- market-basket association rules: which parts predict which,
     //      as directed rules with exact-integer confidence and lift.
     //      Apriori downward-closure prune (pairs only among

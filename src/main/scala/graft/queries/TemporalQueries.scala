@@ -719,6 +719,71 @@ object TemporalQueries {
              |FROM daily""".stripMargin)
     ),
 
+    // ---- EWMA over the last 8 observations per user, EXACT: weights
+    //      are powers of two (128, 64, ..., 1 — decay 0.5), numerator
+    //      and denominator carried as integers, the average left as
+    //      floor((1e6 * num) / den). FP EWMA accumulates rounding
+    //      differently per engine/order; the dyadic-weight form is
+    //      bit-reproducible anywhere. Eight lag expressions share ONE
+    //      window pass (a single WindowExec over the user exchange) —
+    //      the partial-window warmup (fewer than 8 priors) adjusts the
+    //      denominator instead of emitting NULL. ----
+    Q(
+      "t_ewma_dyadic",
+      (s, dir) => {
+        val ev = Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            col("ts"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")
+          )
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val terms = (0 to 7).map { k =>
+          val wgt = 1L << (7 - k)
+          val v = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+          (when(v.isNotNull, v * wgt).otherwise(0L), when(v.isNotNull, lit(wgt)).otherwise(0L))
+        }
+        ev
+          .withColumn("num", terms.map(_._1).reduce(_ + _))
+          .withColumn("den", terms.map(_._2).reduce(_ + _))
+          .select(
+            col("event_id"),
+            col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("cents"),
+            expr("(1000000 * num) div den").as("ewma_micro")
+          )
+      },
+      Some {
+        val num = (0 to 7).map { k =>
+          val wgt = 1L << (7 - k)
+          val v = if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+          s"coalesce($v * $wgt, 0)"
+        }.mkString(" + ")
+        val den = (0 to 7).map { k =>
+          val wgt = 1L << (7 - k)
+          val v = if (k == 0) "cents" else s"lag(cents, $k) OVER w"
+          s"(CASE WHEN $v IS NOT NULL THEN $wgt ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH ev AS (
+           |  SELECT event_id, user_id, ts,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM events),
+           |t AS (
+           |  SELECT event_id, user_id, ts, cents,
+           |    $num AS num,
+           |    $den AS den
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+           |SELECT event_id, user_id,
+           |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, cents,
+           |  CAST((1000000 * num) // den AS BIGINT) AS ewma_micro
+           |FROM t""".stripMargin
+      }
+    ),
+
     // ---- ordered funnel (view -> click -> purchase): three chained
     //      per-user unbounded window minima — each stage's timestamp is
     //      the earliest qualifying event STRICTLY AFTER the previous
