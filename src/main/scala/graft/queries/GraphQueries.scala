@@ -239,19 +239,23 @@ object GraphQueries {
         graft.operators.KCore.peel(edges, k = 80L, maxRounds = Some(4))
       },
       Some {
+        // every a_r is referenced several times by round r+1; DuckDB
+        // inlines plain CTEs, which re-evaluates the whole prefix
+        // EXPONENTIALLY across rounds (observed: >25 GB spill at
+        // sf0.1) — MATERIALIZED pins each round to one evaluation
         val rounds = (1 to 4).map { r =>
           val prev = if (r == 1) "n0" else s"a${r - 1}"
-          s"""d$r AS (SELECT adj.id, count(*) AS d FROM adj
+          s"""d$r AS MATERIALIZED (SELECT adj.id, count(*) AS d FROM adj
              |  JOIN $prev x ON adj.id = x.id JOIN $prev y ON adj.nbr = y.id GROUP BY 1),
-             |r$r AS (SELECT $prev.id FROM $prev LEFT JOIN d$r ON $prev.id = d$r.id
+             |r$r AS MATERIALIZED (SELECT $prev.id FROM $prev LEFT JOIN d$r ON $prev.id = d$r.id
              |  WHERE coalesce(d, 0) < 80),
-             |a$r AS (SELECT id FROM $prev EXCEPT SELECT id FROM r$r)""".stripMargin
+             |a$r AS MATERIALIZED (SELECT id FROM $prev EXCEPT SELECT id FROM r$r)""".stripMargin
         }.mkString(",\n")
         s"""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-           |e AS (SELECT DISTINCT a.p AS eu, b.p AS ev
+           |e AS MATERIALIZED (SELECT DISTINCT a.p AS eu, b.p AS ev
            |      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
-           |n0 AS (SELECT DISTINCT eu AS id FROM e UNION SELECT ev FROM e),
-           |adj AS (SELECT eu AS id, ev AS nbr FROM e UNION ALL SELECT ev, eu FROM e),
+           |n0 AS MATERIALIZED (SELECT DISTINCT eu AS id FROM e UNION SELECT ev FROM e),
+           |adj AS MATERIALIZED (SELECT eu AS id, ev AS nbr FROM e UNION ALL SELECT ev, eu FROM e),
            |$rounds
            |SELECT id, CAST(0 AS INT) AS removed_round FROM a4
            |UNION ALL SELECT id, 1 FROM r1
