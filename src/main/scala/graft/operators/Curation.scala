@@ -162,6 +162,39 @@ object Curation {
       .drop("__h")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the split unit is the near-dup
+    * CLUSTER, not the document. Splitting by document hash puts two
+    * near-copies of the same page on both sides of the train/test
+    * boundary — the classic contamination that inflates eval scores
+    * (the reason dedup pipelines cluster BEFORE splitting). Hashing the
+    * cluster id sends every member of a cluster to the same split by
+    * construction; singleton docs (cluster id = own id) behave exactly
+    * like the plain [[graft.functions.TextFunctions.splitBucket]]
+    * split. Same salted-md5 determinism: re-runs, engines, and
+    * repartitioning all reproduce the assignment bit-for-bit, and the
+    * split is a pure map stage over the clustered frame — no
+    * additional shuffle beyond what clustering already paid.
+    */
+  def leakageSafeSplit(
+      clustered: DataFrame,
+      clusterCol: String,
+      nBuckets: Int,
+      trainLt: Int,
+      valLt: Int,
+      salt: String
+  ): DataFrame = {
+    require(0 < trainLt && trainLt <= valLt && valLt <= nBuckets,
+      s"need 0 < trainLt <= valLt <= nBuckets, got $trainLt/$valLt/$nBuckets")
+    clustered
+      .withColumn("bucket", TextFunctions.splitBucket(col(clusterCol), nBuckets, salt))
+      .withColumn(
+        "split",
+        when(col("bucket") < trainLt, "train")
+          .when(col("bucket") < valLt, "val")
+          .otherwise("test")
+      )
+  }
+
   /** Robust per-group outlier pruning by median/MAD — the distribution-
     * aware sibling of a fixed length cut: keep rows with
     * `|x - median| <= (kNum/kDen) * MAD` where MAD is the median

@@ -1191,6 +1191,49 @@ object TextQueries {
              |      FROM documents)""".stripMargin)
     ),
 
+    // ---- LEAKAGE-SAFE split: near-dup clusters are the split unit —
+    //      hashing per-document would put near-copies of one page on
+    //      both sides of the train/test boundary (eval contamination);
+    //      hashing the CLUSTER id sends whole clusters to one split by
+    //      construction. Composes the SimHash-banded clustering with
+    //      the salted split; singletons behave like the plain split. ----
+    Q(
+      "split_leakage_safe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+        val pairs = ApproxDedup.simhashNearDupPairs(
+          docs,
+          "doc_id",
+          col("text"),
+          nBits = SimhashPairBits,
+          nBands = 4,
+          maxHamming = 3
+        )
+        val clustered = ClusterDedup.assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        Curation
+          .leakageSafeSplit(clustered, "cluster_id", SplitBuckets, SplitTrainLt, SplitValLt, SplitSalt)
+          .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+             |      UNION ALL SELECT id_b, id_a FROM prs),
+             |reach(v, l) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v),
+             |cc AS (SELECT v, min(l) AS cl FROM reach GROUP BY v),
+             |cl AS (SELECT d.doc_id, COALESCE(cc.cl, d.doc_id) AS cluster_id
+             |       FROM documents d LEFT JOIN cc ON cc.v = d.doc_id),
+             |b AS (SELECT doc_id, cluster_id,
+             |        CAST('0x' || substr(md5('$SplitSalt:' || CAST(cluster_id AS VARCHAR)), 1, 15) AS BIGINT) % $SplitBuckets AS bucket
+             |      FROM cl)
+             |SELECT doc_id, cluster_id, bucket,
+             |       CASE WHEN bucket < $SplitTrainLt THEN 'train'
+             |            WHEN bucket < $SplitValLt THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM b""".stripMargin)
+    ),
+
     // ---- deterministic corpus shuffle: reproducible pseudorandom
     //      (shard, pos) per row from a salted md5 — the RNG-free way to
     //      randomize training order; per-shard windows rank in parallel,

@@ -159,6 +159,32 @@ class CurationSpec extends SparkSpec {
     assert(!kept.contains(99L) && kept.size == 9)
   }
 
+  test("leakageSafeSplit: clusters never span splits; doc-level split would leak") {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    // 50 clusters x 4 members: cluster id = min member id (the
+    // ClusterDedup convention); doc ids interleave across clusters
+    val rows = (0L until 200L).map(d => (d, (d % 50) * 1000))
+    val df = rows.toDF("doc_id", "cluster_id")
+    val out = Curation.leakageSafeSplit(df, "cluster_id", 100, 80, 90, "corpus-split-v1")
+    // every cluster lands in exactly one split
+    val spansPerCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .select("ns").as[Long].collect()
+    assert(spansPerCluster.forall(_ == 1L))
+    // the doc-hash split WOULD tear at least one of these clusters apart
+    val docLevel = df
+      .withColumn("bucket", TextFunctions.splitBucket(col("doc_id"), 100, "corpus-split-v1"))
+      .withColumn("split", when(col("bucket") < 80, "train").otherwise("heldout"))
+    val torn = docLevel.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .where(col("ns") > 1).count()
+    assert(torn > 0, "fixture should demonstrate the leakage the operator prevents")
+    // deterministic: identical assignment on recompute
+    val again = Curation.leakageSafeSplit(df, "cluster_id", 100, 80, 90, "corpus-split-v1")
+    assert(out.collect().toSeq.sortBy(_.getLong(0)) === again.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("robustOutlierPrune: corpus never shuffles — percentile aggs broadcast back") {
     import graft.operators.Curation
     val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("lang"), col("n_chars"))
