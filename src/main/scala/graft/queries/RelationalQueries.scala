@@ -1341,6 +1341,53 @@ object RelationalQueries {
              |FROM c GROUP BY 1""".stripMargin)
     ),
 
+    // ---- DQ: Benford first-significant-digit profile — the classic
+    //      fabricated-data screen for financial/measure columns. Exact
+    //      integers throughout: observed per-mille share by integer
+    //      division, Benford expectation inlined as per-mille literals
+    //      (round(1000*log10(1+1/d)) — computed once, same constants
+    //      both engines), deviation as |obs - exp|. One digit-keyed
+    //      agg over a codegen'd substring; 9-row output. ----
+    Q(
+      "dq_benford_digits",
+      (s, dir) => {
+        // per-mille Benford expectation: 301,176,125,97,79,67,58,51,46
+        val benford = (1 to 9).map(d => d -> math.round(1000.0 * math.log10(1.0 + 1.0 / d)).toInt)
+        val expCol = benford.foldLeft(lit(0)) { case (acc, (d, e)) =>
+          when(col("digit") === d.toString, e).otherwise(acc)
+        }
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val digits = Tables
+          .orders(s, dir)
+          .select(substring(cents.cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n"))
+        digits
+          .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+          .select(
+            col("digit"),
+            col("n"),
+            expr("(1000 * n) div total").as("obs_pm"),
+            expCol.cast("long").as("benford_pm")
+          )
+          .withColumn("dev_pm", abs(col("obs_pm") - col("benford_pm")))
+      },
+      Some {
+        val benford = (1 to 9).map(d => d -> math.round(1000.0 * math.log10(1.0 + 1.0 / d)).toInt)
+        val cases = benford.map { case (d, e) => s"WHEN digit = '$d' THEN $e" }.mkString(" ")
+        s"""WITH c AS (
+           |  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit
+           |  FROM orders),
+           |g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+           |t AS (SELECT sum(n) AS total FROM g)
+           |SELECT digit, CAST(n AS BIGINT) AS n,
+           |  CAST((1000 * n) // total AS BIGINT) AS obs_pm,
+           |  CAST(CASE $cases ELSE 0 END AS BIGINT) AS benford_pm,
+           |  CAST(abs((1000 * n) // total - (CASE $cases ELSE 0 END)) AS BIGINT) AS dev_pm
+           |FROM g, t""".stripMargin
+      }
+    ),
+
     // ---- DQ: correlation SUFFICIENT STATISTICS per group — exact
     //      integer/decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) from which
     //      Pearson r derives as (nΣxy−ΣxΣy)/√(nΣx²−Σx²)√(nΣy²−Σy²).
