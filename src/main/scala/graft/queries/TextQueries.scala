@@ -1903,6 +1903,89 @@ object TextQueries {
              |FROM s, unnest(generate_series(1, len(v))) AS u(i)""".stripMargin)
     ),
 
+    // ---- relational inverted index + phrase search: postings are
+    //      (doc, pos, token) rows; a phrase match is a posting
+    //      self-join on (doc, pos+1) — search without scanning text
+    //      at query time. The token predicates filter BEFORE the join,
+    //      so only matching postings (corpus-rare) reach it, and the
+    //      per-token posting lists broadcast at real selectivities. At
+    //      100 TB the postings table is the thing you MATERIALIZE
+    //      bucketed by token (the IncrementalDedup store discipline);
+    //      this query verifies the search semantics over it. ----
+    Q(
+      "text_phrase_search",
+      (s, dir) => {
+        val post = Tables
+          .documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        val a = post.where(col("token") === "fast").select(col("doc_id"), col("pos").as("pa"))
+        val b = post
+          .where(col("token") === "table")
+          .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+        a.join(b, col("doc_id") === col("doc_b") && col("pb") === col("pa") + 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_matches"), min(col("pa")).cast("int").as("first_pos"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+             |p AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, parts[u.i] AS token
+             |      FROM t, unnest(generate_series(1, len(parts))) AS u(i)),
+             |a AS (SELECT doc_id, pos FROM p WHERE token = 'fast'),
+             |b AS (SELECT doc_id, pos FROM p WHERE token = 'table')
+             |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             |       CAST(min(a.pos) AS INT) AS first_pos
+             |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // ---- embedding distribution drift between two corpus epochs —
+    //      the vector-side sibling of text_trending_tokens: per-dim
+    //      EXACT sufficient statistics over the int8-quantized domain
+    //      (counts and sums are integers; the mean-difference test
+    //      statistic |s0*n1 - s1*n0| is a cross-multiplication, no
+    //      division, no FP). One (dim)-keyed agg carrying all four
+    //      counters map-side; 64 output rows. ----
+    Q(
+      "embedding_epoch_drift",
+      (s, dir) => {
+        val q = VectorFunctions
+          .withInt8Quant(
+            Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+            "embedding",
+            "scale",
+            "q"
+          )
+          .select(
+            (col("vec_id") % 2).cast("int").as("epoch"),
+            posexplode(col("q")).as(Seq("i", "qv"))
+          )
+        q.groupBy(col("i").cast("int").as("i"))
+          .agg(
+            sum(when(col("epoch") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("epoch") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("epoch") === 0, col("qv").cast("long")).otherwise(0L)).as("s0"),
+            sum(when(col("epoch") === 1, col("qv").cast("long")).otherwise(0L)).as("s1")
+          )
+          .withColumn("drift_x", abs(col("s0") * col("n1") - col("s1") * col("n0")))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |q AS (SELECT CAST(vec_id % 2 AS INT) AS epoch, CAST(u.i - 1 AS INT) AS i,
+             |        CAST(CASE WHEN scale = 0 THEN 0 ELSE round(v[u.i] / scale) END AS INT) AS qv
+             |      FROM s, unnest(generate_series(1, len(v))) AS u(i)),
+             |g AS (SELECT i,
+             |        sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS n0,
+             |        sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS n1,
+             |        sum(CASE WHEN epoch = 0 THEN qv ELSE 0 END) AS s0,
+             |        sum(CASE WHEN epoch = 1 THEN qv ELSE 0 END) AS s1
+             |      FROM q GROUP BY 1)
+             |SELECT i, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             |  CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+             |  CAST(abs(s0 * n1 - s1 * n0) AS BIGINT) AS drift_x
+             |FROM g""".stripMargin)
+    ),
+
     // ---- Johnson-Lindenstrauss random projection (Achlioptas ±1
     //      signs): 64 -> 16 dims as k codegen'd graft_dot calls against
     //      literal sign vectors — a NARROW map stage, no shuffle. The
