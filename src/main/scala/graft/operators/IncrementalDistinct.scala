@@ -56,6 +56,40 @@ object IncrementalDistinct {
     view.select(
       groupCols.map(col) :+ expr("hll_sketch_estimate(sketch)").as("n_distinct_est"): _*)
 
+  /** Rolling-window distinct counts from per-day sketches — the
+    * unbounded-cardinality sibling of the exact coverage-expansion
+    * rolling distinct (t_rolling_distinct_users): distinct-count does
+    * not decompose over sliding windows, but per-day HLL sketches DO
+    * union — so the rolling DAU/WAU metric becomes |days| sketch rows
+    * (not |facts|) exploded onto the `nDays` window-ends each day
+    * covers and union-merged per window end. At 100 TB the per-day
+    * sketch table is the thing you persist (via [[refresh]] per daily
+    * load); this computes the window readback. Returns
+    * (day, n_distinct_est) for every window END day present.
+    */
+  def rollingDistinctEstimates(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      nDays: Int,
+      lgK: Int = DefaultLgK
+  ): DataFrame = {
+    require(nDays >= 1, s"nDays must be >= 1, got $nDays")
+    val daily = df
+      .withColumn("__day", to_date(col(tsCol)))
+      .groupBy(col("__day"))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"))
+    val days = daily.select(col("__day"))
+    daily
+      // each day's sketch serves the nDays window-ends that cover it
+      .withColumn("day", explode(expr(s"sequence(__day, date_add(__day, ${nDays - 1}))")))
+      .groupBy(col("day"))
+      .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
+      // only days that exist in the data are valid window ends
+      .join(days.withColumnRenamed("__day", "day"), Seq("day"), "left_semi")
+      .select(col("day"), expr("hll_sketch_estimate(sketch)").as("n_distinct_est"))
+  }
+
   /** Bootstrap-or-refresh a parquet-backed sketch view: sketch the
     * delta, merge with the stored view when one exists, write aside,
     * swap (the crash-safe rename discipline of [[IncrementalAgg]]).

@@ -719,6 +719,46 @@ object TemporalQueries {
              |FROM daily""".stripMargin)
     ),
 
+    // ---- rolling 7-day distinct users from PER-DAY HLL SKETCHES — the
+    //      unbounded-cardinality sibling of t_rolling_distinct_users:
+    //      distinct-count does not decompose over sliding windows, but
+    //      per-day sketches union — the rolling metric becomes |days|
+    //      sketch rows, not |facts|. Estimates are implementation-
+    //      defined, so the gate verifies the 10% bound AS DATA against
+    //      the oracle's exact rolling counts (the view_incremental_
+    //      distinct discipline). ----
+    Q(
+      "t_rolling_distinct_hll",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+        val est = graft.operators.IncrementalDistinct
+          .rollingDistinctEstimates(ev, "ts", "user_id", nDays = 7)
+        val exact = ev
+          .select(to_date(col("ts")).as("d"), col("user_id"))
+          .distinct()
+          .withColumn("day", explode(expr("sequence(d, date_add(d, 6))")))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est
+          .join(exact, Seq("day"))
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+            col("n_exact"),
+            (abs(col("n_distinct_est") - col("n_exact")) * 100 <= col("n_exact") * 10)
+              .as("within_10pct")
+          )
+      },
+      Some("""WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |cov AS (SELECT user_id, d + CAST(u.off AS INT) AS day
+             |        FROM ud, unnest(generate_series(0, 6)) AS u(off)),
+             |roll AS (SELECT day, count(DISTINCT user_id) AS n_exact FROM cov GROUP BY 1),
+             |present AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+             |SELECT strftime(day, '%Y-%m-%d') AS day_s,
+             |       CAST(n_exact AS BIGINT) AS n_exact,
+             |       TRUE AS within_10pct
+             |FROM roll JOIN present USING (day)""".stripMargin)
+    ),
+
     // ---- EWMA over the last 8 observations per user, EXACT: weights
     //      are powers of two (128, 64, ..., 1 — decay 0.5), numerator
     //      and denominator carried as integers, the average left as

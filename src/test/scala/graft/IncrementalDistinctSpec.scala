@@ -48,6 +48,28 @@ class IncrementalDistinctSpec extends SparkSpec {
     }
   }
 
+  test("rolling 7-day distinct from per-day sketches matches the exact rolling count") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("ts"), col("user_id"))
+    val est = IncrementalDistinct
+      .rollingDistinctEstimates(ev, "ts", "user_id", nDays = 7)
+      .as[(java.sql.Date, Long)].collect().toMap
+    // exact twin: coverage expansion + distinct (the t_rolling_distinct
+    // idiom) — per-user-day dedup then explode onto covered window ends
+    val exact = ev
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .withColumn("day", explode(expr("sequence(d, date_add(d, 6))")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .join(ev.select(to_date(col("ts")).as("day")).distinct(), Seq("day"), "left_semi")
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (d, n) =>
+      // 150 distinct users max: HLL at lgK 12 is exact at this cardinality
+      assert(est(d) === n, s"window ending $d: est ${est(d)} vs exact $n")
+    }
+  }
+
   test("disk refresh: bootstrap, O(delta) second load, replayed slice absorbed") {
     val path = tempDir("incdistinct") + "/view"
     val all = (1L to 3000L).map(i => (if (i % 4 == 0) "p" else "q", i % 500)).toDF("g", "v")
