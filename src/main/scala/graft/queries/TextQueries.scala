@@ -1903,6 +1903,45 @@ object TextQueries {
              |FROM s, unnest(generate_series(1, len(v))) AS u(i)""".stripMargin)
     ),
 
+    // ---- per-document NOVELTY: the fraction of a doc's distinct
+    //      shingles first seen in THIS doc (min owning doc_id = self,
+    //      by ingestion order) — the memorization/derivativeness signal
+    //      between exact dedup (all shingles seen) and fresh content
+    //      (none seen). One shingle-keyed min-agg (map-side partial
+    //      over 8-byte keys is the repeated-spans discipline) joined
+    //      back to the per-doc shingle stream; exact per-mille ratio. ----
+    Q(
+      "text_novelty_score",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = docs
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(
+            col("doc_id"),
+            explode(ApproxDedup.shingles(col("text"), 3)).as("sh")
+          )
+          .distinct()
+        val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(firstOwner, "sh")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
+          )
+          .withColumn("novelty_pm", expr("(1000 * n_novel) div n_shingles"))
+      },
+      Some(s"""$ShinglesSql,
+             |fo AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+             |g AS (SELECT sh.doc_id,
+             |        count(*) AS n_shingles,
+             |        sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+             |      FROM sh JOIN fo USING (s) GROUP BY 1)
+             |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+             |  CAST(n_novel AS BIGINT) AS n_novel,
+             |  CAST((1000 * n_novel) // n_shingles AS BIGINT) AS novelty_pm
+             |FROM g""".stripMargin)
+    ),
+
     // ---- relational inverted index + phrase search: postings are
     //      (doc, pos, token) rows; a phrase match is a posting
     //      self-join on (doc, pos+1) — search without scanning text
