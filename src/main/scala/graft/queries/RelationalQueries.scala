@@ -1410,9 +1410,13 @@ object RelationalQueries {
             count(lit(1)).as("n"),
             sum(col("x")).as("sx"),
             sum(col("y")).as("sy"),
-            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxy"),
-            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").as("sxx"),
-            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").as("syy")
+            // Product sums exceed int64 (Σy² ≈ 2.4e19 at sf0.1) so they
+            // accumulate in DECIMAL(38,0) — but raw decimal output is not
+            // hash-canonical across engines (the one r6 gate failure), so
+            // the wire format is the canonical digit STRING on both sides.
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("syy")
           )
       },
       Some("""WITH b AS (
@@ -1424,9 +1428,9 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(x) AS BIGINT) AS sx,
              |  CAST(sum(y) AS BIGINT) AS sy,
-             |  CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
-             |  CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
-             |  CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+             |  CAST(CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS sxy,
+             |  CAST(CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS VARCHAR) AS sxx,
+             |  CAST(CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS VARCHAR) AS syy
              |FROM b GROUP BY 1""".stripMargin)
     ),
 

@@ -8,14 +8,25 @@ name, rows sorted) exactly.
 
 Usage: tools/check.py SFDIR OUTDIR [query ...]
 """
-import json, math, os, sys
+import decimal, json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class DecimalInOutput(Exception):
+    """Raised when a result/oracle emits a Decimal-typed value.
+
+    The driver's hash canon renders Decimal differently from str() (the
+    r6 dq_corr_stats failure: mimic green, driver red). Rather than guess
+    the driver's rendering, the mimic refuses Decimal outright — queries
+    must emit canonical digit strings (or int64) instead."""
+
+
 def canon(v):
+    if isinstance(v, decimal.Decimal):
+        raise DecimalInOutput(str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -52,11 +63,20 @@ def main():
             print(f"MISSING  {name} (no result parquet)")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-        gcols, grows = frame_rows([d[0] for d in got.description], got.fetchall())
+        try:
+            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            gcols, grows = frame_rows([d[0] for d in got.description], got.fetchall())
+        except DecimalInOutput as e:
+            print(f"DECIMAL  {name}: spark result emits Decimal ({e}) — not hash-safe")
+            n_fail += 1
+            continue
         try:
             exp = con.sql(sql)
             ecols, erows = frame_rows([d[0] for d in exp.description], exp.fetchall())
+        except DecimalInOutput as e:
+            print(f"DECIMAL  {name}: oracle emits Decimal ({e}) — not hash-safe")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
