@@ -107,8 +107,11 @@ object BatchPipeline {
       validCol: Option[String] = Some(ValidCol),
       numBuckets: Int = 32
   ): AuditCounts = {
+    // the mart's persisted bucket count outranks the parameter (see
+    // SnapshotSink.BucketCountMarker) — probe prune and merge must agree
+    val effBuckets = SnapshotSink.bucketCountOf(spark, snapshotPath).getOrElse(numBuckets)
     val probeBuckets = conformed
-      .select(SnapshotSink.bucketOf(col(SsiCol), numBuckets).as("__b"))
+      .select(SnapshotSink.bucketOf(col(SsiCol), effBuckets).as("__b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
@@ -117,7 +120,7 @@ object BatchPipeline {
       spark, snapshotPath, snapshotSchema(conformed), Some(probeBuckets))
     val routed = route(conformed, snapshot)
     SnapshotSink.upsertBucketed(
-      spark, snapshotPath, routed, SsiCol, lit(loadTs), lit(endOfTime), validCol, numBuckets)
+      spark, snapshotPath, routed, SsiCol, lit(loadTs), lit(endOfTime), validCol, effBuckets)
   }
 
   /** Run one increment against the SCD2 snapshot at `snapshotPath`.

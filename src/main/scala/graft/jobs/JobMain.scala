@@ -86,25 +86,31 @@ object JobEnv {
       ts: String
   ): AuditCounts = {
     val martDir = cfg("mart.dir")
-    // mart.buckets=<n> selects the bucketed snapshot layout: probe and
-    // merge touch only the key buckets the batch hits (O(delta) per
-    // load) — the default at mart scale. Without it, the legacy
-    // whole-snapshot layout (optionally hive-partitioned via
-    // mart.partitionBy=SOURCE_ID) is kept for drop-in compatibility.
-    val counts = cfg.opt("mart.buckets") match {
-      case Some(n) =>
+    // Layout resolution. The bucketed O(delta) layout is the DEFAULT —
+    // probe and merge touch only the key buckets the batch hits, so a
+    // load is delta-proportional instead of rewriting a 100 TB mart.
+    // An EXISTING mart's on-disk layout always wins (merging with the
+    // wrong layout would corrupt it); config decides only for a new
+    // mart: `mart.layout=flat` or `mart.partitionBy=...` opts into the
+    // legacy whole-rewrite layout, `mart.buckets=<n>` sets the bucket
+    // count at creation (persisted in the mart thereafter).
+    val partitionBy =
+      cfg.opt("mart.partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+    val flatRequested = cfg.opt("mart.layout").contains("flat") || partitionBy.nonEmpty
+    val bucketed = SnapshotSink.detectLayout(spark, martDir).getOrElse(!flatRequested)
+    val counts =
+      if (bucketed)
         BatchPipeline.loadIncrementBucketed(
-          spark, martDir, conformed, ts, numBuckets = n.toInt)
-      case None =>
+          spark, martDir, conformed, ts,
+          numBuckets = cfg.opt("mart.buckets").map(_.toInt).getOrElse(32))
+      else {
         val snapshot = SnapshotSink.readSnapshot(
           spark,
           martDir,
           StructType(conformed.schema.fields :+ StructField("ACTIVE_FLAG", IntegerType))
         )
         val routed = BatchPipeline.route(conformed, snapshot)
-        val partitionBy =
-          cfg.opt("mart.partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq.empty)
         SnapshotSink.upsert(
           spark,
           martDir,
@@ -115,7 +121,7 @@ object JobEnv {
           validCol = Some("IS_VALID_DATA"),
           partitionBy = partitionBy
         )
-    }
+      }
     AuditSink.record(
       spark, cfg("audit.dir"), dataLoadId, dagId, "SUCCESS", ts, ts, counts)
     counts

@@ -115,6 +115,67 @@ object SnapshotSink {
   /** Reserved hive-partition column of the bucketed snapshot layout. */
   val BucketCol = "KEY_BUCKET"
 
+  /** Marker file persisting the layout's bucket count. The bucket of a
+    * key is a pure function of (key, numBuckets) — if a later load ran
+    * with a different count, every key would land in a "wrong" bucket:
+    * the pruned probe would miss its active row and re-insert it
+    * (silent duplicates). So the count is a property of the DATA, not
+    * the config: written once at mart creation, and always preferred
+    * over the caller's parameter afterwards. Underscore-prefixed files
+    * are invisible to Spark's partition discovery (like _SUCCESS).
+    */
+  val BucketCountMarker = "_graft_buckets"
+
+  /** The persisted bucket count of the mart at `path`, if any. */
+  def bucketCountOf(spark: SparkSession, path: String): Option[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val m  = new org.apache.hadoop.fs.Path(path, BucketCountMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeBucketCount(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String,
+      numBuckets: Int
+  ): Unit = {
+    val m = new org.apache.hadoop.fs.Path(path, BucketCountMarker)
+    if (!fs.exists(m)) {
+      val out = fs.create(m, true)
+      try out.write(s"$numBuckets\n".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Layout of an existing snapshot: Some(true) = bucketed
+    * (KEY_BUCKET= partition dirs), Some(false) = flat/legacy, None =
+    * no mart yet. Restores crash leftovers of EITHER discipline first
+    * (whole-mart .bak for flat, per-partition .bak_ for bucketed) so
+    * the answer reflects the recovered state. An existing mart's
+    * on-disk layout always outranks configuration — merging with the
+    * wrong layout would corrupt it.
+    */
+  def detectLayout(spark: SparkSession, path: String): Option[Boolean] = {
+    val fs  = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (!fs.exists(dst) && fs.exists(bak)) fs.rename(bak, dst) // flat mid-swap crash
+    if (!fs.exists(dst)) None
+    else {
+      recoverBucketSwaps(spark, path)
+      val entries = fs.listStatus(dst).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      if (entries.isEmpty) None
+      else Some(entries.exists(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol=")))
+    }
+  }
+
   /** Deterministic bucket id of a business key. Stable across loads (no
     * RNG, no session state) — the one invariant the layout depends on.
     */
@@ -193,6 +254,9 @@ object SnapshotSink {
       numBuckets: Int = 32
   ): AuditCounts = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    // the mart's persisted bucket count outranks the parameter — a count
+    // change mid-life would silently re-bucket every key (see marker doc)
+    val effBuckets = bucketCountOf(spark, path).getOrElse(numBuckets)
     val base = routed.drop(CdcRouter.RouterCol).schema
     require(
       !base.fieldNames.contains(BucketCol),
@@ -215,7 +279,7 @@ object SnapshotSink {
     val incoming = CdcRouter.dropDuplicates(deltaDf)
     // bounded driver-side list: <= numBuckets ints regardless of delta size
     val touched = incoming
-      .select(bucketOf(col(key), numBuckets).as("__b"))
+      .select(bucketOf(col(key), effBuckets).as("__b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
@@ -227,9 +291,14 @@ object SnapshotSink {
       val current = readSnapshotBucketed(spark, path, payloadSchema, Some(touched))
       val merged = Scd2
         .merge(current, deltaDf, key, loadTs, endOfTime)
-        .withColumn(BucketCol, bucketOf(col(key), numBuckets))
-      // one writer per touched bucket -> one file per partition per load
-      // (bounded file growth; PartitionedLake.compact handles the rest)
+        .withColumn(BucketCol, bucketOf(col(key), effBuckets))
+      // Copy-on-write: the merge output carries the FULL content of every
+      // touched bucket (history + close-outs + new versions), and the
+      // per-bucket swap below REPLACES the bucket dir — so a bucket holds
+      // exactly the files of its latest rewrite (one, via the repartition
+      // on the bucket column), no matter how many loads touch it. File
+      // count per bucket is bounded by construction, not by a compactor
+      // (BucketedSnapshotSpec pins this across repeated loads).
       merged
         .repartition(touched.size, col(BucketCol))
         .write
@@ -239,6 +308,7 @@ object SnapshotSink {
 
       val dst = new org.apache.hadoop.fs.Path(path)
       if (!fs.exists(dst)) fs.mkdirs(dst)
+      writeBucketCount(fs, path, effBuckets)
       touched.foreach { b =>
         val src  = new org.apache.hadoop.fs.Path(tmp, s"$BucketCol=$b")
         val pdst = new org.apache.hadoop.fs.Path(dst, s"$BucketCol=$b")

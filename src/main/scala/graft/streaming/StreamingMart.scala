@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.jobs.{BatchPipeline, FeedSpec}
+import graft.sinks.SnapshotSink
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -18,7 +19,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     re-sent record routes UPDATE/DUPLICATE exactly as a batch load
   *     would, so replays after checkpoint recovery are no-ops;
   *   - the batch is tiny relative to the snapshot, so the routing probe
-  *     and the merge close-out stay broadcast joins (PLANS.md CDC shape).
+  *     and the merge close-out stay broadcast joins (PLANS.md CDC shape);
+  *   - the mart lives in the bucketed O(delta) layout by default: each
+  *     micro-batch reads and rewrites only the key buckets it touches —
+  *     the per-batch cost is delta-proportional, never O(mart). An
+  *     existing flat-layout mart is honored as-is (detectLayout — the
+  *     stream can resume over a mart seeded by the legacy batch path
+  *     without corrupting it); `numBuckets <= 0` forces the flat layout
+  *     for a new mart.
   */
 object StreamingMart {
   def start(
@@ -27,20 +35,34 @@ object StreamingMart {
       snapshotPath: String,
       checkpointDir: String,
       loadTsForBatch: Long => String,
-      intervalSeconds: Int = 10
+      intervalSeconds: Int = 10,
+      numBuckets: Int = 32
   ): StreamingQuery =
     input.writeStream
       .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          BatchPipeline.runIncrement(
-            batch.sparkSession,
-            snapshotPath,
-            batch,
-            spec,
-            loadTs = loadTsForBatch(batchId)
-          )
+          val spark = batch.sparkSession
+          val bucketed =
+            SnapshotSink.detectLayout(spark, snapshotPath).getOrElse(numBuckets > 0)
+          if (bucketed)
+            BatchPipeline.runIncrementBucketed(
+              spark,
+              snapshotPath,
+              batch,
+              spec,
+              loadTs = loadTsForBatch(batchId),
+              numBuckets = math.max(numBuckets, 1)
+            )
+          else
+            BatchPipeline.runIncrement(
+              spark,
+              snapshotPath,
+              batch,
+              spec,
+              loadTs = loadTsForBatch(batchId)
+            )
           ()
         }
       }

@@ -181,4 +181,78 @@ class BucketedSnapshotSpec extends SparkSpec {
       .as[(String, String, Int, String, String)].collect().toSet
     assert(snap(mart) == snap(mart2))
   }
+
+  test("repeated loads keep per-bucket file count bounded (copy-on-write rewrite)") {
+    val path = tempDir("bsnap-files") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    // six further loads all hammering the same two hot keys — the shape
+    // that would leave ~N files/bucket if the merge appended per load
+    for (i <- 2 to 7) {
+      val inc = routedOf(Seq(
+        ("K-7", s"v$i-7", CdcRouter.Update),
+        ("K-14", s"v$i-14", CdcRouter.Update)))
+      SnapshotSink.upsertBucketed(
+        spark, path, inc, "bk", lit(f"2024-$i%02d-01 00:00:00"), lit(EndOfTime),
+        numBuckets = NB)
+    }
+    val counts = fileState(path).map { case (d, files) => d -> files.size }
+    assert(counts.nonEmpty && counts.values.forall(_ == 1),
+      s"per-bucket file count grew: $counts")
+    // the history accumulated in CONTENT (7 versions of K-7), not files
+    assert(spark.read.parquet(path).where($"bk" === "K-7").count() == 7)
+  }
+
+  test("persisted bucket count outranks a changed numBuckets parameter") {
+    val dir  = tempDir("bsnap-marker")
+    val mart = s"$dir/mart"
+    def feed(v: Int) = (1 to 30).map(k => (s"K-$k", s"v$v-$k")).toDF("bk", "payload")
+    val spec = graft.jobs.FeedSpec("bk", "S - ", Seq(col("payload")), Seq("payload"))
+
+    BatchPipeline.runIncrementBucketed(spark, mart, feed(1), spec, LoadTs1, numBuckets = 8)
+    assert(SnapshotSink.bucketCountOf(spark, mart).contains(8))
+
+    // a later load MIS-configured with 32 buckets must still probe and
+    // merge with the persisted 8 — otherwise every key re-buckets, the
+    // pruned probe misses its active row, and updates become duplicates
+    BatchPipeline.runIncrementBucketed(spark, mart, feed(2), spec, LoadTs2, numBuckets = 32)
+    val dirs = new java.io.File(mart).listFiles()
+      .filter(_.getName.startsWith("KEY_BUCKET="))
+      .map(_.getName.stripPrefix("KEY_BUCKET=").toInt).toSet
+    assert(dirs.nonEmpty && dirs.forall(_ < 8), s"mis-bucketed dirs appeared: $dirs")
+    // every key changed payload v1->v2: one close-out + one new version each
+    val m = spark.read.parquet(mart)
+    assert(m.where(col("ACTIVE_FLAG") === 1).count() == 30)
+    assert(m.count() == 60, "every key must have closed v1 + active v2")
+    // and an exact replay still routes all-DUPLICATE despite the bad param
+    val replay = BatchPipeline.runIncrementBucketed(
+      spark, mart, feed(2), spec, LoadTs2, numBuckets = 32)
+    assert(replay.total == 0)
+  }
+
+  test("detectLayout: bucketed vs flat vs absent, with crash recovery on both") {
+    val dir = tempDir("bsnap-layout")
+    assert(SnapshotSink.detectLayout(spark, s"$dir/none").isEmpty)
+
+    SnapshotSink.upsertBucketed(
+      spark, s"$dir/b", seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    assert(SnapshotSink.detectLayout(spark, s"$dir/b").contains(true))
+
+    SnapshotSink.upsert(spark, s"$dir/f", seed, "bk", lit(LoadTs1), lit(EndOfTime))
+    assert(SnapshotSink.detectLayout(spark, s"$dir/f").contains(false))
+
+    // flat mid-swap crash window: only the whole-mart .bak exists —
+    // detection restores it and still answers "flat"
+    val f = new java.io.File(s"$dir/f")
+    assert(f.renameTo(new java.io.File(s"$dir/f.bak")))
+    assert(SnapshotSink.detectLayout(spark, s"$dir/f").contains(false))
+    assert(f.exists(), "the .bak mart must be restored, not just classified")
+
+    // bucketed mid-swap crash window: one partition aside — restored too
+    val b = new java.io.File(s"$dir/b")
+    val victim = b.listFiles().filter(_.getName.startsWith("KEY_BUCKET=")).head
+    assert(victim.renameTo(new java.io.File(b, s".bak_${victim.getName}")))
+    assert(SnapshotSink.detectLayout(spark, s"$dir/b").contains(true))
+    assert(victim.exists(), "the aside bucket must be restored by detection")
+  }
 }

@@ -59,6 +59,10 @@ class JobMainSpec extends SparkSpec {
     val m1 = spark.read.parquet(s"$dir/mart")
     assert(m1.count() == 2)
     assert(m1.where(col("ACTIVE_FLAG") === 1).count() == 2)
+    // the DEFAULT mart layout is the bucketed O(delta) one
+    assert(
+      new java.io.File(s"$dir/mart").listFiles().exists(_.getName.startsWith("KEY_BUCKET=")),
+      "default layout must be bucketed")
     // conform really happened: lookup ids, decoded rating, parsed date
     val r1 = m1.where(col("SOURCE_SYSTEM_IDENTIFIER") === "AT&T - 1")
     assert(r1.select("AGENT_ID").as[Int].head() == 11)
@@ -158,6 +162,38 @@ class JobMainSpec extends SparkSpec {
     val m = spark.read.parquet(s"$dir/mart")
     assert(m.count() == 1)
     assert(m.where(col("SOURCE_ID") === 1).count() == 1) // partition col readable
+  }
+
+  test("pre-existing flat mart is honored: default config keeps merging flat, never mixes layouts") {
+    val dir = tempDir("graft_job_flatcompat")
+    writeDims(s"$dir/dims")
+    val header =
+      "TICKET_IDENTIFIER|SUPPORT_CATEGORY|AGENT_NAME|DATE_OF_CALL|CALL_STATUS|CALL_TYPE|TYPE_OF_CUSTOMER|DURATION|WORK_TIME|TICKET_STATUS|RESOLVED_IN_FIRST_CONTACT|RESOLUTION_CATEGORY|RATING"
+    val feed1 = s"$dir/feed1.csv"
+    Files.writeString(
+      Paths.get(feed1),
+      s"""$header
+         |1|Billing|agent_a|01152024103000|Completed|Inbound|Corporate|120|30|Closed|1|Fixed|GOOD
+         |""".stripMargin
+    )
+    // load 1 explicitly flat (a mart seeded by the legacy layout)
+    val cfg1 = writeConfig(dir, "2024-01-20 00:00:00")
+    Files.writeString(Paths.get(cfg1), Files.readString(Paths.get(cfg1)) + "mart.layout=flat\n")
+    CsvBatchJob.main(Array(cfg1, feed1, "1001"))
+    assert(!new java.io.File(s"$dir/mart").listFiles().exists(_.getName.startsWith("KEY_BUCKET=")))
+
+    // load 2 with DEFAULT config: on-disk flat layout must win
+    val feed2 = s"$dir/feed2.csv"
+    Files.writeString(
+      Paths.get(feed2),
+      s"""$header
+         |1|Billing|agent_a|01152024103000|Reopened|Inbound|Corporate|120|30|Open|1|Fixed|GOOD
+         |""".stripMargin
+    )
+    CsvBatchJob.main(Array(writeConfig(dir, "2024-02-20 00:00:00"), feed2, "1002"))
+    assert(!new java.io.File(s"$dir/mart").listFiles().exists(_.getName.startsWith("KEY_BUCKET=")))
+    val m = spark.read.parquet(s"$dir/mart")
+    assert(m.count() == 2 && m.where(col("ACTIVE_FLAG") === 1).count() == 1)
   }
 
   test("JsonBatchJob: envelope feed conforms and loads") {

@@ -41,6 +41,9 @@ class StreamingMartSpec extends SparkSpec {
       q.processAllAvailable()
       val s0 = spark.read.parquet(mart)
       assert(s0.count() == 2 && s0.where(col(Scd2.ActiveFlag) === 1).count() == 2)
+      assert(
+        new java.io.File(mart).listFiles().exists(_.getName.startsWith("KEY_BUCKET=")),
+        "streaming mart defaults to the bucketed O(delta) layout")
 
       // batch 1: k1 updated, k2 re-sent unchanged (DUPLICATE), k3 new
       stream.addData(
