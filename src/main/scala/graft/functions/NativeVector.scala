@@ -127,6 +127,39 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 5,
+          s"graft_lsh_buckets expects (vec, nTables, nPlanes, dim, seed), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_lsh_buckets $what must be an integer literal, got $other"
+            )
+        }
+        val seed = children(4) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _)  => v.toLong
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_lsh_buckets seed must be an integer literal, got $other"
+            )
+        }
+        LshBuckets(
+          Cast(children.head, ArrayType(DoubleType)),
+          intLit(children(1), "nTables"),
+          intLit(children(2), "nPlanes"),
+          intLit(children(3), "dim"),
+          seed
+        )
+      }
+    ),
+    (
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (children: Seq[Expression]) => {

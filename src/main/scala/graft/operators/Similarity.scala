@@ -94,38 +94,41 @@ object Similarity {
   ): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 2, "probeDepth must be 0, 1, or 2")
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    val tables =
-      (0 until nTables).map(t => VectorFunctions.randomPlanes(nPlanes, dim, seed + t))
+    // ALL nTables bucket ids in ONE native kernel call per row
+    // (functions.LshBuckets): the pre-r7 form built nTables*nPlanes
+    // separate dot-product expressions, and Catalyst planning + Janino
+    // compilation of that tree dominated wall time (it scaled with the
+    // expression count, not the data — see the kernel's scaladoc).
+    // posexplode yields (table index, bucket id) pairs directly.
+    def buckets(v: Column): Column =
+      call_function("graft_lsh_buckets", v, lit(nTables), lit(nPlanes), lit(dim), lit(seed))
 
-    val cBuckets = array(tables.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("tbl"), VectorFunctions.lshBucket(col(vecCol), planes).as("bkt"))
-    }: _*)
     val c = corpus
       .select(
         col(idCol).as("neighbor_id"),
         VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
         VectorFunctions.norm2(col(vecCol)).as("c_norm"),
-        explode(cBuckets).as("tb")
+        posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket"))
       )
-      .select(
-        col("neighbor_id"), col("c_vec"), col("c_norm"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bucket"))
 
+    // query side: own bucket per table, then every probe mask applied to
+    // it — a second tiny explode over the constant mask list (query set
+    // is small by construction)
     val masks = lshProbeMasks(nPlanes, probeDepth)
-    val qProbes = array(tables.zipWithIndex.flatMap { case (planes, t) =>
-      val b0 = VectorFunctions.lshBucket(col(vecCol), planes)
-      masks.map(m => struct(lit(t).as("tbl"), b0.bitwiseXOR(lit(m)).as("bkt")))
-    }: _*)
     val q = queries
       .select(
         col(idCol).as("query_id"),
         VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
         VectorFunctions.norm2(col(vecCol)).as("q_norm"),
-        explode(qProbes).as("tb")
+        posexplode(buckets(col(vecCol))).as(Seq("tbl", "b0"))
       )
       .select(
-        col("query_id"), col("q_vec"), col("q_norm"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bucket"))
+        col("query_id"), col("q_vec"), col("q_norm"), col("tbl"), col("b0"),
+        explode(typedLit(masks)).as("mask")
+      )
+      .select(
+        col("query_id"), col("q_vec"), col("q_norm"), col("tbl"),
+        col("b0").bitwiseXOR(col("mask")).as("bucket"))
 
     val scored = c
       .join(broadcast(q), Seq("tbl", "bucket"))

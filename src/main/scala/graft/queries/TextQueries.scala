@@ -148,14 +148,17 @@ object TextQueries {
   // (see PLANS.md: residuals are LARGER than the unit vectors); a deeper
   // shortlist recovers the ceiling at unchanged asymptotic cost
   private val ResidShortlist = 80
-  // ANN-LSH tuning: 8 INDEPENDENT tables of 8 planes with depth-1
-  // multi-probe — per-table misses multiply away (recall@5 0.72 vs the
-  // old single-table 0.44) while each table probes only 9 of 256
-  // buckets (~28% of the corpus across all tables; AnnRecallSpec pins
-  // the 0.70 floor). IVF remains the preferred scale path.
-  private val AnnPlanes     = 8
-  private val AnnProbeDepth = 1
-  private val AnnTables     = 8
+  // ANN-LSH tuning: 12 INDEPENDENT tables of 14 planes with depth-2
+  // multi-probe — per-table misses multiply away (recall@5 0.72, same
+  // as r6's 8x8 depth-1 config) while each table probes only 106 of
+  // 16384 buckets: ~7.8% of the corpus across all tables vs r6's ~28%
+  // (LshTuneMain sweep; AnnRecallSpec pins the 0.70 floor). Finer
+  // buckets + deeper probing is the classic LSH trade: probe count
+  // grows quadratically in depth but bucket population shrinks
+  // exponentially in planes. IVF remains the preferred scale path.
+  private val AnnPlanes     = 14
+  private val AnnProbeDepth = 2
+  private val AnnTables     = 12
 
   /** Trained IVF centroid VALUES rows — shared by every oracle that
     * mirrors the coarse quantizer (ann_knn_ivf, embedding_cluster_sizes).

@@ -31,7 +31,10 @@ object LshTuneMain {
 
     for {
       (tables, planes, depth) <- Seq(
-        (8, 8, 1), (8, 9, 1), (8, 10, 1), (12, 9, 1), (12, 10, 1), (16, 10, 1), (16, 11, 1), (4, 7, 1)
+        (8, 8, 1), (8, 9, 1), (8, 10, 1), (12, 9, 1), (12, 10, 1), (16, 10, 1), (16, 11, 1), (4, 7, 1),
+        // depth-2 frontier: many more probes per table at far smaller
+        // per-bucket populations — the <=10% probed-fraction candidates
+        (3, 11, 2), (4, 12, 2), (5, 12, 2), (8, 13, 2), (12, 14, 2), (16, 14, 2)
       )
     } {
       val t0 = System.nanoTime()
@@ -42,7 +45,7 @@ object LshTuneMain {
       val rec = exact.map { case (q, truth) =>
         approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
       }.sum / exact.size
-      val frac = tables.toDouble * (1 + planes) / (1 << planes)
+      val frac = tables.toDouble * Similarity.lshProbeMasks(planes, depth).size / (1 << planes)
       println(f"tables=$tables%2d planes=$planes%2d depth=$depth: recall@5=$rec%.3f probedFrac~$frac%.3f wall=$secs%.1fs")
     }
     spark.stop()

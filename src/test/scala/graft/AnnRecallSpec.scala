@@ -36,13 +36,14 @@ class AnnRecallSpec extends SparkSpec {
     val exact = topSets(
       Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", K)
     )
-    // 8 independent tables x 8 planes, depth-1 multi-probe — the
-    // ann_knn_lsh production config (single-table depth-2 measured 0.44;
-    // multi-table lifts it to 0.72 at a SMALLER probed fraction, ~28%)
+    // 12 independent tables x 14 planes, depth-2 multi-probe — the
+    // ann_knn_lsh production config (LshTuneMain sweep: recall 0.72 at
+    // ~7.8% probed fraction; r6's 8x8 depth-1 hit the same recall at
+    // ~28%, r5's single-table depth-2 measured 0.44)
     val lsh = topSets(
       Similarity.lshTopK(
         corpus, queries, "vec_id", "embedding", K,
-        nPlanes = 8, dim = 64, probeDepth = 1, nTables = 8)
+        nPlanes = 14, dim = 64, probeDepth = 2, nTables = 12)
     )
     val ivf = topSets(
       Similarity.ivfTopK(

@@ -104,6 +104,50 @@ class NativeVectorSpec extends SparkSpec {
     assert(n == 200)
   }
 
+  test("graft_lsh_buckets matches the per-plane Column formulation, table by table") {
+    val (nTables, nPlanes, dim, seed) = (12, 14, 64, 42L)
+    val vecs = (1 to 200).map(i => (i.toLong, vec(i, dim))).toDF("id", "v")
+    val kernel = vecs
+      .select(
+        col("id"),
+        call_function(
+          "graft_lsh_buckets", col("v"), lit(nTables), lit(nPlanes), lit(dim), lit(seed)
+        ).as("b"))
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    // the old formulation: one lshBucket (nPlanes sign-bit dots) per table
+    val columnForm = vecs
+      .select(
+        col("id"),
+        array((0 until nTables).map { t =>
+          VectorFunctions.lshBucket(
+            col("v"), VectorFunctions.randomPlanes(nPlanes, dim, seed + t))
+        }: _*).as("b"))
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    assert(kernel.size == 200 && kernel == columnForm)
+
+    // degenerate inputs keep the old semantics: wrong length / null
+    // element -> null plane dots -> sign bit 0 -> every table buckets to 0
+    val weird = Seq(
+      (1L, Array(1.0f, 2.0f)),                       // wrong dim
+      (2L, null.asInstanceOf[Array[Float]])          // null vector
+    ).toDF("id", "v")
+    val rows = weird
+      .select(
+        col("id"),
+        call_function(
+          "graft_lsh_buckets", col("v"), lit(nTables), lit(nPlanes), lit(dim), lit(seed)
+        ).as("b"))
+      .collect()
+    val shortVec = rows.find(_.getLong(0) == 1L).get
+    assert(shortVec.getSeq[Int](1) == Seq.fill(nTables)(0))
+    val nullVec = rows.find(_.getLong(0) == 2L).get
+    assert(nullVec.isNullAt(1), "null input array yields null (nullSafe kernel)")
+  }
+
   test("the scoring projection stays inside WholeStageCodegen (HOF form does not)") {
     // parquet-backed frame: a local Seq would be folded away by
     // ConvertToLocalRelation before any codegen decision is made
