@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * Canonical form applied (the conservative, reversibility-preserving
   * subset of RFC 3986 normalization plus tracking-param stripping):
   *   - scheme and host lowercased (path/query case preserved)
+  *   - userinfo (user:pass@) dropped — credentials are not part of the
+  *     resource identity and don't belong in a corpus key
   *   - default ports stripped (:80 for http, :443 for https)
-  *   - fragment dropped
+  *   - fragment dropped (including any '?' INSIDE the fragment — the
+  *     query is extracted from the pre-fragment part only)
   *   - query parameters: tracking params removed (utm_*, fbclid,
   *     gclid), the rest SORTED for order-insensitive equality, empty
   *     query dropped
@@ -33,7 +36,12 @@ object UrlFunctions {
     */
   def canonicalizeUrl(u: Column): Column = {
     val scheme   = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val hostPort = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo ('user:pass@host') is DROPPED: credentials don't identify
+    // the resource (and don't belong in a corpus key); stripping through
+    // the last '@' also keeps the host/port split from landing on the
+    // password's ':'
+    val hostPort = regexp_extract(
+      regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1), "([^@]*)$", 1)
     val host     = lower(regexp_extract(hostPort, "^([^:]*)", 1))
     val port     = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
@@ -46,7 +54,10 @@ object UrlFunctions {
       path =!= "/" && path.endsWith("/"),
       path.substr(lit(1), length(path) - 1)
     ).otherwise(path)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // the query must come from the PRE-fragment part: a first-'?'
+    // extraction over the whole URL would promote fragment content into
+    // a query string ('http://h/p#sec?b=1' has NO query)
+    val query = regexp_extract(regexp_extract(u, "^([^#]*)", 1), "\\?(.*)$", 1)
     val kept = array_sort(
       filter(split(query, "&"), p => !(p.rlike(TrackingRe) || p === ""))
     )

@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Shuffle inventory: item-support agg (item); basket semi-join +
   * per-basket pair self-join (basket); pair-support agg (a, b);
-  * item-support joins broadcast (frequent-item table is small by
-  * construction); N is one broadcast scalar.
+  * N is one broadcast scalar. The frequent-item joins carry NO explicit
+  * broadcast hint: with a low minSupport `freq` approaches the whole
+  * item vocabulary — at corpus scale that can exceed executor memory,
+  * so the strategy choice is left to AQE, which broadcasts exactly when
+  * the runtime size is actually broadcast-range and falls back to a
+  * shuffled join when it is not.
   */
 object Association {
 
@@ -48,7 +52,7 @@ object Association {
     val n = items.select(countDistinct(col("b")).as("n_baskets"))
     val supp = items.groupBy(col("i")).agg(count(lit(1)).as("s"))
     val freq = supp.where(col("s") >= minSupport)
-    val fitems = items.join(broadcast(freq.select(col("i"))), "i", "left_semi")
+    val fitems = items.join(freq.select(col("i")), "i", "left_semi")
     val pairs = fitems
       .as("x")
       .join(fitems.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
@@ -56,8 +60,8 @@ object Association {
       .agg(count(lit(1)).as("s_pair"))
       .where(col("s_pair") >= minSupport)
     val scored = pairs
-      .join(broadcast(freq.select(col("i").as("pa"), col("s").as("s_a"))), "pa")
-      .join(broadcast(freq.select(col("i").as("pb"), col("s").as("s_b"))), "pb")
+      .join(freq.select(col("i").as("pa"), col("s").as("s_a")), "pa")
+      .join(freq.select(col("i").as("pb"), col("s").as("s_b")), "pb")
       .crossJoin(broadcast(n))
     // both directions: confidence is directional, lift symmetric
     scored

@@ -78,12 +78,17 @@ object IncrementalAgg {
   ): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(viewPath)
+    val tmp = new org.apache.hadoop.fs.Path(viewPath + ".staging")
+    val bak = new org.apache.hadoop.fs.Path(viewPath + ".bak")
+    // crash window recovery: between "rename view aside" and "rename
+    // staging in" only the .bak exists — without this restore the next
+    // refresh would take the bootstrap branch and silently rebuild the
+    // view from the latest delta alone, losing all accumulated history
+    if (!fs.exists(p) && fs.exists(bak)) fs.rename(bak, p)
     val deltaAgg = aggregate(delta, groupCols, valueCols)
     val next =
       if (fs.exists(p)) merge(spark.read.parquet(viewPath), deltaAgg, groupCols, valueCols)
       else deltaAgg
-    val tmp = new org.apache.hadoop.fs.Path(viewPath + ".staging")
-    val bak = new org.apache.hadoop.fs.Path(viewPath + ".bak")
     fs.delete(tmp, true)
     next.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)

@@ -69,4 +69,19 @@ class IncrementalAggSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile
     assert(parent.listFiles().map(_.getName).toSet == Set("view"))
   }
+
+  test("crash between the swap renames: .bak is restored, history never lost") {
+    val dir = java.nio.file.Files.createTempDirectory("incaggcrash").toString + "/view"
+    IncrementalAgg.refresh(spark, dir, Seq(("a", 1L), ("b", 2L)).toDF("g", "x"), G, V)
+    // simulate the window: view renamed aside, staging never landed
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".bak")))
+    // next refresh must NOT bootstrap from the delta alone
+    val after = IncrementalAgg.refresh(spark, dir, Seq(("a", 10L)).toDF("g", "x"), G, V)
+    assert(
+      after.orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq ==
+        Seq(("a", 2L, 11L, 1L, 10L), ("b", 1L, 2L, 2L, 2L)),
+      "pre-crash history must survive via the .bak restore"
+    )
+  }
 }
