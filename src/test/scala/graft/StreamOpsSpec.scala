@@ -222,6 +222,71 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set(("c1", "v1")))
   }
 
+  test("hot-key sustained stream: lookback-join state stays watermark-bounded, not stream-length") {
+    // the skew analogue of StreamingChaosSpec: ONE key hammered for many
+    // micro-batches. Watermark eviction must keep the join's state store
+    // flat at ~O(watermark + lookback window) rows — if state tracked
+    // stream LENGTH instead, a hot key would grow it without bound.
+    implicit val sq = spark.sqlContext
+    val left  = MemoryStream[(Long, Timestamp, String)]
+    val right = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.streamStreamLookbackJoin(
+      left.toDF().toDF("k", "cts", "l"),
+      right.toDF().toDF("k", "vts", "r"),
+      keyCol = "k", leftTsCol = "cts", rightTsCol = "vts",
+      lookback = "5 minutes", delayThreshold = "5 minutes"
+    )
+    val q = out.writeStream
+      .format("memory").queryName("hotkey_join").outputMode("append").start()
+    def stateRows: Long =
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .sum
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val nBatches = 40
+    val perBatch = 5
+    var midState = 0L
+    for (b <- 0 until nBatches) {
+      val rows = (0 until perBatch).map { i =>
+        (1L, new Timestamp(t0 + b * 60000L + i * 1000L), s"b$b-$i") // one hot key, ts advancing
+      }
+      left.addData(rows.map { case (k, t, v) => (k, t, v) }: _*)
+      right.addData(rows.map { case (k, t, v) => (k, t, v) }: _*)
+      q.processAllAvailable()
+      if (b == nBatches / 2 - 1) midState = stateRows
+    }
+    val endState = stateRows
+    q.stop()
+    val streamed = nBatches.toLong * perBatch * 2
+    assert(endState > 0, "state metrics must be observable")
+    // flat, not growing: the second half of the stream added nothing net
+    assert(endState <= midState + perBatch * 2,
+      s"state grew with stream length: mid=$midState end=$endState")
+    // and bounded well below everything streamed
+    assert(endState < streamed / 2, s"state=$endState of $streamed streamed rows")
+  }
+
+  test("hot-key sustained stream: dedupWithinWatermark holds one state row per live key") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.dedupWithinWatermark(
+      stream.toDF().toDF("k", "ts", "payload"),
+      tsCol = "ts", delayThreshold = "5 minutes", keys = Seq("k"))
+    val q = out.writeStream
+      .format("memory").queryName("hotkey_dedup").outputMode("append").start()
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    for (b <- 0 until 40) {
+      // the same key re-sent every batch with advancing event time
+      stream.addData((1L, new Timestamp(t0 + b * 60000L), s"b$b"))
+      q.processAllAvailable()
+    }
+    val endState = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    q.stop()
+    assert(endState > 0 && endState <= 8,
+      s"dedup state must stay ~O(keys within watermark), got $endState rows after 40 batches")
+  }
+
   test("dedupWithinWatermark: replays inside the delay are dropped, state is event-time bounded") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]
