@@ -101,4 +101,75 @@ object AllPairs {
       .where(col("inter") * den >= col("uni") * num)
       .select("id_a", "id_b", "inter", "uni")
   }
+
+  /** All DIRECTED pairs where set A is (near-)contained in set B:
+    * |A ∩ B| / |A| >= num/den, id_a != id_b. The ASYMMETRIC complement
+    * of [[jaccardPairs]]: symmetric Jaccard misses the
+    * quote-wrapped / boilerplate-expanded duplicate (a 100-shingle doc
+    * fully embedded in a 2000-shingle page scores Jaccard ~0.05 but
+    * containment 1.0) — exactly the pair a training-corpus dedup must
+    * catch, since the small doc contributes nothing the big one
+    * doesn't.
+    *
+    * Prefix filtering adapts to the one-sided threshold: a qualifying
+    * pair shares >= ceil(t*|A|) of A's elements, so A indexes only its
+    * |A| - ceil(t*|A|) + 1 RAREST elements (global df-asc order — the
+    * Bayardo/Chaudhuri prefix argument verbatim). The CONTAINER side
+    * has no overlap bound relative to its own size, so it indexes all
+    * its elements — the candidate join is A-prefix x B-inverted-index,
+    * pruned by the cross-size bound |B| >= t*|A| (overlap can't exceed
+    * |B|). df-asc ordering keeps boilerplate shingles out of prefixes,
+    * which is what bounds the hot posting lists; threshold arithmetic
+    * is integer cross-multiplication (no FP boundary on either
+    * engine).
+    *
+    * @return (id_a, id_b, inter, n_a, n_b): A = the contained side;
+    *         containment = inter / n_a >= num/den.
+    */
+  def containmentPairs(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int,
+      materializeSets: Boolean = false
+  ): DataFrame = {
+    require(num > 0 && num <= den, s"threshold must be in (0,1]: got $num/$den")
+    val docsPlan = sets
+      .select(col(idCol).as("id"), array_distinct(col(setCol)).as("es"))
+      .where(size(col("es")) > 0)
+    val docs  = if (materializeSets) docsPlan.localCheckpoint() else docsPlan
+    val elems = docs.select(col("id"), size(col("es")).as("n"), explode(col("es")).as("e"))
+    val dfreq = elems.groupBy("e").agg(count(lit(1)).as("df"))
+    val w     = Window.partitionBy(col("id")).orderBy(col("df"), col("e"))
+    val ranked = elems.join(dfreq, "e").withColumn("rn", row_number().over(w))
+    // contained-side prefix: |A| - ceil(t*|A|) + 1 rarest elements
+    val prefixPlan = ranked
+      .where(col("rn") <= col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+      .select(col("e"), col("id"), col("n"))
+    val prefix = if (materializeSets) prefixPlan.localCheckpoint() else prefixPlan
+    // container-side index: every element (no prefix bound exists for
+    // the big side of an asymmetric containment)
+    val index = ranked.select(col("e"), col("id"), col("n"))
+    val cand = prefix
+      .as("a")
+      .join(
+        index.as("b"),
+        col("a.e") === col("b.e") && col("a.id") =!= col("b.id") &&
+          col("b.n") * den >= col("a.n") * num // overlap <= |B|
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("es").as("ea"), size(col("es")).as("n_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("es").as("eb"), size(col("es")).as("n_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("ea"), col("eb"))).cast("long").as("inter"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b")
+      )
+      .where(col("inter") * den >= col("n_a") * num)
+  }
 }

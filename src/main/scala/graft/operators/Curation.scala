@@ -127,6 +127,61 @@ object Curation {
       .drop("__tg")
   }
 
+  /** Temperature-weighted (alpha = 1/2) domain mixture — the standard
+    * rebalancing of a skewed multi-domain corpus before sampling
+    * (multilingual pretraining's p_l^alpha reweighting, Conneau &
+    * Lample 2019 §3.1; alpha < 1 upweights rare domains so the head
+    * domain stops dominating the mixture). Per domain d with n_d docs:
+    *
+    *   p_ppm  = 1e6 * n_d / N                (the natural share)
+    *   w_d    = floor(sqrt(n_d * 1e6))       (the alpha=1/2 weight)
+    *   q_ppm  = 1e6 * w_d / sum(w)           (the temperature share)
+    *   boost_bp = 1e4 * q_ppm / p_ppm        (per-domain up/down factor)
+    *   quota_docs = budgetDocs * w_d / sum(w)
+    *
+    * alpha is FIXED at 1/2: sqrt is the one power IEEE requires
+    * correctly rounded, so both engines floor the SAME double and every
+    * downstream number is exact integer arithmetic — a general
+    * pow(x, a) is not correctly-rounded and would put an FP boundary
+    * inside the oracle compare. (Other alphas decompose into sqrt
+    * chains if ever needed: a=1/4 is sqrt∘sqrt.)
+    *
+    * Scale shape: ONE domain-keyed partial agg over the corpus; the
+    * domain table (small by construction) then computes its totals via
+    * a broadcast scalar cross-join. The corpus never shuffles twice and
+    * never joins back here — pair this with [[stratifiedSample]] /
+    * [[tokenBudgetMix]] feeding `q_ppm` as the per-stratum rate to
+    * realize the mixture.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      domainCol: String,
+      budgetDocs: Long
+  ): DataFrame = {
+    require(budgetDocs >= 0, s"budgetDocs must be >= 0, got $budgetDocs")
+    val counts = df
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", floor(sqrt(col("n_docs").cast("double") * 1000000d)).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__n"),
+      sum(col("__w")).as("__sw")
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col(domainCol),
+        col("n_docs"),
+        expr("(1000000 * n_docs) div __n").as("p_ppm"),
+        expr("(1000000 * __w) div __sw").as("q_ppm"),
+        // greatest(..,1): a sub-ppm domain floors p_ppm to 0, and x div 0
+        // is null in Spark but an ERROR in DuckDB — clamp on both engines
+        expr("(10000 * ((1000000 * __w) div __sw)) div greatest((1000000 * n_docs) div __n, 1)")
+          .as("boost_bp"),
+        expr(s"(${budgetDocs}L * __w) div __sw").as("quota_docs")
+      )
+  }
+
   /** Deterministic corpus SHUFFLE assignment — the standard way to
     * randomize 100 TB of training data: give every row a pseudorandom
     * but reproducible position (shard, pos_in_shard) derived from a

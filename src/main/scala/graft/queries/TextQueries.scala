@@ -1646,6 +1646,34 @@ object TextQueries {
               |        * 10000 * ${Curation.WeightDenominator}""".stripMargin)
     ),
 
+    // ---- temperature-weighted (alpha = 1/2) domain mixture: the
+    //      rebalancing step before sampling — per-domain shares move
+    //      from p_d toward sqrt-weighted q_d so rare domains stop
+    //      vanishing under the head (Conneau & Lample 2019 §3.1).
+    //      alpha is fixed at 1/2 because sqrt is the ONE power IEEE
+    //      requires correctly rounded: both engines floor the same
+    //      double and all downstream math is exact integers. One
+    //      domain-keyed agg + a broadcast scalar; the corpus never
+    //      shuffles twice. ----
+    Q(
+      "curation_domain_temperature",
+      (s, dir) =>
+        Curation.temperatureMixture(
+          Tables.documents(s, dir),
+          domainCol = "source",
+          budgetDocs = 100000L
+        ),
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+             |w AS (SELECT *, CAST(floor(sqrt(n_docs * 1000000.0)) AS BIGINT) AS wt FROM c),
+             |t AS (SELECT sum(n_docs) AS nn, sum(wt) AS sw FROM w)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  (1000000 * n_docs) // nn AS p_ppm,
+             |  (1000000 * wt) // sw AS q_ppm,
+             |  (10000 * ((1000000 * wt) // sw)) // greatest((1000000 * n_docs) // nn, 1) AS boost_bp,
+             |  (100000 * wt) // sw AS quota_docs
+             |FROM w, t""".stripMargin)
+    ),
+
     // ---- corpus curation: deterministic stratified sampling (the
     //      data-mixing step — per-language keep rates, salted-md5
     //      buckets, reproducible under re-ingestion; one codegen'd
@@ -2998,6 +3026,44 @@ object TextQueries {
               |       CAST(sa.n + sb.n - i AS BIGINT) AS uni
               |FROM i JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
               |WHERE i * 10 >= (sa.n + sb.n - i) * 3""".stripMargin)
+    ),
+
+    // ---- EXACT asymmetric CONTAINMENT join: |A∩B|/|A| >= 1/2 —
+    //      the quote-wrapped / boilerplate-expanded duplicate that
+    //      symmetric Jaccard structurally misses (small doc embedded in
+    //      a big page: Jaccard ~|A|/|B| -> 0, containment -> 1).
+    //      Contained side indexes only its df-rarest prefix
+    //      (|A| - ceil(t|A|) + 1); container side is a full inverted
+    //      index pruned by |B| >= t|A|. Oracle = the naive exact join,
+    //      algorithm-independent ground truth. ----
+    Q(
+      "dedup_containment",
+      (s, dir) => {
+        val staged = Tables
+          .documents(s, dir)
+          .where(size(TextFunctions.tokens(col("text"))) >= 3)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val sets = staged.select(
+          col("doc_id"),
+          expr(
+            "transform(sequence(0, size(__t) - 3), i -> concat(__t[i], ' ', __t[i+1], ' ', __t[i+2]))"
+          ).as("sh")
+        )
+        graft.operators.AllPairs.containmentPairs(sets, "doc_id", "sh", num = 1, den = 2)
+      },
+      Some(s"""$ShinglesSql,
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |i AS (
+              |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT ia AS id_a, ib AS id_b,
+              |       CAST(i AS BIGINT) AS inter,
+              |       CAST(sa.n AS BIGINT) AS n_a,
+              |       CAST(sb.n AS BIGINT) AS n_b
+              |FROM i JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+              |WHERE i * 2 >= sa.n * 1""".stripMargin)
     ),
 
     // ---- Jaro-Winkler blocked name resolution: the record-linkage

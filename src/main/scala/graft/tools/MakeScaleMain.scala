@@ -49,10 +49,19 @@ object MakeScaleMain {
     new java.io.File(out).mkdirs()
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     // single-FILE parquet per table, exactly the driver fixture shape
-    // (check.py and the oracle glob a file path, not a directory)
+    // (check.py and the oracle glob a file path, not a directory) — but
+    // with SMALL ROW GROUPS (8 MB blocks): a coalesce(1) default write
+    // produced one row group per table, and Spark can split a parquet
+    // file only at row-group boundaries, so every scan-side stage of the
+    // r7 sf1 bench ran on ONE task (map-only queries measured serial
+    // time, not engine scaling — f7_timestamp_formats read 73x instead
+    // of ~10x). ~10+ row groups restores scan parallelism while keeping
+    // the one-file oracle contract.
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$out/_tmp_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"no part file for $t"))

@@ -55,6 +55,49 @@ class AllPairsSpec extends SparkSpec {
     assert(run(rows, 1, 1) == Set((1L, 2L, 3L, 3L)))
   }
 
+  private def naiveContain(rows: Seq[(Long, Seq[String])], num: Int, den: Int) = {
+    val sets = rows.map { case (id, es) => id -> es.distinct.toSet }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ia != ib
+      inter = (sa intersect sb).size
+      if inter * den >= sa.size * num
+    } yield (ia, ib, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+  }
+
+  private def runContain(rows: Seq[(Long, Seq[String])], num: Int, den: Int) =
+    AllPairs
+      .containmentPairs(rows.toDF("id", "es"), "id", "es", num, den)
+      .as[(Long, Long, Long, Long, Long)]
+      .collect()
+      .toSet
+
+  test("containmentPairs equals the naive directed containment join, several thresholds") {
+    val r = new java.util.Random(31)
+    val vocab = (0 until 40).map(i => s"e$i")
+    val rows = (1L to 100L).map { id =>
+      val n = r.nextInt(14) + 1
+      id -> Seq.fill(n)(vocab(r.nextInt(vocab.length)))
+    }
+    for ((num, den) <- Seq((1, 2), (7, 10), (9, 10), (1, 1))) {
+      val got = runContain(rows, num, den)
+      val want = naiveContain(rows, num, den)
+      assert(got == want, s"mismatch at t=$num/$den: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("containment catches the quote-wrapped pair symmetric Jaccard misses") {
+    // small doc fully embedded in a big page: Jaccard 5/50 = 0.1 fails
+    // a 0.3 threshold, containment 5/5 = 1.0 passes 0.9
+    val small = (1 to 5).map(i => s"q$i")
+    val big   = small ++ (1 to 45).map(i => s"page$i")
+    val rows  = Seq((1L, small), (2L, big))
+    assert(run(rows, 3, 10).isEmpty, "Jaccard must miss the asymmetric pair")
+    assert(runContain(rows, 9, 10) == Set((1L, 2L, 5L, 5L, 50L)),
+      "containment must flag small-inside-big, in that direction only")
+  }
+
   test("skewed corpus: one corpus-hot element never forces candidates on its own") {
     // 60 sets all share 'hot' but are otherwise disjoint -> no pair
     // reaches 1/2; plus one true near-dup pair

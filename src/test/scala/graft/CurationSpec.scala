@@ -114,6 +114,31 @@ class CurationSpec extends SparkSpec {
     assert(mix(0L).count() == 0L)
   }
 
+  test("temperatureMixture: alpha=1/2 flattens skew — head shrinks, tail boosts, quotas sum <= budget") {
+    // 90/9/1 percent domain skew
+    val d = (0L until 1000L)
+      .map(i => (i, if (i < 900) "web" else if (i < 990) "code" else "books"))
+      .toDF("id", "dom")
+    val m = Curation
+      .temperatureMixture(d, "dom", budgetDocs = 10000L)
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // hand-derived: w = floor(sqrt(n * 1e6)) -> web 30000, code 9486, books 3162
+    assert(m("web")._2 == 900L && m("code")._2 == 90L && m("books")._2 == 10L)
+    val sw = 30000L + 9486L + 3162L
+    assert(m("web")._4 == 1000000L * 30000L / sw)   // q_ppm exact
+    assert(m("books")._4 == 1000000L * 3162L / sw)
+    // direction: head dampened below its natural share, tail boosted above
+    assert(m("web")._4 < m("web")._3, "head domain must shrink vs p_ppm")
+    assert(m("books")._4 > m("books")._3, "tail domain must boost vs p_ppm")
+    assert(m("books")._5 > 10000L && m("web")._5 < 10000L, "boost_bp crosses 1.0 the right way")
+    // quotas: floor division can only under-fill, never exceed the budget
+    val quotas = m.values.map(_._6).sum
+    assert(quotas <= 10000L && quotas >= 9990L)
+  }
+
   test("rate 0 drops a stratum entirely; rate 1000 keeps it entirely") {
     val kept = Curation
       .stratifiedSample(docs, "id", "lang", Map("en" -> 0, "de" -> 1000), 0, "t-v1")
