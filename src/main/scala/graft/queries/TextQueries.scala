@@ -1187,6 +1187,52 @@ object TextQueries {
              |FROM documents d LEFT JOIN cc ON cc.v = d.doc_id""".stripMargin)
     ),
 
+    // ---- canonical-representative election by CONTENT RETENTION:
+    //      dedup_cc_clusters elects min-id (arbitrary); the apply step a
+    //      corpus actually wants keeps the member that retains the MOST
+    //      content — max n_chars, ties to the lowest id. One window over
+    //      the (tiny) clustered frame; cluster_size from the same
+    //      partition, so ONE shuffle serves both. ----
+    Q(
+      "dedup_canonical_keep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+        val pairs = ApproxDedup.simhashNearDupPairs(
+          docs,
+          "doc_id",
+          col("text"),
+          nBits = SimhashPairBits,
+          nBands = 4,
+          maxHamming = 3
+        )
+        val clustered = ClusterDedup
+          .assignClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .select(col("doc_id"), col("cluster_id"))
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+        val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+        val w = byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)
+        clustered
+          .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+          .withColumn("cluster_size", count(lit(1)).over(byCluster))
+          .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"), col("cluster_size"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |e AS (SELECT id_a AS src, id_b AS dst FROM prs
+             |      UNION ALL SELECT id_b, id_a FROM prs),
+             |reach(v, l) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.dst, reach.l FROM reach JOIN e ON e.src = reach.v),
+             |cc AS (SELECT v, min(l) AS cl FROM reach GROUP BY v),
+             |cl AS (SELECT d.doc_id, COALESCE(cc.cl, d.doc_id) AS cluster_id, d.n_chars
+             |       FROM documents d LEFT JOIN cc ON cc.v = d.doc_id)
+             |SELECT doc_id, cluster_id, n_chars,
+             |       CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+             |              ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+             |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM cl""".stripMargin)
+    ),
+
     // ---- deterministic train/val/test split (salted hash bucket) ----
     Q(
       "split_train_val_test",

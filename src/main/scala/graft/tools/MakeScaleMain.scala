@@ -59,8 +59,12 @@ object MakeScaleMain {
     // the one-file oracle contract.
     def write(df: DataFrame, t: String): Unit = {
       val tmp = s"$out/_tmp_$t"
+      // 512 KB: the writer's row-group size check runs against the
+      // BUFFERED (dictionary-encoded) estimate, which for small-int
+      // tables stays far below the written size — 8 MB still produced
+      // single-group files for events/documents
       df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", 8L * 1024 * 1024)
+        .option("parquet.block.size", 512L * 1024)
         .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
