@@ -127,6 +127,51 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_pq_scores"),
+      new ExpressionInfo(classOf[PqScores].getName, "graft_pq_scores"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 8,
+          s"graft_pq_scores expects (vn, cell, book, ccd, half, offset, sub, ksub), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        def dblArr(e: Expression, what: String): Seq[Double] = e match {
+          case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
+            ad.toDoubleArray().toSeq
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_pq_scores $what must be an array<double> literal, got $other"
+            )
+        }
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_pq_scores $what must be an integer literal, got $other"
+            )
+        }
+        PqScores(
+          Cast(children.head, ArrayType(DoubleType)),
+          Cast(children(1), org.apache.spark.sql.types.IntegerType),
+          dblArr(children(2), "book"),
+          dblArr(children(3), "ccd"),
+          dblArr(children(4), "half"),
+          intLit(children(5), "offset"),
+          intLit(children(6), "sub"),
+          intLit(children(7), "ksub")
+        )
+      }
+    ),
+    (
+      FunctionIdentifier("graft_unit"),
+      new ExpressionInfo(classOf[UnitNormalize].getName, "graft_unit"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"graft_unit expects 1 argument, got ${children.size}")
+        UnitNormalize(Cast(children.head, ArrayType(DoubleType)))
+      }
+    ),
+    (
       FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {

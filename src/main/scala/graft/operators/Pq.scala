@@ -28,31 +28,49 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Stage a unit-normalized double copy of `vecCol` as `outCol`.
-    * Elementwise x / sqrt(dot(v, v)) — same IEEE ops as the oracle's
-    * list_transform over list_dot_product. An all-zero vector stays
-    * all-zero (0/0 would be NaN, and NaN ordering differs between
-    * engines — zero keeps the downstream argmax deterministic).
+  /** Stage a unit-normalized double copy of `vecCol` as `outCol` via the
+    * native one-pass kernel ([[graft.functions.UnitNormalize]]) — same
+    * IEEE ops (left-to-right dot, one sqrt, per-element divide) as the
+    * oracle's list_transform over list_dot_product, so values are
+    * bit-identical. An all-zero vector stays all-zero (0/0 would be
+    * NaN, and NaN ordering differs between engines — zero keeps the
+    * downstream argmax deterministic).
+    *
+    * Was a withColumn chain (__vd -> __nrm -> transform lambda):
+    * projection collapse re-inlined that lambda into every consumer —
+    * 16 copies at the IVF cell assignment — and the generated method
+    * blew Janino's 64 KB limit, dropping whole ANN stages to
+    * interpreted execution (see the kernel's scaladoc).
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("__vd", VectorFunctions.toDouble(col(vecCol)))
-      .withColumn("__nrm", sqrt(VectorFunctions.dotD(col("__vd"), col("__vd"))))
-      .withColumn(
-        outCol,
-        transform(col("__vd"), x => when(col("__nrm") === 0.0, 0.0).otherwise(x / col("__nrm")))
-      )
-      .drop("__vd", "__nrm")
+    df.withColumn(outCol, call_function("graft_unit", col(vecCol)))
 
-  /** Per-subspace argmin-L2 assignment score: for centroid c,
-    * argmin ||x - c||^2 == argmax (dot(x, c) - ||c||^2 / 2). The
-    * half-norm is a DRIVER-computed literal, so both engines evaluate
-    * the identical expression tree.
+  /** Per-subspace argmin-L2 assignment scores via the native
+    * [[graft.functions.PqScores]] kernel: for centroid c,
+    * argmin ||x - c||^2 == argmax (dot(x, c) - ||c||^2 / 2), evaluated
+    * as ONE kernel call over the subrange `vn[offset, offset+sub)`
+    * instead of ksub separate slice+dot expressions — the Column form's
+    * m x ksub expression fan-out blew Janino's 64 KB method limit and
+    * dropped PQ stages to interpreted execution. Arithmetic order
+    * (left-to-right dot, then `- halfNorm`) is unchanged, so scores and
+    * codes are bit-identical to the oracle.
     */
-  private def scoreArr(sub: Column, book: Seq[Array[Double]]): Column =
-    array(book.map { c =>
-      val halfNorm = c.map(x => x * x).sum / 2.0
-      VectorFunctions.planeDot(sub, c) - lit(halfNorm)
-    }: _*)
+  private def scoreArr(vn: Column, offset: Int, book: Seq[Array[Double]]): Column = {
+    val sub  = book.head.length
+    val half = book.map(c => c.map(x => x * x).sum / 2.0)
+    call_function(
+      "graft_pq_scores", vn, lit(0),
+      lit(book.flatten.toArray), lit(Array.empty[Double]), lit(half.toArray),
+      lit(offset), lit(sub), lit(book.size))
+  }
+
+  /** Query-side ADC lookup table for one subspace: plain per-code dots
+    * (no bias terms), same kernel. */
+  private def lutArr(vn: Column, offset: Int, book: Seq[Array[Double]]): Column =
+    call_function(
+      "graft_pq_scores", vn, lit(0),
+      lit(book.flatten.toArray), lit(Array.empty[Double]), lit(Array.empty[Double]),
+      lit(offset), lit(book.head.length), lit(book.size))
 
   /** Train `m` per-subspace codebooks (each `ksub` centroids of
     * dim/m values) with plain L2 Lloyd iterations — ONE distributed
@@ -133,7 +151,7 @@ object Pq {
         )
       }
       val staged = (0 until m).foldLeft(v) { (df, mi) =>
-        df.withColumn(s"__sc$mi", scoreArr(slice(col("vn"), mi * sub + 1, sub), books(mi)))
+        df.withColumn(s"__sc$mi", scoreArr(col("vn"), mi * sub, books(mi)))
       }
       val rows = staged
         .select(explode(array(perSub: _*)).as("a"))
@@ -254,12 +272,15 @@ object Pq {
     val staged = (0 until m).foldLeft(base) { (d, mi) =>
       d.withColumn(
         s"__sc$mi",
-        array(codebooks(mi).zipWithIndex.map { case (cv, c) =>
-          val halfNorm = cv.map(x => x * x).sum / 2.0
-          VectorFunctions.planeDot(slice(col(vnCol), mi * sub + 1, sub), cv) -
-            element_at(array(ccd(mi)(c).map(lit): _*), col(cellCol) + 1) -
-            lit(halfNorm)
-        }: _*)
+        // kernel preserves the exact term order (dot - ccd - half) the
+        // Column form used, so residual codes stay bit-identical
+        call_function(
+          "graft_pq_scores", col(vnCol), col(cellCol),
+          lit(codebooks(mi).flatten.toArray),
+          lit(ccd(mi).flatten.toArray), // [code][cell] row-major = c*nCells+cell
+          lit(codebooks(mi).map(cv => cv.map(x => x * x).sum / 2.0).toArray),
+          lit(mi * sub), lit(sub), lit(codebooks(mi).size)
+        )
       )
     }
     val codes = (0 until m).map { mi =>
@@ -322,7 +343,7 @@ object Pq {
     ) { (d, mi) =>
       d.withColumn(
         s"__lut$mi",
-        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+        lutArr(col("q_vn"), mi * sub, codebooks(mi))
       )
     }
     val qProbes = qBase
@@ -374,7 +395,7 @@ object Pq {
     val m   = codebooks.size
     val sub = codebooks.head.head.length
     val staged = (0 until m).foldLeft(withNormalized(df, vecCol, vnCol)) { (d, mi) =>
-      d.withColumn(s"__sc$mi", scoreArr(slice(col(vnCol), mi * sub + 1, sub), codebooks(mi)))
+      d.withColumn(s"__sc$mi", scoreArr(col(vnCol), mi * sub, codebooks(mi)))
     }
     val codes = (0 until m).map { mi =>
       (array_position(col(s"__sc$mi"), array_max(col(s"__sc$mi"))) - 1)
@@ -429,7 +450,7 @@ object Pq {
     ) { (d, mi) =>
       d.withColumn(
         s"__lut$mi",
-        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+        lutArr(col("q_vn"), mi * sub, codebooks(mi))
       )
     }.select(col("query_id") +: col("q_vn") +: (0 until m).map(i => col(s"__lut$i")): _*)
 
@@ -521,7 +542,7 @@ object Pq {
     ) { (d, mi) =>
       d.withColumn(
         s"__lut$mi",
-        array(codebooks(mi).map(c => VectorFunctions.planeDot(slice(col("q_vn"), mi * sub + 1, sub), c)): _*)
+        lutArr(col("q_vn"), mi * sub, codebooks(mi))
       )
     }
     val qProbes = qBase

@@ -148,6 +148,38 @@ class NativeVectorSpec extends SparkSpec {
     assert(nullVec.isNullAt(1), "null input array yields null (nullSafe kernel)")
   }
 
+  test("graft_unit matches the staged HOF normalization bit-exactly, degenerate inputs included") {
+    val vecs = (1 to 200).map(i => (i.toLong, vec(i, 64))).toDF("id", "v")
+    def hofNorm(vc: org.apache.spark.sql.Column) = {
+      val vd = VectorFunctions.toDouble(vc)
+      // evaluated inline (the shape withNormalized used to stage)
+      transform(vd, x =>
+        when(sqrt(VectorFunctions.dotHof(vc, vc)) === 0.0, 0.0)
+          .otherwise(x / sqrt(VectorFunctions.dotHof(vc, vc))))
+    }
+    val rows = vecs
+      .select(
+        call_function("graft_unit", col("v")).as("k"),
+        hofNorm(col("v")).as("h"))
+      .as[(Seq[Double], Seq[Double])]
+      .collect()
+    assert(rows.length == 200)
+    rows.foreach { case (k, h) =>
+      assert(k.length == h.length)
+      k.zip(h).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b))
+      }
+    }
+    // zero vector -> zero vector (not NaN); null vector -> null
+    val degen = Seq(
+      (1L, Array(0f, 0f, 0f)),
+      (2L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "v")
+    val d = degen.select(col("id"), call_function("graft_unit", col("v")).as("u")).collect()
+    assert(d.find(_.getLong(0) == 1L).get.getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+    assert(d.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
   test("the scoring projection stays inside WholeStageCodegen (HOF form does not)") {
     // parquet-backed frame: a local Seq would be folded away by
     // ConvertToLocalRelation before any codegen decision is made
