@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Pq, PqCodebooks, Similarity}
+import graft.operators.{Pq, PqCodebooks, PqResidualCodebooks, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization codec: trainer mechanics on the tiny fixture,
@@ -39,6 +39,26 @@ class PqSpec extends SparkSpec {
       .as[Seq[Int]]
       .head()
     assert(zcodes.forall(c => c >= 0 && c < 8))
+  }
+
+  test("encode stage stays inside WholeStageCodegen (the r7 Janino-64KB regression guard)") {
+    // the pre-r7 Column form (m x ksub slice+dot expressions, inlined
+    // normalization lambda) blew the 64 KB generated-method limit: Spark
+    // logged 'Failed to compile' and ran the stage interpreted. The
+    // kernel-backed form must render as a codegen'd ('*(n)') Project.
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val plan = Pq
+      .withResidualCodes(
+        emb.select(col("vec_id"), col("embedding")),
+        "embedding",
+        graft.operators.IvfCentroids.cells,
+        PqResidualCodebooks.books
+      )
+      .queryExecution
+      .executedPlan
+      .toString
+    val starredProject = """\*\(\d+\)\s*Project""".r
+    assert(starredProject.findFirstIn(plan).isDefined, s"encode projection not codegen'd:\n${plan.take(2000)}")
   }
 
   test("shipped PqCodebooks: ADC shortlist + exact rerank hits the recall floor") {
