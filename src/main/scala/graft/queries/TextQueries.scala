@@ -652,6 +652,51 @@ object TextQueries {
       )
     ),
 
+    // ---- distributed bigram LM TRAINING: the counting step behind the
+    //      quality-scoring language model (text_lm_score consumes a
+    //      shipped model; this builds one) — conditional probabilities
+    //      P(w2|w1) as exact ppm integers: 1e6*c(w1,w2) div c(w1).
+    //      Scale shape: bigram explode is a narrow map; ONE corpus-sized
+    //      shuffle on (w1,w2) with map-side partial agg; the context
+    //      marginal c(w1) derives from the (already vocabulary-sized)
+    //      bigram table, never re-shuffling the corpus; top-500 under a
+    //      total order keeps the output scale-stable. ----
+    Q(
+      "text_lm_train",
+      (s, dir) => {
+        val toks = Tables
+          .documents(s, dir)
+          .select(TextFunctions.tokens(col("text")).as("__t"))
+          .where(size(col("__t")) >= 2)
+        val bg = toks
+          .select(explode(expr(
+            "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i+1] AS w2))"
+          )).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        c2.join(c1, "w1")
+          .select(
+            col("w1"), col("w2"), col("c12"), col("c1"),
+            expr("(1000000 * c12) div c1").as("p_ppm")
+          )
+          .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+          .limit(500)
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split(text, ' ') AS t FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2),
+             |bg AS (
+             |  SELECT t[u.i] AS w1, t[u.i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+             |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY 1)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+             |       (1000000 * c12) // c1 AS p_ppm
+             |FROM c2 JOIN c1 USING (w1)
+             |ORDER BY c12 DESC, w1, w2 LIMIT 500""".stripMargin)
+    ),
+
     // ---- corpus vocabulary: top-k tokens by frequency (map-side
     //      partial agg on the token, then one |vocab| shuffle; the
     //      (n DESC, token ASC) total order makes the cut deterministic) ----

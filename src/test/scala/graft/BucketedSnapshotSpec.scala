@@ -230,6 +230,45 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(replay.total == 0)
   }
 
+  test("schema evolution: a column added to the feed mid-life widens the mart, old versions read null") {
+    // a 100 TB mart outlives its feed schema: loads after the feed adds
+    // a column must keep history readable (old files lack the column ->
+    // null) and carry the new column forward — without rewriting
+    // untouched buckets
+    val dir  = tempDir("bsnap-evolve")
+    val mart = s"$dir/mart"
+    val spec1 = graft.jobs.FeedSpec("bk", "S - ", Seq(col("payload")), Seq("payload"))
+    BatchPipeline.runIncrementBucketed(
+      spark, mart, (1 to 20).map(k => (s"K-$k", s"v1-$k")).toDF("bk", "payload"),
+      spec1, LoadTs1, numBuckets = NB)
+
+    // load 2: feed gained a `region` column; only K-1 changes payload
+    val feed2 = (1 to 20)
+      .map(k => (s"K-$k", if (k == 1) "v2-1" else s"v1-$k", s"r${k % 3}"))
+      .toDF("bk", "payload", "region")
+    val spec2 = graft.jobs.FeedSpec("bk", "S - ", Seq(col("payload")), Seq("payload", "region"))
+    BatchPipeline.runIncrementBucketed(spark, mart, feed2, spec2, LoadTs2, numBuckets = NB)
+
+    val m = spark.read.option("mergeSchema", "true").parquet(mart)
+    assert(m.columns.contains("region"), "mart schema must widen with the feed")
+    // K-1: closed v1 (region null — written before the column existed),
+    // active v2 carries its region
+    val k1 = m.where(col(BatchPipeline.SsiCol) === "S - K-1")
+      .select($"payload", col("ACTIVE_FLAG"), $"region")
+      .as[(String, Int, Option[String])].collect().sortBy(_._2)
+    assert(k1.length == 2)
+    assert(k1(0) == (("v1-1", 0, None)), s"closed pre-evolution version must read null region: ${k1(0)}")
+    assert(k1(1) == (("v2-1", 1, Some("r1"))))
+    // the row fingerprint hashes ALL feed columns, so the added column
+    // changes every key's hash -> every key routes UPDATE and
+    // re-versions under the new schema (the honest semantics: the feed
+    // now asserts a region for every record). One active row per key:
+    val act = m.where(col("ACTIVE_FLAG") === 1).groupBy(col(BatchPipeline.SsiCol)).count()
+      .as[(String, Long)].collect()
+    assert(act.length == 20 && act.forall(_._2 == 1L))
+    assert(m.count() == 40, "20 closed pre-evolution versions + 20 active post-evolution")
+  }
+
   test("detectLayout: bucketed vs flat vs absent, with crash recovery on both") {
     val dir = tempDir("bsnap-layout")
     assert(SnapshotSink.detectLayout(spark, s"$dir/none").isEmpty)
