@@ -128,6 +128,28 @@ class PlanSpec extends SparkSpec {
     assert(tr.contains("LeftSemi") && !tr.contains("CartesianProduct"), tr)
   }
 
+  test("r7 additions: containment never cross-joins; temperature/lm_train shuffle once per level") {
+    // exact containment: prefix x inverted-index equi-join on the
+    // element — any cartesian/BNLJ would be the O(n^2) failure mode
+    val ct = plan("dedup_containment")
+    assert(!ct.contains("CartesianProduct") && !ct.contains("BroadcastNestedLoop"), ct)
+    // temperature mixture: corpus aggregates ONCE on the domain; the
+    // scalar totals come back via a broadcast nested-loop of ONE row
+    // (crossJoin(broadcast(totals)) — the one legal BNLJ shape)
+    val tm = plan("curation_domain_temperature")
+    assert(tm.split("Exchange hashpartitioning").length - 1 <= 1,
+      "corpus must shuffle at most once (domain agg):\n" + tm)
+    // bigram LM training: the corpus-sized shuffle is the (w1,w2) agg
+    // with a map-side partial; the marginal works on the vocab table
+    val lm = plan("text_lm_train")
+    assert(lm.contains("partial_count") || lm.contains("partial_sum"),
+      "bigram agg must be partial (map-side):\n" + lm)
+    assert(!lm.contains("CartesianProduct"), lm)
+    // lsh: all table buckets from the native kernel, not per-plane dots
+    val lsh = plan("ann_knn_lsh")
+    assert(lsh.contains("graft_lsh_buckets"), lsh)
+  }
+
   test("random projection: narrow map stage — no hash exchange, native dot kernel") {
     val p = plan("embedding_random_projection")
     assert(p.contains("graft_dot"), p)
