@@ -288,4 +288,63 @@ object Curation {
       .where(col("__dev2") * (2 * kDen) <= col("__mad4") * kNum)
       .drop("__med2", "__dev2", "__mad4")
   }
+
+  /** Epoch-based domain upsampling — materialize the dataset a training
+    * run actually reads when the mixture is stated in EPOCHS per domain
+    * (e.g. "wiki 2.5 epochs, crawl 1 epoch, code 0.6"): every row is
+    * emitted floor(e) times, plus one more with probability frac(e)
+    * decided by the salted-md5 bucket of its id — so 2.5 epochs means
+    * two full copies and a deterministic independent half-sample as the
+    * third. Fractional epochs < 1 degenerate to plain subsampling, and
+    * the whole schedule is RNG-free: re-runs are bit-identical, and
+    * raising a domain's epoch count only ADDS copies (per-row monotone).
+    *
+    * Each emitted copy gets a copy index and a salted-hash shard
+    * assignment (decorrelated from the keep hash by a distinct salt),
+    * so downstream writers can scatter repeats across shards instead of
+    * feeding a training loader the same document twice in a row.
+    *
+    * Scale shape: one narrow map stage — a per-row integer copy count
+    * from a broadcast-sized epoch map, then a bounded `posexplode` fan-out
+    * of at most ceil(max epochs) per row. No join, no shuffle; linear at
+    * 100 TB with output-proportional cost, exactly like the training-run
+    * read it simulates.
+    *
+    * `epochsMilli` maps domain value -> milli-epochs (2500 = 2.5
+    * epochs); domains absent from the map get 1000 (one epoch).
+    */
+  def epochUpsample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: Column,
+      epochsMilli: Map[String, Int],
+      salt: String,
+      nShards: Int
+  ): DataFrame = {
+    require(epochsMilli.values.forall(_ >= 0), "epochsMilli must be non-negative")
+    require(nShards >= 1, s"nShards must be >= 1: got $nShards")
+    val eMilli = epochsMilli.foldLeft(lit(1000)) { case (acc, (dom, e)) =>
+      when(domainCol === dom, lit(e)).otherwise(acc)
+    }
+    val frac = TextFunctions.splitBucket(col(idCol), 1000, salt)
+    df.withColumn("__e", eMilli)
+      .withColumn(
+        "n_copies",
+        (col("__e") / 1000).cast("int") + when(frac < col("__e") % 1000, 1).otherwise(0)
+      )
+      .where(col("n_copies") > 0)
+      .select(
+        col("*"),
+        posexplode(expr("array_repeat(1, n_copies)")).as(Seq("copy_idx", "__one"))
+      )
+      .withColumn(
+        "shard",
+        TextFunctions.splitBucket(
+          concat(col(idCol).cast("string"), lit("#"), col("copy_idx").cast("string")),
+          nShards,
+          s"$salt:shard"
+        )
+      )
+      .drop("__e", "__one")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Fingerprint, TextFunctions, VectorFunctions}
 import graft.multimodal.{Audio, Multimodal}
-import graft.operators.{ApproxDedup, Bm25, BpeMerges, ClusterDedup, Contamination, Curation, Dedup, EntityResolution, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
+import graft.operators.{ApproxDedup, Bm25, BpeMerges, Classifier, ClusterDedup, Contamination, Curation, Dedup, EntityResolution, HybridSearch, IncrementalDedup, IvfCentroids, Packing, Pq, PqCodebooks, CorpusPrep, PqResidualCodebooks, SemDedup, Similarity, SubstringDedup}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` / `embeddings`:
@@ -3272,6 +3272,183 @@ object TextQueries {
              |       s.n_lines - coalesce(ck.n_kept, 0) AS n_removed,
              |       coalesce(ck.k_md5, md5('')) AS clean_md5
              |FROM stats s LEFT JOIN ck USING (doc_id)""".stripMargin)
+    ),
+
+    // ---- quality classifier TRAIN: the GPT-3/CCNet filter recipe —
+    //      a bag-of-words linear classifier with a curated slice as
+    //      positives (here lang='en') and the rest as negatives. One
+    //      token-level aggregation; the model is vocab-sized (grows
+    //      with vocabulary, not corpus) with add-1-smoothed integer
+    //      ppm class-affinity weights. ----
+    Q(
+      "text_classifier_train",
+      (s, dir) =>
+        Classifier.train(
+          Tables.documents(s, dir),
+          textCol = col("text"),
+          isPositive = col("lang") === "en",
+          minCount = 3L
+        ),
+      Some("""WITH t AS (
+             |  SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT token,
+             |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+             |      FROM t GROUP BY 1)
+             |SELECT token, c_pos, c_neg,
+             |       (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
+             |FROM c WHERE c_pos + c_neg >= 3""".stripMargin)
+    ),
+
+    // ---- quality classifier SCORE: every document against the
+    //      self-trained model. The vocab-sized model broadcasts, the
+    //      corpus never shuffles for the join; per-doc means are exact
+    //      integer ppm. keep = score >= 500000 (more positive-like
+    //      than not). ----
+    Q(
+      "text_classifier_score",
+      (s, dir) => {
+        val docs  = Tables.documents(s, dir)
+        val model = Classifier.train(docs, col("text"), col("lang") === "en", minCount = 3L)
+        Classifier
+          .score(docs, "doc_id", col("text"), model, keepThresholdPpm = 500000L)
+          .withColumn("keep", col("keep").cast("int"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT token,
+             |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             |             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+             |      FROM t GROUP BY 1),
+             |m AS (SELECT token, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
+             |      FROM c WHERE c_pos + c_neg >= 3),
+             |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |sc AS (SELECT dt.doc_id,
+             |              CAST(count(m.w_ppm) AS BIGINT) AS n_scored,
+             |              coalesce(sum(m.w_ppm), 0) AS sw
+             |       FROM dt LEFT JOIN m USING (token) GROUP BY 1)
+             |SELECT doc_id, n_scored,
+             |       CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END AS score_ppm,
+             |       CAST(CASE WHEN (CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END)
+             |                      >= 500000 THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM sc""".stripMargin)
+    ),
+
+    // ---- HYBRID retrieval with Reciprocal Rank Fusion: lexical
+    //      posting-list top-20 (stop-token df gate at 10% of the
+    //      corpus) fused with embedding-cosine top-20 by
+    //      1/(60+rank) + 1/(60+rank), ranked on the 1e-9 integer grid.
+    //      Queries = every doc_id % 250 == 0 that has an embedding;
+    //      the two legs cover different index extents (all documents
+    //      vs the embedded subset) — the full-outer fuse is the point. ----
+    Q(
+      "search_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb  = Tables.embeddings(s, dir)
+        val qids = docs
+          .where(col("doc_id") % 250 === 0)
+          .join(emb.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"))
+        val lex = HybridSearch.lexicalTopK(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id",
+          col("text"),
+          qids,
+          k = 20,
+          maxDfPpm = 100000L
+        )
+        val sem = Similarity
+          .bruteForceTopK(
+            corpus = emb
+              .select(col("vec_id"), col("embedding"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 250 === 0).select(col("vec_id"), col("embedding")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            k = 20
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        HybridSearch.rrfFuse(lex, sem, k0 = 60, k = 5)
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+             |pairs AS (SELECT DISTINCT doc_id, token FROM
+             |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+             |df AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+             |kept AS (SELECT p.doc_id, p.token FROM pairs p JOIN df USING (token) CROSS JOIN n
+             |         WHERE df * 1000000 <= 100000 * n.n),
+             |q AS (SELECT doc_id AS query_id, token FROM kept
+             |      WHERE doc_id % 250 = 0 AND doc_id IN (SELECT vec_id FROM embeddings)),
+             |ov AS (SELECT q.query_id, k.doc_id AS neighbor_id, count(*) AS overlap
+             |       FROM q JOIN kept k USING (token)
+             |       WHERE k.doc_id <> q.query_id GROUP BY 1, 2),
+             |lex AS (SELECT query_id, neighbor_id, r FROM
+             |  (SELECT query_id, neighbor_id,
+             |          row_number() OVER (PARTITION BY query_id
+             |                             ORDER BY overlap DESC, neighbor_id) AS r
+             |   FROM ov) WHERE r <= 20),
+             |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |       FROM embeddings WHERE vec_id % 250 = 0),
+             |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |sc AS (SELECT query_id, neighbor_id,
+             |    list_dot_product(qv, cv) /
+             |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+             |  FROM qv CROSS JOIN cv WHERE query_id <> neighbor_id),
+             |sem AS (SELECT query_id, neighbor_id, r FROM
+             |  (SELECT query_id, neighbor_id,
+             |          row_number() OVER (PARTITION BY query_id
+             |                             ORDER BY cos DESC, neighbor_id) AS r
+             |   FROM sc) WHERE r <= 20),
+             |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             |             coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+             |             coalesce(1.0 / (60 + l.r), 0.0) + coalesce(1.0 / (60 + s.r), 0.0) AS rrf
+             |      FROM lex l FULL OUTER JOIN sem s
+             |        ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
+             |g AS (SELECT query_id, neighbor_id,
+             |             CAST(round(rrf * 1000000000) AS BIGINT) AS rrf_nano FROM f),
+             |r AS (SELECT query_id, neighbor_id, rrf_nano,
+             |             row_number() OVER (PARTITION BY query_id
+             |                                ORDER BY rrf_nano DESC, neighbor_id) AS rnk
+             |      FROM g)
+             |SELECT query_id, neighbor_id, rrf_nano, rnk FROM r WHERE rnk <= 5""".stripMargin)
+    ),
+
+    // ---- epoch-based domain upsampling: materialize the dataset a
+    //      training run reads when the mixture is stated in EPOCHS per
+    //      domain — floor(e) full copies plus a salted-md5 fractional
+    //      copy, each copy shard-assigned by an independent salt. One
+    //      narrow map + bounded fan-out; RNG-free, re-runs bit-identical. ----
+    Q(
+      "curation_epoch_upsample",
+      (s, dir) =>
+        Curation
+          .epochUpsample(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            "doc_id",
+            col("lang"),
+            epochsMilli = Map("en" -> 2500, "de" -> 1500, "fr" -> 1200, "es" -> 900, "zh" -> 600),
+            salt = "epoch_up",
+            nShards = 16
+          )
+          .select(col("doc_id"), col("lang"), col("n_copies"), col("copy_idx"), col("shard")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 1500 WHEN 'fr' THEN 1200
+             |              WHEN 'es' THEN 900 WHEN 'zh' THEN 600 ELSE 1000 END AS e,
+             |    CAST('0x' || substr(md5('epoch_up:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             |      % 1000 AS b
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang,
+             |             e // 1000 + CASE WHEN b < e % 1000 THEN 1 ELSE 0 END AS n_copies
+             |      FROM d)
+             |SELECT doc_id, lang, CAST(n_copies AS INT) AS n_copies, CAST(u.ci AS INT) AS copy_idx,
+             |       CAST('0x' || substr(md5('epoch_up:shard:' || CAST(doc_id AS VARCHAR) || '#'
+             |                               || CAST(u.ci AS VARCHAR)), 1, 15) AS BIGINT)
+             |         % 16 AS shard
+             |FROM c, unnest(generate_series(0, n_copies - 1)) AS u(ci)
+             |WHERE n_copies > 0""".stripMargin)
     )
   )
 }

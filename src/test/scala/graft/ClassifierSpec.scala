@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Classifier
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pos: "good fine", "good good"; neg: "bad awful", "bad fine"
+  private def docs = Seq(
+    (1L, "good fine", true),
+    (2L, "good good", true),
+    (3L, "bad awful", false),
+    (4L, "bad fine", false)
+  ).toDF("id", "text", "pos")
+
+  test("train: hand-computed smoothed ppm weights") {
+    val m = Classifier
+      .train(docs, col("text"), col("pos"), minCount = 1L)
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .map { case (t, p, n, w) => t -> ((p, n, w)) }
+      .toMap
+    // good: 3 pos, 0 neg -> (4*1e6) div 5 = 800000
+    assert(m("good") == ((3L, 0L, 800000L)))
+    // fine: 1 pos, 1 neg -> (2*1e6) div 4 = 500000
+    assert(m("fine") == ((1L, 1L, 500000L)))
+    // bad: 0 pos, 2 neg -> (1*1e6) div 4 = 250000
+    assert(m("bad") == ((0L, 2L, 250000L)))
+    // awful: 0 pos, 1 neg -> (1*1e6) div 3 = 333333
+    assert(m("awful") == ((0L, 1L, 333333L)))
+  }
+
+  test("train: minCount prunes rare tokens") {
+    val m = Classifier.train(docs, col("text"), col("pos"), minCount = 2L)
+    val toks = m.select("token").as[String].collect().toSet
+    assert(toks == Set("good", "fine", "bad")) // awful occurs once
+  }
+
+  test("score: per-doc mean over in-vocabulary occurrences; unseen-only docs score -1") {
+    val model = Classifier.train(docs, col("text"), col("pos"), minCount = 1L)
+    val toScore = Seq(
+      (10L, "good bad"),     // (800000 + 250000) div 2 = 525000 -> keep
+      (11L, "bad bad awful"), // (250000*2 + 333333) div 3 = 277777 -> drop
+      (12L, "zzz unseen"),   // no in-vocab tokens -> -1, drop
+      (13L, "good good zzz") // repeats count: (800000*2) div 2 = 800000
+    ).toDF("id", "text")
+    val out = Classifier
+      .score(toScore, "id", col("text"), model)
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .map { case (id, n, sc, k) => id -> ((n, sc, k)) }
+      .toMap
+    assert(out(10L) == ((2L, 525000L, true)))
+    assert(out(11L) == ((3L, 277777L, false)))
+    assert(out(12L) == ((0L, -1L, false)))
+    assert(out(13L) == ((2L, 800000L, true)))
+  }
+
+  test("score is deterministic under repartitioning") {
+    val model = Classifier.train(docs, col("text"), col("pos"), minCount = 1L)
+    def run(parts: Int) = Classifier
+      .score(docs.repartition(parts), "id", col("text"), model)
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(run(1) == run(7))
+  }
+}

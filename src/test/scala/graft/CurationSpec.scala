@@ -220,4 +220,58 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side re-shuffled:\n$plan")
   }
+
+  test("epochUpsample: copy counts bracket the epoch factor, fractional part samples") {
+    val out = Curation
+      .epochUpsample(docs, "id", col("lang"),
+        Map("en" -> 2500, "de" -> 1000, "xx" -> 400), "ep-v1", nShards = 8)
+    val perDoc = out
+      .groupBy("id", "lang")
+      .agg(countDistinct(col("copy_idx")).as("n"), max(col("n_copies")).as("nc"))
+      .as[(Long, String, Long, Int)]
+      .collect()
+    // copy_idx is dense 0..n_copies-1 for every emitted doc
+    perDoc.foreach { case (id, _, n, nc) => assert(n == nc, s"doc $id copies $n != $nc") }
+    val byLang = perDoc.groupBy(_._2)
+    // en (2.5 epochs): every doc has 2 or 3 copies, mean ~2.5 over ~334 docs
+    val en = byLang("en").map(_._4)
+    assert(en.forall(c => c == 2 || c == 3))
+    val enMean = en.map(_.toDouble).sum / en.length
+    assert(enMean > 2.35 && enMean < 2.65, s"en mean copies $enMean for 2.5 epochs")
+    // de (exactly 1 epoch): always exactly 1 copy, no doc dropped
+    assert(byLang("de").map(_._4).forall(_ == 1))
+    assert(byLang("de").length == docs.where(col("lang") === "de").count())
+    // xx (0.4 epochs): survivors have exactly 1 copy, ~40% survive
+    val xx = byLang.getOrElse("xx", Array.empty)
+    assert(xx.map(_._4).forall(_ == 1))
+    val xxTotal = docs.where(col("lang") === "xx").count().toDouble
+    assert(xx.length / xxTotal > 0.28 && xx.length / xxTotal < 0.52,
+      s"xx kept ${xx.length} of $xxTotal at 0.4 epochs")
+    // shards land in [0, 8)
+    assert(out.agg(min("shard"), max("shard")).as[(Long, Long)].head() match {
+      case (lo, hi) => lo >= 0L && hi < 8L
+    })
+  }
+
+  test("epochUpsample: deterministic under repartitioning; more epochs never lose copies") {
+    def run(df: org.apache.spark.sql.DataFrame, eMilli: Int) = Curation
+      .epochUpsample(df, "id", col("lang"), Map("en" -> eMilli, "de" -> eMilli, "xx" -> eMilli),
+        "ep-v1", nShards = 8)
+      .select("id", "copy_idx", "shard")
+      .as[(Long, Int, Long)]
+      .collect()
+      .toSet
+    val a = run(docs, 1300)
+    assert(a == run(docs.repartition(13), 1300))
+    // raising the epoch factor only ADDS (id, copy_idx) pairs
+    val b = run(docs, 1900)
+    assert(a.map(t => (t._1, t._2)).subsetOf(b.map(t => (t._1, t._2))))
+  }
+
+  test("epochUpsample is a narrow map stage: no shuffle exchange in the plan") {
+    val plan = Curation
+      .epochUpsample(docs, "id", col("lang"), Map("en" -> 2500), "ep-v1", nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"epoch upsampling must not shuffle:\n$plan")
+  }
 }
