@@ -45,10 +45,18 @@ object LinkPrediction {
       edges: DataFrame,
       capDeg: Int,
       minCommon: Long,
-      topK: Int
+      topK: Int,
+      wedgePartitions: Int = 0
   ): DataFrame = {
     require(capDeg >= 2, s"capDeg must be >= 2, got $capDeg")
     require(topK >= 1 && minCommon >= 1, s"topK/minCommon must be >= 1")
+    // the candidate-pair aggregation consumes the wedge intermediate —
+    // the one stage whose input dwarfs the edge list — so its shuffle
+    // width is sized from the data (same planning-time stats signal and
+    // calibration as Triangles.wedgeShuffleWidth), not the session default
+    val nWedge =
+      if (wedgePartitions > 0) wedgePartitions
+      else Triangles.wedgeShuffleWidth(edges)
     val und = edges
       .select(
         least(col("src"), col("dst")).as("eu"),
@@ -71,7 +79,11 @@ object LinkPrediction {
       .as("a")
       .join(capped.as("b"), col("a.w") === col("b.w") && col("a.n") < col("b.n"))
       .select(col("a.n").as("u"), col("b.n").as("v"))
+    // explicit (u, v) hash partitioning at the data-sized width: the
+    // aggregation's distribution is already satisfied, so no further
+    // exchange — the wedge stream hash-aggregates over nWedge-way splits
     val cn = wedges
+      .repartition(nWedge, col("u"), col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"))
       .where(col("cn") >= minCommon)

@@ -84,4 +84,18 @@ class LinkPredictionSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("BroadcastHashJoin"), s"degree join should broadcast:\n$plan")
   }
+
+  test("wedge-agg shuffle width is a pure layout knob: explicit width equals auto") {
+    import spark.implicits._
+    val r = new java.util.Random(5)
+    val es = (1 to 400).map(_ => (r.nextInt(25).toLong, r.nextInt(25).toLong)).toDF("src", "dst")
+    def res(wp: Int) = LinkPrediction
+      .predictLinks(es, capDeg = 8, minCommon = 2L, topK = 3, wedgePartitions = wp)
+      .select("node", "candidate", "cn", "jac_micro", "rnk")
+      .as[(Long, Long, Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(res(0) == res(7))
+    assert(res(7) == res(1))
+  }
 }

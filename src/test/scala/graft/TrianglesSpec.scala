@@ -52,4 +52,25 @@ class TrianglesSpec extends SparkSpec {
     val all = rand ++ hub
     assert(counts(all) == naive(all))
   }
+
+  test("wedge shuffle width is a pure layout knob: explicit width equals auto") {
+    import spark.implicits._
+    val r = new java.util.Random(7)
+    val es = (1 to 300).map(_ => (r.nextInt(30).toLong, r.nextInt(30).toLong)).toDF("src", "dst")
+    def res(wp: Int) =
+      Triangles.perNode(es, wedgePartitions = wp).as[(Long, Long)].collect().toMap
+    assert(res(0) == res(7))
+    assert(res(7) == res(1))
+  }
+
+  test("closing join runs at the requested width with no extra exchange") {
+    import spark.implicits._
+    val es = (1L to 50L).map(i => (i, i % 7)).toDF("src", "dst")
+    val plan = Triangles.perNode(es, wedgePartitions = 7).queryExecution.executedPlan.toString
+    // both sides of the semi join carry the explicit 7-way hash
+    // partitioning; the join itself inserts none of its own
+    assert(plan.split(", 7\\), REPARTITION_BY_NUM").length - 1 == 2,
+      s"expected exactly the two explicit 7-way exchanges:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
