@@ -34,8 +34,32 @@ object Classifier {
     * document (boolean column over `docs`).
     */
   def train(docs: DataFrame, textCol: Column, isPositive: Column, minCount: Long): DataFrame =
-    docs
-      .select(isPositive.cast("boolean").as("__pos"), explode(TextFunctions.tokens(textCol)).as("token"))
+    trainOnFeatures(
+      docs.select(
+        isPositive.as("__lbl"),
+        explode(TextFunctions.tokens(textCol)).as("token")
+      ),
+      "token",
+      col("__lbl"),
+      minCount
+    )
+
+  /** [[train]] over an ALREADY-FEATURIZED frame: one row per (feature
+    * occurrence), labeled by `isPositive`. This is the hashed-feature
+    * entry point — at open-vocabulary scale the model is kept bounded
+    * by hashing features into a fixed-width space FIRST (the
+    * hashing-trick / DSIR discipline: the model size is then a chosen
+    * constant, not a function of the corpus), and the same train
+    * arithmetic applies to the bucket ids.
+    */
+  def trainOnFeatures(
+      featureRows: DataFrame,
+      featureCol: String,
+      isPositive: Column,
+      minCount: Long
+  ): DataFrame =
+    featureRows
+      .select(isPositive.cast("boolean").as("__pos"), col(featureCol).as("token"))
       .groupBy(col("token"))
       .agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
@@ -62,8 +86,29 @@ object Classifier {
       model: DataFrame,
       keepThresholdPpm: Long = 500000L
   ): DataFrame =
-    docs
-      .select(col(idCol), explode_outer(TextFunctions.tokens(textCol)).as("token"))
+    scoreOnFeatures(
+      docs.select(col(idCol), explode_outer(TextFunctions.tokens(textCol)).as("token")),
+      idCol,
+      "token",
+      model,
+      keepThresholdPpm
+    )
+
+  /** [[score]] over an already-featurized frame: one row per (idCol,
+    * feature occurrence); a document with no features must still carry
+    * one (idCol, NULL) row to surface in the output (scored -1), the
+    * shape `explode_outer` produces naturally. The model's feature
+    * column is `token` whatever the features are (words, hash buckets).
+    */
+  def scoreOnFeatures(
+      featureRows: DataFrame,
+      idCol: String,
+      featureCol: String,
+      model: DataFrame,
+      keepThresholdPpm: Long = 500000L
+  ): DataFrame =
+    featureRows
+      .select(col(idCol), col(featureCol).as("token"))
       .join(model.select(col("token"), col("w_ppm")), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -3336,6 +3336,91 @@ object TextQueries {
              |FROM sc""".stripMargin)
     ),
 
+    // ---- quality classifier over HASHED features: the open-vocabulary
+    //      discipline — tokens hash into a fixed 4096-bucket feature
+    //      space BEFORE training (hashing trick / DSIR), so the model
+    //      is a chosen constant size at any corpus scale instead of
+    //      vocab-sized. Same integer-ppm train/score arithmetic on the
+    //      bucket ids; the md5 bucket is engine-mirrorable. ----
+    Q(
+      "text_classifier_hashed",
+      (s, dir) => {
+        val feats = Tables
+          .documents(s, dir)
+          .select(
+            col("doc_id"),
+            (col("lang") === "en").as("__lbl"),
+            explode_outer(TextFunctions.tokens(col("text"))).as("token")
+          )
+          .withColumn(
+            "bucket",
+            when(col("token").isNotNull, TextFunctions.splitBucket(col("token"), 4096, "fh"))
+          )
+        val model = Classifier
+          .trainOnFeatures(feats.where(col("bucket").isNotNull), "bucket", col("__lbl"), minCount = 3L)
+        Classifier
+          .scoreOnFeatures(feats, "doc_id", "bucket", model, keepThresholdPpm = 500000L)
+          .withColumn("keep", col("keep").cast("int"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |f AS (SELECT doc_id, pos,
+             |        CAST('0x' || substr(md5('fh:' || token), 1, 15) AS BIGINT) % 4096 AS bucket
+             |      FROM t),
+             |c AS (SELECT bucket,
+             |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             |             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+             |      FROM f GROUP BY 1),
+             |m AS (SELECT bucket, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
+             |      FROM c WHERE c_pos + c_neg >= 3),
+             |sc AS (SELECT f.doc_id,
+             |              CAST(count(m.w_ppm) AS BIGINT) AS n_scored,
+             |              coalesce(sum(m.w_ppm), 0) AS sw
+             |       FROM f LEFT JOIN m USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_scored,
+             |       CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END AS score_ppm,
+             |       CAST(CASE WHEN (CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END)
+             |                      >= 500000 THEN 1 ELSE 0 END AS INT) AS keep
+             |FROM sc""".stripMargin)
+    ),
+
+    // ---- corpus DATA CARD: the per-(source, lang) + per-source +
+    //      corpus-total reporting rollup a dataset release ships with
+    //      (doc counts, token mass, char mass, longest doc) — one
+    //      GROUPING SETS pass over the corpus, token counts from the
+    //      same whitespace tokenizer every other query uses. ----
+    Q(
+      "corpus_data_card",
+      (s, dir) =>
+        Tables
+          .documents(s, dir)
+          .select(
+            col("source"),
+            col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("__tok"),
+            col("n_chars")
+          )
+          .groupingSets(
+            Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq.empty),
+            col("source"),
+            col("lang")
+          )
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("__tok")).as("sum_tokens"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("n_chars")).as("max_chars")
+          ),
+      Some("""SELECT source, lang,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM documents
+             |GROUP BY GROUPING SETS ((source, lang), (source), ())""".stripMargin)
+    ),
+
     // ---- HYBRID retrieval with Reciprocal Rank Fusion: lexical
     //      posting-list top-20 (stop-token df gate at 10% of the
     //      corpus) fused with embedding-cosine top-20 by

@@ -57,6 +57,46 @@ class ClassifierSpec extends SparkSpec {
     assert(out(13L) == ((2L, 800000L, true)))
   }
 
+  test("hashed features: model bounded by bucket count, collisions pool counts") {
+    import graft.functions.TextFunctions
+    // nBuckets = 1 forces EVERY token into one bucket: the model must
+    // collapse to a single pooled row and every doc scores that row's
+    // weight — the degenerate case that makes collision semantics exact
+    val feats = docs
+      .select(col("id"), col("pos"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket", TextFunctions.splitBucket(col("token"), 1, "fh"))
+    val model = Classifier.trainOnFeatures(feats, "bucket", col("pos"), minCount = 1L)
+    val rows  = model.as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    // 4 pos occurrences (good fine good good), 4 neg (bad awful bad fine)
+    assert(rows.head == ((0L, 4L, 4L, 500000L)))
+    val scores = Classifier
+      .scoreOnFeatures(feats, "id", "bucket", model)
+      .select("score_ppm").distinct().as[Long].collect().toSeq
+    assert(scores == Seq(500000L))
+  }
+
+  test("hashed features at a wide bucket space match the word-path scores") {
+    import graft.functions.TextFunctions
+    // 1<<20 buckets over a 4-token vocabulary: collision-free with
+    // overwhelming margin, so bucketing is a bijection on this fixture
+    // and the hashed pipeline must reproduce the word-path result
+    val feats = docs
+      .select(col("id"), col("pos"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("bucket", TextFunctions.splitBucket(col("token"), 1 << 20, "fh"))
+    val hm = Classifier.trainOnFeatures(feats, "bucket", col("pos"), minCount = 1L)
+    val hashed = Classifier
+      .scoreOnFeatures(feats, "id", "bucket", hm)
+      .select("id", "n_scored", "score_ppm")
+      .as[(Long, Long, Long)].collect().map { case (i, n, sc) => i -> ((n, sc)) }.toMap
+    val wm = Classifier.train(docs, col("text"), col("pos"), minCount = 1L)
+    val words = Classifier
+      .score(docs, "id", col("text"), wm)
+      .select("id", "n_scored", "score_ppm")
+      .as[(Long, Long, Long)].collect().map { case (i, n, sc) => i -> ((n, sc)) }.toMap
+    assert(hashed == words)
+  }
+
   test("score is deterministic under repartitioning") {
     val model = Classifier.train(docs, col("text"), col("pos"), minCount = 1L)
     def run(parts: Int) = Classifier
