@@ -53,6 +53,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most similar corpus vectors with a DIFFERENT label —
+    * the negatives that actually teach (a random negative is usually
+    * trivially far; the near-miss carries the gradient). Same scale
+    * shape as [[bruteForceTopK]]: the query set broadcasts, the corpus
+    * never shuffles for the join, only the k-bounded ranking exchanges.
+    * Returns (query_id, neighbor_id, rank, cos).
+    */
+  def hardNegativeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(labelCol).as("q_lbl"),
+      VectorFunctions.toDouble(col(vecCol)).as("q_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("q_norm")
+    )
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(labelCol).as("c_lbl"),
+      VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
+      VectorFunctions.norm2(col(vecCol)).as("c_norm")
+    )
+    val scored = c
+      .join(broadcast(q), col("q_lbl") =!= col("c_lbl"))
+      .withColumn(
+        "cos",
+        VectorFunctions.cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm"))
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** The multi-probe masks of one LSH table: own bucket, every
     * single-bit flip (depth 1), every two-bit flip (depth 2).
     */

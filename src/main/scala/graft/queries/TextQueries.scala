@@ -3500,6 +3500,103 @@ object TextQueries {
              |SELECT query_id, neighbor_id, rrf_nano, rnk FROM r WHERE rnk <= 5""".stripMargin)
     ),
 
+    // ---- HARD-negative mining: for each query embedding, the top-3
+    //      nearest CROSS-LABEL vectors — the near-misses that carry
+    //      contrastive gradient (random negatives are trivially far).
+    //      Query set broadcast, corpus never shuffles, ranking is the
+    //      only exchange. ----
+    Q(
+      "ann_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity
+          .hardNegativeTopK(
+            corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+              .repartition(s.sparkContext.defaultParallelism),
+            queries = emb.where(col("vec_id") % 100 === 0)
+              .select(col("vec_id"), col("embedding"), col("label")),
+            idCol = "vec_id",
+            vecCol = "embedding",
+            labelCol = "label",
+            k = 3
+          )
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
+             |          FROM embeddings WHERE vec_id % 100 = 0),
+             |c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv
+             |      FROM embeddings),
+             |s AS (SELECT query_id, neighbor_id,
+             |    list_dot_product(qv, cv) /
+             |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+             |  FROM q CROSS JOIN c WHERE ql <> cl),
+             |r AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+             |  FROM s)
+             |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 3""".stripMargin)
+    ),
+
+    // ---- classifier EVAL: precision/recall sweep of the quality
+    //      classifier against its weak label across five thresholds —
+    //      the release-gate table a filter model ships with. The
+    //      threshold grid is a 5-row broadcast; confusion counts are
+    //      one conditional aggregation; precision/recall are exact
+    //      integer ppm. ----
+    Q(
+      "text_classifier_pr_curve",
+      (s, dir) => {
+        import s.implicits._
+        val docs   = Tables.documents(s, dir)
+        val model  = Classifier.train(docs, col("text"), col("lang") === "en", minCount = 3L)
+        val scored = Classifier
+          .score(docs, "doc_id", col("text"), model)
+          .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_pos")), "doc_id")
+        scored
+          .crossJoin(broadcast((3 to 7).map(_ * 100000L).toDF("thr")))
+          .groupBy(col("thr"))
+          .agg(
+            sum(when(col("score_ppm") >= col("thr") && col("is_pos"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("score_ppm") >= col("thr") && !col("is_pos"), 1L).otherwise(0L)).as("fp"),
+            sum(when(col("score_ppm") < col("thr") && col("is_pos"), 1L).otherwise(0L)).as("fn"),
+            sum(when(col("score_ppm") < col("thr") && !col("is_pos"), 1L).otherwise(0L)).as("tn")
+          )
+          .select(
+            col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+            when(col("tp") + col("fp") > 0, expr("(1000000L * tp) div (tp + fp)"))
+              .otherwise(lit(-1L)).as("prec_ppm"),
+            when(col("tp") + col("fn") > 0, expr("(1000000L * tp) div (tp + fn)"))
+              .otherwise(lit(-1L)).as("rec_ppm")
+          )
+      },
+      Some("""WITH t AS (
+             |  SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |c AS (SELECT token,
+             |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             |             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+             |      FROM t GROUP BY 1),
+             |m AS (SELECT token, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
+             |      FROM c WHERE c_pos + c_neg >= 3),
+             |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |sc AS (SELECT dt.doc_id, count(m.w_ppm) AS n_scored, coalesce(sum(m.w_ppm), 0) AS sw
+             |       FROM dt LEFT JOIN m USING (token) GROUP BY 1),
+             |sd AS (SELECT s.doc_id,
+             |              CASE WHEN s.n_scored > 0 THEN s.sw // s.n_scored ELSE -1 END AS score,
+             |              d.lang = 'en' AS is_pos
+             |       FROM sc s JOIN documents d USING (doc_id)),
+             |g AS (SELECT unnest([300000, 400000, 500000, 600000, 700000]) AS thr),
+             |cf AS (SELECT thr,
+             |              CAST(sum(CASE WHEN score >= thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |              CAST(sum(CASE WHEN score >= thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |              CAST(sum(CASE WHEN score < thr AND is_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |              CAST(sum(CASE WHEN score < thr AND NOT is_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |       FROM sd CROSS JOIN g GROUP BY 1)
+             |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+             |       CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) ELSE -1 END AS prec_ppm,
+             |       CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) ELSE -1 END AS rec_ppm
+             |FROM cf""".stripMargin)
+    ),
+
     // ---- epoch-based domain upsampling: materialize the dataset a
     //      training run reads when the mixture is stated in EPOCHS per
     //      domain — floor(e) full copies plus a salted-md5 fractional

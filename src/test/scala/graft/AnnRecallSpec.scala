@@ -153,4 +153,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(shippedRes >= 0.90, f"shipped residual IVF-PQ recall regressed: $shippedRes%.3f (measured 0.92)")
     assert(liveRes >= 0.90, f"live-trained residual IVF-PQ recall regressed: $liveRes%.3f (measured 0.92)")
   }
+
+  test("hardNegativeTopK: only cross-label neighbors, ranked by cosine, self never appears") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 2-d vectors, label = quadrant-ish class; query 0 (label 0) points
+    // along +x: nearest cross-label by cosine is 10 (0.9, 0.1), then 11
+    // (0.5, 0.5), then 12 (0.0, 1.0)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.95f, 0.05f), 0),  // same label: must NOT appear
+      (10L, Array(0.9f, 0.1f), 1),
+      (11L, Array(0.5f, 0.5f), 1),
+      (12L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity
+      .hardNegativeTopK(emb, emb.where($"vec_id" === 0L), "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSeq
+      .sortBy(_._3)
+    assert(out == Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)))
+  }
 }
