@@ -289,6 +289,45 @@ object Curation {
       .drop("__med2", "__dev2", "__mad4")
   }
 
+  /** Curriculum scheduling — assign every row an easy-to-hard PHASE by
+    * exact difficulty quantiles plus a deterministic within-phase
+    * shuffle key, so a writer can materialize the curriculum order as
+    * a range-partitioned sort on (phase, ord_hash) — curriculum
+    * learning's data-side half (Bengio et al., ICML 2009) without ever
+    * ranking the corpus through a single-partition window (the naive
+    * ntile/row_number formulation collapses the whole corpus onto one
+    * task; this one never does).
+    *
+    * Mechanism: the nPhases-1 exact quantile boundaries of
+    * `difficultyCol` are ONE group-sized aggregation broadcast back;
+    * phase = 1 + #(boundaries strictly below the row's difficulty) —
+    * a codegen'd comparison against a handful of literals-by-broadcast.
+    * `ord_hash` is the salted-md5 of the id: a new salt is a fresh
+    * epoch-order redraw, same salt is bit-identical across runs and
+    * engines. No join keyed on the corpus, no window, no shuffle of
+    * the corpus itself.
+    */
+  def curriculumPhases(
+      df: DataFrame,
+      idCol: String,
+      difficultyCol: String,
+      nPhases: Int,
+      salt: String
+  ): DataFrame = {
+    require(nPhases >= 2, s"nPhases must be >= 2: got $nPhases")
+    val qs = (1 until nPhases).map(_.toDouble / nPhases)
+    val bounds = df.agg(
+      expr(s"percentile($difficultyCol, array(${qs.mkString(", ")}))").as("__qb")
+    )
+    val phase = (0 until nPhases - 1)
+      .map(i => when(col(difficultyCol) > col("__qb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.crossJoin(broadcast(bounds))
+      .withColumn("phase", phase)
+      .withColumn("ord_hash", TextFunctions.splitHash(col(idCol), salt))
+      .drop("__qb")
+  }
+
   /** Epoch-based domain upsampling — materialize the dataset a training
     * run actually reads when the mixture is stated in EPOCHS per domain
     * (e.g. "wiki 2.5 epochs, crawl 1 epoch, code 0.6"): every row is

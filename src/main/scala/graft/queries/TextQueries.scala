@@ -3597,6 +3597,36 @@ object TextQueries {
              |FROM cf""".stripMargin)
     ),
 
+    // ---- curriculum scheduling: easy-to-hard phase by exact length
+    //      deciles (one group-sized percentile agg broadcast back — no
+    //      single-partition ranking window anywhere) plus the salted
+    //      within-phase shuffle key a range-partitioned writer sorts on. ----
+    Q(
+      "curation_curriculum_order",
+      (s, dir) =>
+        Curation
+          .curriculumPhases(
+            Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+            "doc_id",
+            "n_chars",
+            nPhases = 10,
+            salt = "curr1"
+          )
+          .select(col("doc_id"), col("n_chars"), col("phase"), col("ord_hash")),
+      Some {
+        val fracs = (1 until 10).map(i => (i.toDouble / 10).toString).mkString(", ")
+        val phaseSum = (1 to 9)
+          .map(i => s"(CASE WHEN n_chars > qb[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT quantile_cont(n_chars, [$fracs]) AS qb FROM documents)
+           |SELECT doc_id, n_chars,
+           |       CAST(1 + $phaseSum AS INT) AS phase,
+           |       CAST('0x' || substr(md5('curr1:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           |         AS ord_hash
+           |FROM documents CROSS JOIN b""".stripMargin
+      }
+    ),
+
     // ---- epoch-based domain upsampling: materialize the dataset a
     //      training run reads when the mixture is stated in EPOCHS per
     //      domain — floor(e) full copies plus a salted-md5 fractional

@@ -268,6 +268,48 @@ class CurationSpec extends SparkSpec {
     assert(a.map(t => (t._1, t._2)).subsetOf(b.map(t => (t._1, t._2))))
   }
 
+  test("curriculumPhases: balanced phases, difficulty-monotone, deterministic") {
+    val d = (0L until 1000L).map(i => (i, i % 500)).toDF("id", "diff")
+    val out = Curation
+      .curriculumPhases(d, "id", "diff", nPhases = 5, salt = "c-v1")
+      .select("id", "diff", "phase", "ord_hash")
+      .as[(Long, Long, Int, Long)]
+      .collect()
+    // phases cover 1..5 and are roughly balanced on a uniform difficulty
+    val sizes = out.groupBy(_._3).map { case (p, xs) => p -> xs.length }
+    assert(sizes.keySet == Set(1, 2, 3, 4, 5), s"phases: $sizes")
+    assert(sizes.values.forall(n => n > 120 && n < 280), s"unbalanced: $sizes")
+    // monotone: a strictly harder row never lands in an earlier phase
+    val byDiff = out.sortBy(_._2).map(_._3)
+    assert(byDiff.zip(byDiff.tail).forall { case (a, b) => a <= b })
+    // same salt = bit-identical rerun; new salt = same phases, new order
+    val again = Curation
+      .curriculumPhases(d.repartition(11), "id", "diff", 5, "c-v1")
+      .select("id", "diff", "phase", "ord_hash")
+      .as[(Long, Long, Int, Long)]
+      .collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val redraw = Curation
+      .curriculumPhases(d, "id", "diff", 5, "c-v2")
+      .select("id", "phase", "ord_hash")
+      .as[(Long, Int, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(redraw.map(x => (x._1, x._2)).toSeq == out.sortBy(_._1).map(x => (x._1, x._3)).toSeq)
+    assert(redraw.map(_._3).toSeq != out.sortBy(_._1).map(_._4).toSeq)
+  }
+
+  test("curriculumPhases: corpus never shuffles — boundary agg broadcasts back") {
+    val d = (0L until 100L).map(i => (i, i)).toDF("id", "diff")
+    val plan = Curation
+      .curriculumPhases(d, "id", "diff", 4, "c-v1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not hash-shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"boundaries must broadcast:\n$plan")
+  }
+
   test("epochUpsample is a narrow map stage: no shuffle exchange in the plan") {
     val plan = Curation
       .epochUpsample(docs, "id", col("lang"), Map("en" -> 2500), "ep-v1", nShards = 8)
