@@ -690,8 +690,8 @@ object TextQueries {
              |  SELECT t[u.i] AS w1, t[u.i+1] AS w2
              |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
              |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-             |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY 1)
-             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+             |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, c1,
              |       (1000000 * c12) // c1 AS p_ppm
              |FROM c2 JOIN c1 USING (w1)
              |ORDER BY c12 DESC, w1, w2 LIMIT 500""".stripMargin)
@@ -1756,7 +1756,8 @@ object TextQueries {
         ),
       Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
              |w AS (SELECT *, CAST(floor(sqrt(n_docs * 1000000.0)) AS BIGINT) AS wt FROM c),
-             |t AS (SELECT sum(n_docs) AS nn, sum(wt) AS sw FROM w)
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             |             CAST(sum(wt) AS BIGINT) AS sw FROM w)
              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
              |  (1000000 * n_docs) // nn AS p_ppm,
              |  (1000000 * wt) // sw AS q_ppm,
@@ -3319,15 +3320,15 @@ object TextQueries {
              |  SELECT lang = 'en' AS pos, unnest(string_split(text, ' ')) AS token
              |  FROM documents),
              |c AS (SELECT token,
-             |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
-             |             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+             |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
              |      FROM t GROUP BY 1),
              |m AS (SELECT token, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
              |      FROM c WHERE c_pos + c_neg >= 3),
              |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
              |sc AS (SELECT dt.doc_id,
              |              CAST(count(m.w_ppm) AS BIGINT) AS n_scored,
-             |              coalesce(sum(m.w_ppm), 0) AS sw
+             |              CAST(coalesce(sum(m.w_ppm), 0) AS BIGINT) AS sw
              |       FROM dt LEFT JOIN m USING (token) GROUP BY 1)
              |SELECT doc_id, n_scored,
              |       CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END AS score_ppm,
@@ -3369,14 +3370,14 @@ object TextQueries {
              |        CAST('0x' || substr(md5('fh:' || token), 1, 15) AS BIGINT) % 4096 AS bucket
              |      FROM t),
              |c AS (SELECT bucket,
-             |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
-             |             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+             |             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             |             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
              |      FROM f GROUP BY 1),
              |m AS (SELECT bucket, (1000000 * (c_pos + 1)) // (c_pos + c_neg + 2) AS w_ppm
              |      FROM c WHERE c_pos + c_neg >= 3),
              |sc AS (SELECT f.doc_id,
              |              CAST(count(m.w_ppm) AS BIGINT) AS n_scored,
-             |              coalesce(sum(m.w_ppm), 0) AS sw
+             |              CAST(coalesce(sum(m.w_ppm), 0) AS BIGINT) AS sw
              |       FROM f LEFT JOIN m USING (bucket) GROUP BY 1)
              |SELECT doc_id, n_scored,
              |       CASE WHEN n_scored > 0 THEN sw // n_scored ELSE -1 END AS score_ppm,

@@ -24,6 +24,21 @@ class DecimalInOutput(Exception):
     must emit canonical digit strings (or int64) instead."""
 
 
+# Types whose Arrow rendering in the driver's hash canon diverges from
+# DuckDB's Python fetch (HUGEINT fetches as plain `int`, so a value-level
+# check can't see it — the r7 seal greened 4 driver-red rows that way).
+# The gate runs on relation TYPES, before any value is fetched.
+BANNED_TYPE_TOKENS = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def check_types(name, side, rel):
+    """Hard-fail on driver-unsafe column types (recursive via str())."""
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(tok in t for tok in BANNED_TYPE_TOKENS):
+            raise DecimalInOutput(f"{side} column {col} has type {typ}")
+
+
 def canon(v):
     if isinstance(v, decimal.Decimal):
         raise DecimalInOutput(str(v))
@@ -65,16 +80,18 @@ def main():
             continue
         try:
             got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            check_types(name, "spark", got)
             gcols, grows = frame_rows([d[0] for d in got.description], got.fetchall())
         except DecimalInOutput as e:
-            print(f"DECIMAL  {name}: spark result emits Decimal ({e}) — not hash-safe")
+            print(f"DECIMAL  {name}: spark result not hash-safe ({e})")
             n_fail += 1
             continue
         try:
             exp = con.sql(sql)
+            check_types(name, "oracle", exp)
             ecols, erows = frame_rows([d[0] for d in exp.description], exp.fetchall())
         except DecimalInOutput as e:
-            print(f"DECIMAL  {name}: oracle emits Decimal ({e}) — not hash-safe")
+            print(f"DECIMAL  {name}: oracle not hash-safe ({e})")
             n_fail += 1
             continue
         except Exception as e:
