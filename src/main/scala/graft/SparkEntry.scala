@@ -11,9 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * driver's hash-compare gate.
   */
 object SparkEntry {
-  private def all: Seq[Q] =
-    RelationalQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++ SourceQueries.qs ++
-      ConformQueries.qs ++ TemporalQueries.qs ++ PipelineQueries.qs ++ GraphQueries.qs
+  private def all: Seq[Q] = {
+    val qs =
+      RelationalQueries.qs ++ CdcQueries.qs ++ TextQueries.qs ++ SourceQueries.qs ++
+        ConformQueries.qs ++ TemporalQueries.qs ++ PipelineQueries.qs ++ GraphQueries.qs
+    // a duplicate name would silently SHADOW the earlier query in the
+    // Map (coverage shrinks with no error anywhere) — fail loudly instead
+    val dups = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

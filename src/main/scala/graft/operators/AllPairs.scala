@@ -79,6 +79,18 @@ object AllPairs {
     // the prefix index feeds BOTH sides of the candidate self-join —
     // materialize it once too (it is the small end: |prefix| < |elems|)
     val prefix = if (materializeSets) prefixPlan.localCheckpoint() else prefixPlan
+    // The candidate stage deliberately keeps Catalyst's OWN exchanges —
+    // both width experiments regressed it (measured at sf0.1,
+    // control-normalized): an explicit repartition onto the pair keys
+    // before distinct() ships every raw pair (losing the map-side
+    // partial dedup of the per-shared-prefix-element duplication,
+    // 9.1 -> 15.0 s), and explicit repartition(width, e) on the join
+    // sides carries REPARTITION_BY_COL shuffle origin, which makes the
+    // candidate join ineligible for AQE's OptimizeSkewedJoin — and a
+    // hot prefix element IS the skew case this join lives with
+    // (~1.5x). ENSURE_REQUIREMENTS exchanges keep skew-split + AQE
+    // re-sizing; InputSizing stays the remedy for NON-join heavies
+    // (wedge sorts) where no skew handler competes.
     val cand = prefix
       .as("a")
       .join(
@@ -151,6 +163,10 @@ object AllPairs {
     // container-side index: every element (no prefix bound exists for
     // the big side of an asymmetric containment)
     val index = ranked.select(col("e"), col("id"), col("n"))
+    // Catalyst's own exchanges on the candidate join — see the
+    // jaccardPairs note: explicit width repartitions forfeit AQE
+    // skew-splitting on hot posting elements, which this join (full
+    // container index) needs even more than the symmetric one
     val cand = prefix
       .as("a")
       .join(

@@ -298,27 +298,39 @@ object Curation {
     * ntile/row_number formulation collapses the whole corpus onto one
     * task; this one never does).
     *
-    * Mechanism: the nPhases-1 exact quantile boundaries of
-    * `difficultyCol` are ONE group-sized aggregation broadcast back;
-    * phase = 1 + #(boundaries strictly below the row's difficulty) —
-    * a codegen'd comparison against a handful of literals-by-broadcast.
-    * `ord_hash` is the salted-md5 of the id: a new salt is a fresh
-    * epoch-order redraw, same salt is bit-identical across runs and
-    * engines. No join keyed on the corpus, no window, no shuffle of
-    * the corpus itself.
+    * Mechanism: the nPhases-1 quantile boundaries of `difficultyCol`
+    * are ONE aggregation broadcast back; phase = 1 + #(boundaries
+    * strictly below the row's difficulty) — a codegen'd comparison
+    * against a handful of literals-by-broadcast. `ord_hash` is the
+    * salted-md5 of the id: a new salt is a fresh epoch-order redraw,
+    * same salt is bit-identical across runs and engines. No join keyed
+    * on the corpus, no window.
+    *
+    * Boundary estimator: `approx = false` uses Spark's EXACT
+    * `percentile`, whose aggregation state buffers every difficulty
+    * value and merges the whole column onto the final task — fine at
+    * fixture/oracle scale (and required for bit-equality with the
+    * DuckDB twin), an OOM risk at corpus scale. At 100 TB pass
+    * `approx = true`: `approx_percentile` (t-digest-style bounded
+    * sketch, mergeable map-side) holds per-partition state at
+    * O(accuracy), never the column — phase boundaries shift by at most
+    * the sketch error, which curriculum bucketing tolerates by design.
     */
   def curriculumPhases(
       df: DataFrame,
       idCol: String,
       difficultyCol: String,
       nPhases: Int,
-      salt: String
+      salt: String,
+      approx: Boolean = false,
+      approxAccuracy: Int = 10000
   ): DataFrame = {
     require(nPhases >= 2, s"nPhases must be >= 2: got $nPhases")
     val qs = (1 until nPhases).map(_.toDouble / nPhases)
-    val bounds = df.agg(
-      expr(s"percentile($difficultyCol, array(${qs.mkString(", ")}))").as("__qb")
-    )
+    val pctl =
+      if (approx) s"approx_percentile($difficultyCol, array(${qs.mkString(", ")}), $approxAccuracy)"
+      else s"percentile($difficultyCol, array(${qs.mkString(", ")}))"
+    val bounds = df.agg(expr(pctl).cast("array<double>").as("__qb"))
     val phase = (0 until nPhases - 1)
       .map(i => when(col(difficultyCol) > col("__qb").getItem(i), 1).otherwise(0))
       .reduce(_ + _) + 1

@@ -92,6 +92,25 @@ object RangeJoin {
     * `bucketSeconds` near the typical span, and a burst bucket is an
     * AQE-skew-split candidate. Column names must be disjoint across the
     * two inputs (the join emits both sides).
+    *
+    * PAIR-BUDGET CONTRACT: the raw output is worst-case quadratic in
+    * the per-bucket populations — at 100 TB a consumer never wants the
+    * unbounded pair list. Downstream must either AGGREGATE the pairs
+    * (the shipped t_interval_overlap_join query reduces straight to
+    * per-user totals) or CAP them via `maxPairsPerLeft`: keep only the
+    * top-N right matches per left interval, ranked by overlap duration
+    * descending (ties broken by `rStart` asc then `rEnd` asc — pass
+    * more specific right-side keys through `extraPred` filtering if
+    * the tie set can exceed it). The cap runs as ONE window over the
+    * join output hash-partitioned by the left interval's identity
+    * `(lStart, lEnd, pairBudgetKeys…)` — bounded per-group state, no
+    * global sort.
+    *
+    * Shuffle width: the bucket-id exchange carries the exploded,
+    * pre-pair intermediate; `shufflePartitions = 0` (default) sizes it
+    * from both inputs' leaf stats ([[graft.plans.InputSizing]] — the
+    * triangle-wedge mechanism) instead of the session default, which
+    * under-partitions exactly when the pair space blows up.
     */
   def bucketedOverlapJoin(
       left: DataFrame,
@@ -101,24 +120,44 @@ object RangeJoin {
       rStart: String,
       rEnd: String,
       bucketSeconds: Long,
-      extraPred: Column = lit(true)
+      extraPred: Column = lit(true),
+      shufflePartitions: Int = 0,
+      maxPairsPerLeft: Int = 0,
+      pairBudgetKeys: Seq[String] = Nil
   ): DataFrame = {
     val b = bucketSeconds * 1000000L
-    val l = left.withColumn(
-      "__bka",
-      explode(sequence(
-        expr(s"unix_micros($lStart) div ${b}L"),
-        expr(s"unix_micros($lEnd) div ${b}L")
-      ))
-    )
-    val r = right.withColumn(
-      "__bkb",
-      explode(sequence(
-        expr(s"unix_micros($rStart) div ${b}L"),
-        expr(s"unix_micros($rEnd) div ${b}L")
-      ))
-    )
-    l.join(
+    // 128 KiB granularity: the exploded bucket rows multiply the input
+    // by ceil(span/bucket) and the join's per-bucket pair space is a
+    // product — steeper-than-linear in input bytes, so the width must
+    // outgrow the session default well before the wedge join's 1 MiB
+    // heuristic would
+    val width =
+      if (shufflePartitions > 0) shufflePartitions
+      else
+        math.max(
+          graft.plans.InputSizing.widthFor(left, bytesPerPartition = 128L << 10),
+          graft.plans.InputSizing.widthFor(right, bytesPerPartition = 128L << 10)
+        )
+    val l = left
+      .withColumn(
+        "__bka",
+        explode(sequence(
+          expr(s"unix_micros($lStart) div ${b}L"),
+          expr(s"unix_micros($lEnd) div ${b}L")
+        ))
+      )
+      .repartition(width, col("__bka"))
+    val r = right
+      .withColumn(
+        "__bkb",
+        explode(sequence(
+          expr(s"unix_micros($rStart) div ${b}L"),
+          expr(s"unix_micros($rEnd) div ${b}L")
+        ))
+      )
+      .repartition(width, col("__bkb"))
+    val joined = l
+      .join(
         r,
         col("__bka") === col("__bkb") &&
           // canonical-bucket filter: count the pair only where the
@@ -133,5 +172,20 @@ object RangeJoin {
         "inner"
       )
       .drop("__bka", "__bkb")
+    if (maxPairsPerLeft <= 0) joined
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((Seq(lStart, lEnd) ++ pairBudgetKeys).map(col): _*)
+        .orderBy(
+          (expr(s"unix_micros(least($lEnd, $rEnd))") -
+            expr(s"unix_micros(greatest($lStart, $rStart))")).desc,
+          col(rStart).asc,
+          col(rEnd).asc
+        )
+      joined
+        .withColumn("__pr", row_number().over(w))
+        .where(col("__pr") <= maxPairsPerLeft)
+        .drop("__pr")
+    }
   }
 }

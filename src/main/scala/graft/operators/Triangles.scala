@@ -40,13 +40,12 @@ object Triangles {
     * while input bytes are the honest proxy for edge volume — and under
     * a degree-preserving scale-up, for wedge volume per partition. One
     * partition per MiB of input, clamped to [defaultParallelism, 4096].
+    * Shared mechanism (incl. the stats-less-leaf sentinel exclusion, so
+    * in-memory test graphs size to defaultParallelism, not 4096):
+    * [[graft.plans.InputSizing]].
     */
-  private[operators] def wedgeShuffleWidth(edges: DataFrame): Int = {
-    val base = edges.sparkSession.sparkContext.defaultParallelism
-    val est =
-      edges.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum / 1048576
-    math.min(4096, math.max(base, est.min(BigInt(4096)).toInt))
-  }
+  private[operators] def wedgeShuffleWidth(edges: DataFrame): Int =
+    graft.plans.InputSizing.widthFor(edges)
 
   /** Per-node triangle participation counts over the UNDIRECTED graph
     * induced by `edges` (direction and duplicates ignored, self-loops

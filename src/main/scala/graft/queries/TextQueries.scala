@@ -3662,6 +3662,82 @@ object TextQueries {
              |         % 16 AS shard
              |FROM c, unnest(generate_series(0, n_copies - 1)) AS u(ci)
              |WHERE n_copies > 0""".stripMargin)
+    ),
+
+    // ---- Gopher rule-based quality gate (Rae et al. 2021 A1.1): word
+    //      count, mean word length, alphabetic-word fraction, distinct
+    //      stopword hits — integer ppm/milli bits, pure per-row HOF map
+    //      (zero shuffles, plan-pinned in QualityRulesSpec). ----
+    Q(
+      "text_gopher_quality",
+      (s, dir) =>
+        graft.operators.QualityRules
+          .gopherQuality(Tables.documents(s, dir), "doc_id", col("text")),
+      Some {
+        val stops = graft.operators.QualityRules.DefaultStopwords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |m AS (SELECT doc_id, len(tk) AS n,
+           |        CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sumlen,
+           |        len(list_filter(tk, x -> regexp_matches(x, '^[A-Za-z]+$$'))) AS alpha,
+           |        len(list_intersect(list_distinct(tk), $stops)) AS stop_hits
+           |      FROM t),
+           |r AS (SELECT doc_id,
+           |        CAST(n AS BIGINT) AS n_words,
+           |        CAST(CASE WHEN n > 0 THEN (sumlen * 1000) // n ELSE -1 END AS BIGINT) AS mean_len_milli,
+           |        CAST(CASE WHEN n > 0 THEN (CAST(alpha AS BIGINT) * 1000000) // n ELSE -1 END AS BIGINT) AS alpha_ppm,
+           |        CAST(stop_hits AS BIGINT) AS stop_hits
+           |      FROM m)
+           |SELECT doc_id, n_words, mean_len_milli, alpha_ppm, stop_hits,
+           |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INT) AS word_count_ok,
+           |  CAST(CASE WHEN mean_len_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS INT) AS mean_len_ok,
+           |  CAST(CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END AS INT) AS alpha_ok,
+           |  CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS stop_ok,
+           |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_len_milli BETWEEN 3000 AND 10000
+           |             AND alpha_ppm >= 800000 AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM r""".stripMargin
+      }
+    ),
+
+    // ---- token-level repetition FRACTIONS (Gopher's duplicate-n-gram
+    //      family, ppm form — complements text_repetition_stats'
+    //      raw counts): top-token fraction via a longest-equal-run
+    //      fold over the SORTED token array — O(dl log dl) per row and
+    //      ZERO shuffles, where the counts query pays an explode +
+    //      corpus-wide (doc, token) aggregation for the same number
+    //      (the naive HOF alternative it documents is O(dl^2); the
+    //      sorted-run fold is the third option that beats both at
+    //      scale). Duplicate 2/3-gram fractions + type-token ratio via
+    //      array_distinct. The oracle counts the classic way
+    //      (unnest + GROUP BY); identical integers either way. ----
+    Q(
+      "text_repetition_ppm",
+      (s, dir) =>
+        graft.operators.QualityRules
+          .repetitionStats(Tables.documents(s, dir), "doc_id", col("text")),
+      Some(
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+          |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+          |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+          |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc,
+          |               CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS u
+          |        FROM cnt GROUP BY 1),
+          |g AS (SELECT doc_id,
+          |        CAST(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS BIGINT) AS g2,
+          |        CAST(CASE WHEN len(tk) >= 2 THEN len(list_distinct(list_transform(
+          |          generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])))
+          |          ELSE 0 END AS BIGINT) AS ug2,
+          |        CAST(CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 0 END AS BIGINT) AS g3,
+          |        CAST(CASE WHEN len(tk) >= 3 THEN len(list_distinct(list_transform(
+          |          generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+          |          ELSE 0 END AS BIGINT) AS ug3
+          |      FROM t)
+          |SELECT top.doc_id, top.n AS n_tokens,
+          |  CAST(CASE WHEN top.n > 0 THEN (maxc * 1000000) // top.n ELSE -1 END AS BIGINT) AS top_token_ppm,
+          |  CAST(CASE WHEN top.n > 0 THEN (u * 1000000) // top.n ELSE -1 END AS BIGINT) AS distinct_ppm,
+          |  CAST(CASE WHEN g2 > 0 THEN ((g2 - ug2) * 1000000) // g2 ELSE -1 END AS BIGINT) AS dup_2gram_ppm,
+          |  CAST(CASE WHEN g3 > 0 THEN ((g3 - ug3) * 1000000) // g3 ELSE -1 END AS BIGINT) AS dup_3gram_ppm
+          |FROM top JOIN g ON top.doc_id = g.doc_id""".stripMargin)
     )
   )
 }

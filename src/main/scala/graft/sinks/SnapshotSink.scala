@@ -126,18 +126,36 @@ object SnapshotSink {
     */
   val BucketCountMarker = "_graft_buckets"
 
-  /** The persisted bucket count of the mart at `path`, if any. */
+  /** The persisted bucket count of the mart at `path`, if any. A
+    * malformed/truncated marker fails with a message that names the
+    * file and the repair (delete it and re-run — the next load
+    * re-validates the count against the on-disk bucket dirs and
+    * re-writes it), instead of a bare NumberFormatException pointing
+    * nowhere.
+    */
   def bucketCountOf(spark: SparkSession, path: String): Option[Int] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val m  = new org.apache.hadoop.fs.Path(path, BucketCountMarker)
     if (!fs.exists(m)) None
     else {
-      val in = fs.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+      val in  = fs.open(m)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      raw.toIntOption match {
+        case Some(n) if n >= 1 => Some(n)
+        case _ =>
+          throw new IllegalStateException(
+            s"corrupt bucket-count marker $m (content: '$raw') — " +
+              "delete the marker and re-run; the next load re-derives and " +
+              "re-validates the count from the KEY_BUCKET= partition dirs")
+      }
     }
   }
 
+  /** Marker write is temp-name + rename: a crash mid-write leaves only
+    * the invisible temp file, never a truncated marker that would poison
+    * every later [[bucketCountOf]].
+    */
   private def writeBucketCount(
       fs: org.apache.hadoop.fs.FileSystem,
       path: String,
@@ -145,10 +163,29 @@ object SnapshotSink {
   ): Unit = {
     val m = new org.apache.hadoop.fs.Path(path, BucketCountMarker)
     if (!fs.exists(m)) {
-      val out = fs.create(m, true)
+      val tmp = new org.apache.hadoop.fs.Path(path, BucketCountMarker + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(s"$numBuckets\n".getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, m) && !fs.exists(m))
+        throw new IllegalStateException(s"could not commit bucket-count marker $m")
     }
+  }
+
+  /** Observed KEY_BUCKET= partition ids of an existing bucketed mart
+    * (empty if the dir is absent or has no bucket dirs). */
+  private def observedBucketIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String
+  ): Seq[Int] = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dst)) Seq.empty
+    else
+      fs.listStatus(dst)
+        .iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .flatMap(st => st.getPath.getName.stripPrefix(s"$BucketCol=").toIntOption)
+        .toSeq
   }
 
   /** Layout of an existing snapshot: Some(true) = bucketed
@@ -255,8 +292,26 @@ object SnapshotSink {
   ): AuditCounts = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     // the mart's persisted bucket count outranks the parameter — a count
-    // change mid-life would silently re-bucket every key (see marker doc)
-    val effBuckets = bucketCountOf(spark, path).getOrElse(numBuckets)
+    // change mid-life would silently re-bucket every key (see marker doc).
+    // A bucketed mart WITHOUT a marker (created before the marker
+    // existed) must not silently trust the parameter either: a wrong
+    // count would probe wrong buckets, miss active rows, and re-insert
+    // them as duplicates — then pin the wrong count forever. The dirs
+    // themselves are the only surviving evidence, so validate the
+    // parameter against them (every observed id must be addressable)
+    // before adopting and persisting it.
+    val effBuckets = bucketCountOf(spark, path).getOrElse {
+      val fsProbe   = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val observed = observedBucketIds(fsProbe, path)
+      if (observed.nonEmpty && observed.max >= numBuckets)
+        throw new IllegalStateException(
+          s"bucketed mart at $path has no $BucketCountMarker marker and its " +
+            s"on-disk bucket ids reach ${observed.max}, which numBuckets=$numBuckets " +
+            "cannot address — merging would mis-route keys and duplicate rows. " +
+            "Re-run with the count the mart was built with (>= " +
+            s"${observed.max + 1}), or rebuild the mart to migrate.")
+      numBuckets
+    }
     val base = routed.drop(CdcRouter.RouterCol).schema
     require(
       !base.fieldNames.contains(BucketCol),

@@ -230,6 +230,47 @@ class BucketedSnapshotSpec extends SparkSpec {
     assert(replay.total == 0)
   }
 
+  test("marker-absent bucketed mart: numBuckets validated against on-disk bucket dirs") {
+    val path = tempDir("bsnap_nomarker") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    // simulate a mart created before the marker existed
+    val marker = new java.io.File(path, SnapshotSink.BucketCountMarker)
+    assert(marker.delete())
+
+    // 100 keys over 32 buckets: some bucket id >= 8 certainly exists, so
+    // a too-small count must REFUSE instead of mis-routing every key
+    val inc = routedOf(Seq(("K-7", "v2-7", CdcRouter.Update)))
+    val ex = intercept[IllegalStateException] {
+      SnapshotSink.upsertBucketed(
+        spark, path, inc, "bk", lit(LoadTs2), lit(EndOfTime), numBuckets = 8)
+    }
+    assert(ex.getMessage.contains("cannot address"))
+    assert(!new java.io.File(path, SnapshotSink.BucketCountMarker).exists(),
+      "a refused load must not pin any count")
+
+    // the correct count passes validation, merges, and re-pins the marker
+    SnapshotSink.upsertBucketed(
+      spark, path, inc, "bk", lit(LoadTs2), lit(EndOfTime), numBuckets = NB)
+    assert(SnapshotSink.bucketCountOf(spark, path).contains(NB))
+    assert(martRows(path).contains(("K-7", "v2-7", 1, LoadTs2, EndOfTime)))
+  }
+
+  test("corrupt bucket-count marker fails with a message naming the marker") {
+    val path = tempDir("bsnap_badmarker") + "/mart"
+    SnapshotSink.upsertBucketed(
+      spark, path, seed, "bk", lit(LoadTs1), lit(EndOfTime), numBuckets = NB)
+    // a crash mid-write used to be able to truncate the marker; the
+    // write is atomic now, but a corrupt file must still fail CLEARLY
+    java.nio.file.Files.writeString(
+      new java.io.File(path, SnapshotSink.BucketCountMarker).toPath, "")
+    val ex = intercept[IllegalStateException] {
+      SnapshotSink.bucketCountOf(spark, path)
+    }
+    assert(ex.getMessage.contains(SnapshotSink.BucketCountMarker))
+    assert(ex.getMessage.contains("delete the marker"))
+  }
+
   test("schema evolution: a column added to the feed mid-life widens the mart, old versions read null") {
     // a 100 TB mart outlives its feed schema: loads after the feed adds
     // a column must keep history readable (old files lack the column ->

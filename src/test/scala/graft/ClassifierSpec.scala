@@ -97,6 +97,45 @@ class ClassifierSpec extends SparkSpec {
     assert(hashed == words)
   }
 
+  test("quality gate: confusion counts and precision/recall pinned at the shipped 500000-ppm threshold") {
+    // The release-gate the PR-curve query feeds, pinned as a spec (the
+    // ANN family's AnnRecallSpec precedent). NOT on the sf documents
+    // table: the synthetic corpus shares one vocabulary across langs,
+    // so every doc scores within ±4% of the class prior and the
+    // 500000-ppm operating point degenerates (tp=fp=0 — measured; a
+    // floor there would gate nothing). This fixture has real signal
+    // plus two BORDERLINE docs whose scores land within ~10000 ppm of
+    // the threshold, so a tokenizer, smoothing, or integer-rounding
+    // regression moves the confusion matrix and fails the exact pins.
+    val fixture =
+      (1 to 10).map(i => (i.toLong, "p p s", true)) ++
+        Seq((11L, "p n s s", true)) ++ // mixed evidence, near-threshold
+        (20 to 29).map(i => (i.toLong, "n n s", false)) ++
+        Seq((30L, "s s", false)) // shared-only: scores exactly the 500000 prior
+    val d     = fixture.toDF("id", "text", "is_pos")
+    val model = Classifier.train(d, col("text"), col("is_pos"), minCount = 1L)
+    val thr   = 500000L
+    val (tp, fp, fn, tn) = Classifier
+      .score(d, "id", col("text"), model)
+      .join(d.select(col("id"), col("is_pos")), "id")
+      .agg(
+        sum(when(col("score_ppm") >= thr && col("is_pos"), 1L).otherwise(0L)),
+        sum(when(col("score_ppm") >= thr && !col("is_pos"), 1L).otherwise(0L)),
+        sum(when(col("score_ppm") < thr && col("is_pos"), 1L).otherwise(0L)),
+        sum(when(col("score_ppm") < thr && !col("is_pos"), 1L).otherwise(0L))
+      )
+      .as[(Long, Long, Long, Long)]
+      .head()
+    info(s"thr=500000ppm tp=$tp fp=$fp fn=$fn tn=$tn")
+    // exact deterministic confusion matrix: the 11 positives all clear
+    // the threshold (the mixed doc barely), the shared-only negative
+    // sits AT the 500000 prior and >= counts it as a false positive
+    assert((tp, fp, fn, tn) == ((11L, 1L, 0L, 10L)), s"confusion drifted: tp=$tp fp=$fp fn=$fn tn=$tn")
+    val prec = tp.toDouble / (tp + fp)
+    val rec  = tp.toDouble / (tp + fn)
+    assert(prec >= 0.91 && rec >= 0.99, f"gate floors: precision=$prec%.4f recall=$rec%.4f")
+  }
+
   test("score is deterministic under repartitioning") {
     val model = Classifier.train(docs, col("text"), col("pos"), minCount = 1L)
     def run(parts: Int) = Classifier

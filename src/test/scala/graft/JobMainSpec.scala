@@ -196,6 +196,54 @@ class JobMainSpec extends SparkSpec {
     assert(m.count() == 2 && m.where(col("ACTIVE_FLAG") === 1).count() == 1)
   }
 
+  test("pre-existing bucketed mart is honored: mart.layout=flat cannot flip it") {
+    val dir = tempDir("graft_job_bucketcompat")
+    writeDims(s"$dir/dims")
+    val header =
+      "TICKET_IDENTIFIER|SUPPORT_CATEGORY|AGENT_NAME|DATE_OF_CALL|CALL_STATUS|CALL_TYPE|TYPE_OF_CUSTOMER|DURATION|WORK_TIME|TICKET_STATUS|RESOLVED_IN_FIRST_CONTACT|RESOLUTION_CATEGORY|RATING"
+    val feed1 = s"$dir/feed1.csv"
+    Files.writeString(
+      Paths.get(feed1),
+      s"""$header
+         |1|Billing|agent_a|01152024103000|Completed|Inbound|Corporate|120|30|Closed|1|Fixed|GOOD
+         |""".stripMargin
+    )
+    // load 1 with DEFAULT config: mart is created bucketed
+    CsvBatchJob.main(Array(writeConfig(dir, "2024-01-20 00:00:00"), feed1, "1001"))
+    assert(new java.io.File(s"$dir/mart").listFiles().exists(_.getName.startsWith("KEY_BUCKET=")))
+
+    // load 2 requests the FLAT layout: the on-disk bucketed layout must
+    // win (a flat full-rewrite against a bucketed mart would read the
+    // KEY_BUCKET partition column into the payload and drop the
+    // per-bucket swap discipline — i.e. corrupt the mart)
+    val feed2 = s"$dir/feed2.csv"
+    Files.writeString(
+      Paths.get(feed2),
+      s"""$header
+         |1|Billing|agent_a|01152024103000|Reopened|Inbound|Corporate|120|30|Open|1|Fixed|GOOD
+         |2|Tech|agent_b|01152024110000|Completed|Inbound|Retail|60|10|Open|0|Pending|BAD
+         |""".stripMargin
+    )
+    val cfg2 = writeConfig(dir, "2024-02-20 00:00:00")
+    Files.writeString(Paths.get(cfg2), Files.readString(Paths.get(cfg2)) + "mart.layout=flat\n")
+    CsvBatchJob.main(Array(cfg2, feed2, "1002"))
+
+    val martFiles = new java.io.File(s"$dir/mart").listFiles()
+    assert(martFiles.exists(_.getName.startsWith("KEY_BUCKET=")), "bucketed layout must survive")
+    assert(martFiles.forall(f => !f.getName.endsWith(".parquet") || f.getName.startsWith("_")),
+      "no flat data files may appear beside the bucket dirs")
+    // and the merge itself was a correct SCD2 roll
+    val m = spark.read.parquet(s"$dir/mart")
+    assert(m.count() == 3 && m.where(col("ACTIVE_FLAG") === 1).count() == 2)
+    val t1 = m
+      .where(col("SOURCE_SYSTEM_IDENTIFIER") === "AT&T - 1")
+      .select("INTERACTION_STATUS", "ACTIVE_FLAG")
+      .as[(String, Int)]
+      .collect()
+      .sortBy(_._2)
+    assert(t1.toSeq == Seq(("Completed", 0), ("Reopened", 1)))
+  }
+
   test("JsonBatchJob: envelope feed conforms and loads") {
     val dir = tempDir("graft_job_json")
     writeDims(s"$dir/dims")

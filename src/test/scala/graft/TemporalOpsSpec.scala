@@ -404,6 +404,64 @@ class TemporalOpsSpec extends SparkSpec {
     assert(pred == Seq((1L, 11L), (1L, 12L), (2L, 12L), (3L, 13L)))
   }
 
+  test("overlap join: explicit and auto shuffle width agree; in-memory inputs auto-size to defaultParallelism") {
+    import graft.operators.RangeJoin
+    def spans(p: String) = Tables.events(spark, Sf)
+      .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+      .agg(min(col("ts")).as(p + "lo"), max(col("ts")).as(p + "hi"))
+    def run(width: Int) = RangeJoin
+      .bucketedOverlapJoin(
+        spans("l_"), spans("r_"), "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketSeconds = 21600L, extraPred = col("l_user") < col("r_user"),
+        shufflePartitions = width)
+      .select("l_user", "r_user").as[(Long, Long)].collect().toSeq.sorted
+    assert(run(0) == run(7), "auto-sized width must not change the result")
+
+    // in-memory inputs have no file stats: the sentinel exclusion must
+    // fall back to defaultParallelism, not clamp to the 4096 max width
+    val lhs = Seq((1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("l_id", "l_lo0", "l_hi0")
+      .select(col("l_id"), col("l_lo0").cast("timestamp").as("l_lo"),
+        col("l_hi0").cast("timestamp").as("l_hi"))
+    val auto = RangeJoin.bucketedOverlapJoin(
+      lhs, lhs.toDF("r_id", "r_lo", "r_hi"), "l_lo", "l_hi", "r_lo", "r_hi",
+      bucketSeconds = 3600L, extraPred = col("l_id") <= col("r_id"))
+    val nParts = auto.rdd.getNumPartitions
+    assert(nParts <= spark.sparkContext.defaultParallelism,
+      s"tiny in-memory input sized to $nParts partitions")
+  }
+
+  test("overlap join pair budget: top-N rights per left interval, deterministic order") {
+    import graft.operators.RangeJoin
+    def ts(s: String) = col(s).cast("timestamp")
+    val lhs = Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 12:00:00") // same span, distinct key
+    ).toDF("l_id", "l_lo0", "l_hi0")
+      .select(col("l_id"), ts("l_lo0").as("l_lo"), ts("l_hi0").as("l_hi"))
+    val rhs = Seq(
+      (10L, "2024-01-01 10:00:00", "2024-01-01 12:00:00"), // overlap 2h
+      (11L, "2024-01-01 11:00:00", "2024-01-01 12:30:00"), // overlap 1h
+      (12L, "2024-01-01 11:30:00", "2024-01-01 13:00:00")  // overlap 30m
+    ).toDF("r_id", "r_lo0", "r_hi0")
+      .select(col("r_id"), ts("r_lo0").as("r_lo"), ts("r_hi0").as("r_hi"))
+
+    // budget 2 keeps, PER left interval identity (span + l_id key), the
+    // two longest overlaps — the contract that bounds the output when
+    // the raw pair space is quadratic
+    val capped = RangeJoin
+      .bucketedOverlapJoin(lhs, rhs, "l_lo", "l_hi", "r_lo", "r_hi",
+        bucketSeconds = 3600L, maxPairsPerLeft = 2, pairBudgetKeys = Seq("l_id"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(capped == Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+
+    // budget off returns the full pair space
+    val full = RangeJoin
+      .bucketedOverlapJoin(lhs, rhs, "l_lo", "l_hi", "r_lo", "r_hi", bucketSeconds = 3600L)
+      .count()
+    assert(full == 6L)
+  }
+
   test("overlap join plans a bucket equi-join with no dedup aggregation") {
     import graft.operators.RangeJoin
     def spans(p: String) = Tables.events(spark, Sf)
