@@ -80,4 +80,61 @@ object LangModel {
         col("n_trans"),
         when(col("n_trans") > 0, expr("__sp div n_trans")).otherwise(lit(-1L)).as("score_micro")
       )
+
+  /** CCNet-style per-language perplexity terciles (Wenzek et al. 2020
+    * §4.4: score every document with the LM, split each language into
+    * head / middle / tail thirds, and train on the head first). Input
+    * is [[scoreDocs]] output joined with the language column.
+    *
+    * The scale-critical choice: bucket boundaries come from a
+    * HISTOGRAM of (lang, score), not a per-language sort of the
+    * corpus. `score_micro` lives in [-1, 10^6], so the histogram is at
+    * most |langs|·(10^6+2) rows no matter how large the corpus — the
+    * cumulative window runs over that bounded table and the resulting
+    * per-language (t1, t2) thresholds broadcast back over the scored
+    * corpus. No corpus-sized window, no single-task sort.
+    *
+    * Ties share a bucket by construction (the boundary is a score
+    * threshold, not a rank), which keeps the labeling deterministic
+    * and engine-independent: t1 = min score with cum·3 >= n,
+    * t2 = min score with cum·3 >= 2n; bucket = head if score > t2,
+    * middle if score > t1, else tail (higher mean transition
+    * probability = more corpus-like = head, mirroring CCNet's
+    * lower-perplexity-is-better orientation).
+    */
+  def perplexityBuckets(
+      scored: DataFrame,
+      idCol: String,
+      langCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val hist = scored
+      .groupBy(col(langCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn(
+        "__cum",
+        sum(col("__c")).over(Window.partitionBy(col(langCol)).orderBy(col(scoreCol)))
+      )
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(langCol))))
+    val bounds = cum
+      .groupBy(col(langCol))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__n"), col(scoreCol))).as("t1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col(scoreCol))).as("t2")
+      )
+    scored
+      .join(broadcast(bounds), Seq(langCol))
+      .select(
+        col(idCol),
+        col(langCol),
+        col(scoreCol),
+        col("t1"),
+        col("t2"),
+        when(col(scoreCol) > col("t2"), lit("head"))
+          .when(col(scoreCol) > col("t1"), lit("middle"))
+          .otherwise(lit("tail"))
+          .as("bucket")
+      )
+  }
 }

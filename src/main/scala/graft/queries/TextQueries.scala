@@ -3738,6 +3738,153 @@ object TextQueries {
           |  CAST(CASE WHEN g2 > 0 THEN ((g2 - ug2) * 1000000) // g2 ELSE -1 END AS BIGINT) AS dup_2gram_ppm,
           |  CAST(CASE WHEN g3 > 0 THEN ((g3 - ug3) * 1000000) // g3 ELSE -1 END AS BIGINT) AS dup_3gram_ppm
           |FROM top JOIN g ON top.doc_id = g.doc_id""".stripMargin)
+    ),
+
+    // ---- CCNet perplexity buckets (Wenzek et al. 2020 §4.4): score
+    //      every document with the corpus bigram LM, then split each
+    //      LANGUAGE into head/middle/tail thirds by score. Boundaries
+    //      come from a bounded (lang, score) histogram — score_micro
+    //      is in [-1, 1e6], so the cumulative window never sees more
+    //      than |langs|*(1e6+2) rows regardless of corpus size — and
+    //      the per-language (t1, t2) thresholds broadcast back over
+    //      the scored corpus. Ties share a bucket (threshold, not
+    //      rank), so the labeling is engine-independent. ----
+    Q(
+      "text_ccnet_buckets",
+      (s, dir) => {
+        import graft.operators.LangModel
+        val docs  = Tables.documents(s, dir)
+        val trans = LangModel.transitions(docs, "doc_id", "text")
+        val scored = LangModel
+          .scoreDocs(trans, LangModel.bigramModel(trans), "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("score_micro"))
+        LangModel.perplexityBuckets(scored, "doc_id", "lang", "score_micro")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+             |big AS (
+             |  SELECT doc_id, t[u.i] AS w1, t[u.i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |bmodel AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+             |p AS (
+             |  SELECT w1, w2,
+             |         CAST((1000000 * cb) // CAST(sum(cb) OVER (PARTITION BY w1) AS BIGINT)
+             |              AS BIGINT) AS p_micro
+             |  FROM bmodel),
+             |sc0 AS (
+             |  SELECT b.doc_id, count(*) AS n_trans, CAST(sum(p_micro) AS BIGINT) AS sp
+             |  FROM big b JOIN p USING (w1, w2) GROUP BY 1),
+             |sc AS (
+             |  SELECT d.doc_id, d.lang,
+             |         CAST(CASE WHEN sc0.n_trans IS NULL THEN -1
+             |                   ELSE sp // sc0.n_trans END AS BIGINT) AS score_micro
+             |  FROM documents d LEFT JOIN sc0 USING (doc_id)),
+             |hist AS (SELECT lang, score_micro, count(*) AS c FROM sc GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, score_micro,
+             |         CAST(sum(c) OVER (PARTITION BY lang ORDER BY score_micro) AS BIGINT) AS cm,
+             |         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM hist),
+             |bounds AS (
+             |  SELECT lang,
+             |         CAST(min(CASE WHEN cm * 3 >= n THEN score_micro END) AS BIGINT) AS t1,
+             |         CAST(min(CASE WHEN cm * 3 >= 2 * n THEN score_micro END) AS BIGINT) AS t2
+             |  FROM cum GROUP BY 1)
+             |SELECT sc.doc_id, sc.lang, sc.score_micro, b.t1, b.t2,
+             |       CASE WHEN sc.score_micro > b.t2 THEN 'head'
+             |            WHEN sc.score_micro > b.t1 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM sc JOIN bounds b USING (lang)""".stripMargin)
+    ),
+
+    // ---- curation funnel observability: per-stage survivor counts for
+    //      the sequential filter chain lang-known -> Gopher quality ->
+    //      repetition gate -> exact dedup (the removal table every
+    //      corpus report publishes — FineWeb/RefinedWeb-style ablation
+    //      accounting). One pass: all four per-doc flags compute side
+    //      by side, the cumulative conjunctions aggregate in a single
+    //      reduce, and the 4-row funnel unpivots from that one row —
+    //      the corpus is scanned once, never re-filtered per stage. ----
+    Q(
+      "corpus_filter_funnel",
+      (s, dir) => {
+        import graft.operators.QualityRules
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val q = QualityRules
+          .gopherQuality(docs, "doc_id", col("text"))
+          .select(col("doc_id"), col("keep").cast("long").as("__q"))
+        val r = QualityRules
+          .repetitionStats(docs, "doc_id", col("text"))
+          .select(col("doc_id"), (col("dup_2gram_ppm") <= 200000L).cast("long").as("__r"))
+        val u = docs
+          .select(col("doc_id"), md5(col("text")).as("__h"))
+          .withColumn(
+            "__u",
+            (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+              .cast("long"))
+          .select(col("doc_id"), col("__u"))
+        docs
+          .select(col("doc_id"), col("lang").isNotNull.cast("long").as("__l"))
+          .join(q, "doc_id")
+          .join(r, "doc_id")
+          .join(u, "doc_id")
+          .agg(
+            count(lit(1)).as("n0"),
+            sum(col("__l")).as("n1"),
+            sum(col("__l") * col("__q")).as("n2"),
+            sum(col("__l") * col("__q") * col("__r")).as("n3"),
+            sum(col("__l") * col("__q") * col("__r") * col("__u")).as("n4")
+          )
+          .selectExpr(
+            """stack(4,
+              |  1, 'lang_known',     n0, n1,
+              |  2, 'gopher_quality', n1, n2,
+              |  3, 'repetition',     n2, n3,
+              |  4, 'exact_dedup',    n3, n4) AS (stage_id, stage, docs_in, docs_out)"""
+              .stripMargin)
+          .withColumn("removed", col("docs_in") - col("docs_out"))
+      },
+      Some {
+        val stops = graft.operators.QualityRules.DefaultStopwords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents),
+           |m AS (SELECT doc_id, lang, text, len(tk) AS n,
+           |        CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS sumlen,
+           |        len(list_filter(tk, x -> regexp_matches(x, '^[A-Za-z]+$$'))) AS alpha,
+           |        len(list_intersect(list_distinct(tk), $stops)) AS stop_hits,
+           |        CAST(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS BIGINT) AS g2,
+           |        CAST(CASE WHEN len(tk) >= 2 THEN len(list_distinct(list_transform(
+           |          generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])))
+           |          ELSE 0 END AS BIGINT) AS ug2
+           |      FROM t),
+           |f AS (SELECT doc_id,
+           |        CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END AS fl,
+           |        CASE WHEN n BETWEEN 50 AND 100000
+           |              AND (CASE WHEN n > 0 THEN (sumlen * 1000) // n ELSE -1 END)
+           |                  BETWEEN 3000 AND 10000
+           |              AND (CASE WHEN n > 0 THEN (CAST(alpha AS BIGINT) * 1000000) // n
+           |                        ELSE -1 END) >= 800000
+           |              AND stop_hits >= 2 THEN 1 ELSE 0 END AS fq,
+           |        CASE WHEN (CASE WHEN g2 > 0 THEN ((g2 - ug2) * 1000000) // g2
+           |                        ELSE -1 END) <= 200000 THEN 1 ELSE 0 END AS fr,
+           |        CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+           |             THEN 1 ELSE 0 END AS fu
+           |      FROM m),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+           |             CAST(sum(fl) AS BIGINT) AS n1,
+           |             CAST(sum(fl * fq) AS BIGINT) AS n2,
+           |             CAST(sum(fl * fq * fr) AS BIGINT) AS n3,
+           |             CAST(sum(fl * fq * fr * fu) AS BIGINT) AS n4
+           |      FROM f)
+           |SELECT CAST(1 AS INT) AS stage_id, 'lang_known' AS stage,
+           |       n0 AS docs_in, n1 AS docs_out, n0 - n1 AS removed FROM a
+           |UNION ALL SELECT 2, 'gopher_quality', n1, n2, n1 - n2 FROM a
+           |UNION ALL SELECT 3, 'repetition',     n2, n3, n2 - n3 FROM a
+           |UNION ALL SELECT 4, 'exact_dedup',    n3, n4, n3 - n4 FROM a""".stripMargin
+      }
     )
   )
 }
