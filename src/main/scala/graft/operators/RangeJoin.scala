@@ -49,9 +49,23 @@ object RangeJoin {
       tsCol: String,
       bucketSeconds: Long,
       extraPred: Column = lit(true),
-      joinType: String = "inner"
+      joinType: String = "inner",
+      shufflePartitions: Int = 0
   ): DataFrame = {
     val b = bucketSeconds * 1000000L // bucket width in microseconds
+    // Shuffle width: like [[bucketedOverlapJoin]], the bucket-id
+    // exchange carries the EXPLODED interval side (input × ceil(span/
+    // bucket)) and the join output is pair-bound — both steeper than
+    // linear in input bytes, so `shufflePartitions = 0` (default) sizes
+    // the exchange from both inputs' leaf stats at 128 KiB granularity
+    // instead of the session default.
+    val width =
+      if (shufflePartitions > 0) shufflePartitions
+      else
+        math.max(
+          graft.plans.InputSizing.widthFor(intervals, bytesPerPartition = 128L << 10),
+          graft.plans.InputSizing.widthFor(probes, bytesPerPartition = 128L << 10)
+        )
     // `div` keeps the arithmetic in exact 64-bit integers (a double
     // round-trip would be exact below 2^53 but div is exact always).
     val iv = intervals
@@ -59,7 +73,10 @@ object RangeJoin {
         expr(s"unix_micros($startCol) div ${b}L"),
         expr(s"unix_micros($endCol) div ${b}L")
       )))
-    val pr = probes.withColumn("__bk", expr(s"unix_micros($tsCol) div ${b}L"))
+      .repartition(width, col("__bk"))
+    val pr = probes
+      .withColumn("__bk", expr(s"unix_micros($tsCol) div ${b}L"))
+      .repartition(width, col("__bk"))
     iv.join(
         pr,
         iv("__bk") === pr("__bk") &&
