@@ -3803,34 +3803,62 @@ object TextQueries {
     //      the sequential filter chain lang-known -> Gopher quality ->
     //      repetition gate -> exact dedup (the removal table every
     //      corpus report publishes — FineWeb/RefinedWeb-style ablation
-    //      accounting). One pass: all four per-doc flags compute side
-    //      by side, the cumulative conjunctions aggregate in a single
-    //      reduce, and the 4-row funnel unpivots from that one row —
-    //      the corpus is scanned once, never re-filtered per stage. ----
+    //      accounting). Plan shape: ONE corpus scan computes all
+    //      per-doc flags side by side (the quality/repetition math
+    //      inlined from QualityRules — drift is pinned by a
+    //      QualityRulesSpec equivalence test AND this query's own
+    //      oracle), ONE md5-keyed shuffle derives the exact-dedup
+    //      keeper bit (the only exchange an exact-dedup stage can ever
+    //      avoid paying), the cumulative conjunctions aggregate in a
+    //      single reduce, and the 4-row funnel unpivots from that one
+    //      row. Never a per-stage re-filter, never a doc_id join. ----
     Q(
       "corpus_filter_funnel",
       (s, dir) => {
-        import graft.operators.QualityRules
         import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions
         val docs = Tables.documents(s, dir)
-        val q = QualityRules
-          .gopherQuality(docs, "doc_id", col("text"))
-          .select(col("doc_id"), col("keep").cast("long").as("__q"))
-        val r = QualityRules
-          .repetitionStats(docs, "doc_id", col("text"))
-          .select(col("doc_id"), (col("dup_2gram_ppm") <= 200000L).cast("long").as("__r"))
-        val u = docs
-          .select(col("doc_id"), md5(col("text")).as("__h"))
+        docs
+          .select(
+            col("doc_id"),
+            col("lang").isNotNull.cast("long").as("__l"),
+            md5(col("text")).as("__h"),
+            TextFunctions.tokens(col("text")).as("__t")
+          )
+          .select(
+            col("doc_id"), col("__l"), col("__h"),
+            size(col("__t")).cast("long").as("__n"),
+            aggregate(col("__t"), lit(0L), (acc, t) => acc + length(t)).as("__sumlen"),
+            size(filter(col("__t"), t => t.rlike("^[A-Za-z]+$"))).cast("long").as("__alpha"),
+            size(array_intersect(
+              array_distinct(col("__t")),
+              array(graft.operators.QualityRules.DefaultStopwords.map(lit): _*)
+            )).cast("long").as("__stop"),
+            when(size(col("__t")) >= 2, (size(col("__t")) - 1).cast("long"))
+              .otherwise(lit(0L)).as("__g2"),
+            when(
+              size(col("__t")) >= 2,
+              size(array_distinct(transform(
+                sequence(lit(0), size(col("__t")) - 2),
+                i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))
+              ))).cast("long")
+            ).otherwise(lit(0L)).as("__ug2")
+          )
+          .select(
+            col("doc_id"), col("__l"), col("__h"),
+            (col("__n") >= 50L && col("__n") <= 100000L &&
+              when(col("__n") > 0, expr("(__sumlen * 1000L) div __n")).otherwise(lit(-1L))
+                .between(3000L, 10000L) &&
+              when(col("__n") > 0, expr("(__alpha * 1000000L) div __n")).otherwise(lit(-1L))
+                >= 800000L &&
+              col("__stop") >= 2L).cast("long").as("__q"),
+            (when(col("__g2") > 0, expr("((__g2 - __ug2) * 1000000L) div __g2"))
+              .otherwise(lit(-1L)) <= 200000L).cast("long").as("__r")
+          )
           .withColumn(
             "__u",
             (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__h"))))
               .cast("long"))
-          .select(col("doc_id"), col("__u"))
-        docs
-          .select(col("doc_id"), col("lang").isNotNull.cast("long").as("__l"))
-          .join(q, "doc_id")
-          .join(r, "doc_id")
-          .join(u, "doc_id")
           .agg(
             count(lit(1)).as("n0"),
             sum(col("__l")).as("n1"),

@@ -82,4 +82,62 @@ class QualityRulesSpec extends SparkSpec {
       assert(!p.contains("Join"), s"quality rules must not join:\n$p")
     }
   }
+
+  test("corpus_filter_funnel: inlined flags match the operators (composed-join replay)") {
+    // the funnel query inlines the quality/repetition math to stay
+    // single-scan; this replays the funnel counts by composing the
+    // OPERATORS with doc_id joins and asserts identical stage rows, so
+    // a threshold or formula drift between the two spellings cannot
+    // ship silently
+    import org.apache.spark.sql.expressions.Window
+    val dir  = Sf
+    val docs = Tables.documents(spark, dir)
+    val q = QualityRules
+      .gopherQuality(docs, "doc_id", col("text"))
+      .select(col("doc_id"), col("keep").cast("long").as("fq"))
+    val r = QualityRules
+      .repetitionStats(docs, "doc_id", col("text"))
+      .select(col("doc_id"), (col("dup_2gram_ppm") <= 200000L).cast("long").as("fr"))
+    val u = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn(
+        "fu",
+        (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h")))).cast("long"))
+      .select(col("doc_id"), col("fu"))
+    val composed = docs
+      .select(col("doc_id"), col("lang").isNotNull.cast("long").as("fl"))
+      .join(q, "doc_id").join(r, "doc_id").join(u, "doc_id")
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("fl")).as("n1"),
+        sum(col("fl") * col("fq")).as("n2"),
+        sum(col("fl") * col("fq") * col("fr")).as("n3"),
+        sum(col("fl") * col("fq") * col("fr") * col("fu")).as("n4")
+      )
+      .as[(Long, Long, Long, Long, Long)]
+      .head()
+    val funnel = SparkEntry
+      .queries("corpus_filter_funnel")(spark, dir)
+      .select("stage_id", "docs_in", "docs_out")
+      .as[(Int, Long, Long)]
+      .collect()
+      .map(t => t._1 -> ((t._2, t._3)))
+      .toMap
+    assert(funnel == Map(
+      1 -> ((composed._1, composed._2)),
+      2 -> ((composed._2, composed._3)),
+      3 -> ((composed._3, composed._4)),
+      4 -> ((composed._4, composed._5))
+    ))
+  }
+
+  test("corpus_filter_funnel: single corpus scan, md5 window is the only exchange family") {
+    val plan = SparkEntry
+      .queries("corpus_filter_funnel")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"funnel must read the corpus exactly once, saw $scans scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"funnel must not join corpus branches:\n$plan")
+  }
 }
