@@ -22,7 +22,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates the
+      // single-partition constraint UPSTREAM, so the whole query —
+      // not just the write — runs on one task (at sf1 the all-pairs
+      // verify stage alone is ~1.8 h single-threaded vs ~3 min wide).
+      // repartition inserts a shuffle boundary: the query runs at full
+      // parallelism and only the final one-file write is serial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
