@@ -29,7 +29,14 @@ final case class FeedSpec(
     keyCol: String,             // business id column in the feed
     sourcePrefix: String,       // SSI prefix, e.g. "AT&T - " (F4)
     tiebreak: Seq[Column],      // deterministic latest-wins order (W1)
-    mandatoryCols: Seq[String]  // validity-checked columns (F6)
+    mandatoryCols: Seq[String], // validity-checked columns (F6)
+    // technical columns (e.g. the archive's archive_id) that may drive
+    // the dedup tiebreak but are NOT business payload: excluded from the
+    // row fingerprint and dropped after dedup, so a replayed record with
+    // a fresh technical id still hashes identical and routes DUPLICATE
+    // (the reference's batch processor likewise hashes business columns
+    // only — ETL/XML_Batch_Processing.py:80-83 vs its RECORD_ID).
+    nonPayloadCols: Seq[String] = Nil
 )
 
 object BatchPipeline {
@@ -43,9 +50,10 @@ object BatchPipeline {
     * (reference loads them with IS_VALID_DATA=0).
     */
   def conformFeed(feed: DataFrame, spec: FeedSpec): DataFrame = {
-    val payloadCols = feed.columns.toSeq
+    val payloadCols = feed.columns.toSeq.filterNot(spec.nonPayloadCols.contains)
     Dedup
       .latestPerKey(feed, Seq(spec.keyCol), spec.tiebreak)
+      .drop(spec.nonPayloadCols: _*)
       .withColumn(HashCol, Fingerprint.rowHash(payloadCols.map(col)))
       .withColumn(SsiCol, concat(lit(spec.sourcePrefix), col(spec.keyCol).cast("string")))
       .withColumn(ValidCol, Validity.flag(spec.mandatoryCols.map(col)))

@@ -101,6 +101,12 @@ object LangModel {
     * middle if score > t1, else tail (higher mean transition
     * probability = more corpus-like = head, mirroring CCNet's
     * lower-perplexity-is-better orientation).
+    *
+    * Rows whose `langCol` is null are DROPPED: the bounds join is an
+    * inner join keyed by language, and a null key matches nothing.
+    * This is intentional — a doc with no language has no per-language
+    * score distribution to bucket against; pre-filter or impute a
+    * language upstream if those rows must be retained.
     */
   def perplexityBuckets(
       scored: DataFrame,

@@ -30,6 +30,106 @@ import org.apache.spark.sql.functions._
   * event-log scale.
   */
 object RangeJoin {
+  /** Containment COUNT via sweep/prefix-sum — the scale-safe plan for
+    * count-shaped consumers of an interval-containment join.
+    *
+    * [[bucketedContainJoin]] materializes every (interval, probe) pair
+    * before aggregating; when the consumer only wants per-interval
+    * COUNTS, that pair space (which grows ~100x at 10x event density)
+    * is pure waste. The sweep formulation never builds it:
+    *
+    *   count(ts in [a, b]) = cum(b, inclusive) - cum(a, exclusive)
+    *
+    * where `cum` is the running count of probes in timestamp order.
+    * Each interval emits two boundary markers (sign -1 at `a`, +1 at
+    * `b`); markers and probes are unioned into one stream, a single
+    * window computes the running probe count, and each interval's
+    * count is the signed sum of its two markers' cumulative values —
+    * one union, ONE window pass, one final agg. No join operator
+    * anywhere in the plan (TemporalOpsSpec pins this), no pair space,
+    * O(n log n) in probes + intervals.
+    *
+    * Boundary semantics (closed interval): the window orders by
+    * `(ts, rank)` with start markers at rank 0, probes at rank 1, end
+    * markers at rank 2, and Spark's default RANGE frame gives every
+    * peer group the same cumulative value — so a start marker at `a`
+    * sees strictly-before-`a` probes and an end marker at `b` includes
+    * the probes AT `b`. Ties are therefore deterministic by
+    * construction, not by arbitrary row order.
+    *
+    * Distribution contract: the window partitions by `epoch(ts)`, a
+    * caller-supplied coarse time bucket, and BOTH of an interval's
+    * boundaries must land in the same epoch (daily activity spans with
+    * day epochs, hourly sessions with hour epochs, …). Within one
+    * epoch the prior-epoch probe count is a constant that CANCELS in
+    * `cum(b) - cum(a)`, which is what makes the per-epoch window exact
+    * without any cross-epoch carry. Epoch width tunes parallelism the
+    * same way bucketSeconds does for the joins: one epoch's traffic
+    * must fit a partition's sort. Intervals that genuinely span epochs
+    * need the cross-epoch carry (a prefix sum over the tiny per-epoch
+    * histogram broadcast back) or [[bucketedContainJoin]] — this
+    * operator `require`s the contract instead of silently miscounting
+    * (checked lazily inside the plan, failing the query not the
+    * driver).
+    *
+    * Exclusion predicates (e.g. "events of OTHER users") don't fit a
+    * sweep directly; decompose as total-in-span minus own-in-span —
+    * the caller usually has own-counts for free from the span
+    * aggregation itself (see t_interval_count_sweep).
+    *
+    * @param intervals one row per interval; `keyCols` must identify it
+    * @param probes    rows whose `tsCol` is counted
+    * @param keyCols   interval identity columns, carried to the output
+    * @param epoch     maps a timestamp column to its epoch id; must
+    *                  agree between an interval's two boundaries
+    * @return intervals' keyCols + `n_in_span` (count of probes with
+    *         startCol <= ts <= endCol)
+    */
+  def sweepContainCount(
+      intervals: DataFrame,
+      probes: DataFrame,
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      keyCols: Seq[String],
+      epoch: Column => Column
+  ): DataFrame = {
+    // fail loudly (executor-side, data-dependent) if an interval
+    // crosses epochs — the per-epoch window would silently undercount.
+    // The guard rides the marker's SIGN, which the final aggregate
+    // always evaluates, so it cannot be optimized away.
+    def guardedSign(sign: Long) = when(
+      epoch(col(startCol)) =!= epoch(col(endCol)),
+      raise_error(concat(
+        lit("sweepContainCount: interval crosses epochs: "),
+        col(startCol).cast("string"), lit(" .. "), col(endCol).cast("string")))
+        .cast("long")
+    ).otherwise(lit(sign))
+    def marker(boundary: String, rank: Int, sign: Long) = intervals
+      .select(
+        (keyCols.map(col) :+
+          col(boundary).as("__ts") :+
+          lit(rank).as("__rk") :+
+          lit(0L).as("__c") :+
+          guardedSign(sign).as("__sign")): _*)
+    val probeRows = probes.select(
+      (keyCols.map(k => lit(null).cast(intervals.schema(k).dataType).as(k)) :+
+        col(tsCol).as("__ts") :+
+        lit(1).as("__rk") :+
+        lit(1L).as("__c") :+
+        lit(0L).as("__sign")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(epoch(col("__ts")))
+      .orderBy(col("__ts").asc, col("__rk").asc)
+    probeRows
+      .unionByName(marker(startCol, 0, -1L))
+      .unionByName(marker(endCol, 2, 1L))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .where(col("__sign") =!= 0L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign") * col("__cum")).as("n_in_span"))
+  }
+
   /** Containment join: rows of `intervals` paired with rows of
     * `probes` whose `tsCol` lies in `[startCol, endCol]` (closed) and
     * that satisfy `extraPred`. Column names must be disjoint across the

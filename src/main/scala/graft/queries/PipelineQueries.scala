@@ -100,6 +100,56 @@ object PipelineQueries {
              |  v.start_date AS START_DATE,
              |  v.end_date AS END_DATE
              |FROM versions v JOIN base b ON b.k = v.k""".stripMargin)
+    ),
+    Q(
+      // The STREAMING lifecycle oracle-gated end to end (T1/T2/T3/T4 —
+      // see StreamingE2e's scaladoc for the feed timeline): poll feed ->
+      // watermarked archive -> archive file-stream -> per-increment
+      // dedup -> SCD2 mart, with a checkpoint-lost restart in the middle
+      // and poison replays the watermark must drop. The oracle states
+      // the final mart in closed form over the events keyspace.
+      "streaming_mart_e2e",
+      (s, dir) => {
+        val work = TmpWorkspace.scoped(s, "graft_e2e_stream", dir)
+        graft.jobs.StreamingE2e.run(s, dir, work)
+      },
+      Some("""WITH e AS (SELECT event_id AS k, event_type AS et, user_id AS u FROM events),
+             |mx AS (SELECT max(k) // 2 AS thr FROM e),
+             |v AS (SELECT k, et, u, k <= (SELECT thr FROM mx) AS lo FROM e),
+             |r AS (
+             |  SELECT k, et AS status, 0 AS af,
+             |         '2024-01-01 00:00:00' AS sd, '2024-02-01 00:00:00' AS ed
+             |  FROM v WHERE lo AND k % 9 = 0
+             |  UNION ALL
+             |  SELECT k, et || '_m', 1, '2024-02-01 00:00:00', '2099-12-31 00:00:00'
+             |  FROM v WHERE lo AND k % 9 = 0
+             |  UNION ALL
+             |  SELECT k, et, 1, '2024-01-01 00:00:00', '2099-12-31 00:00:00'
+             |  FROM v WHERE lo AND k % 3 = 0 AND k % 9 <> 0
+             |  UNION ALL
+             |  SELECT k, et, 1, '2024-02-01 00:00:00', '2099-12-31 00:00:00'
+             |  FROM v WHERE lo AND k % 3 <> 0
+             |  UNION ALL
+             |  SELECT k, et, 0, '2024-03-01 00:00:00', '2024-04-01 00:00:00'
+             |  FROM v WHERE NOT lo AND (k % 7 = 0 OR k % 11 = 0)
+             |  UNION ALL
+             |  SELECT k, CASE WHEN k % 11 = 0 THEN et || '_mm' ELSE et || '_m' END, 1,
+             |         '2024-04-01 00:00:00', '2099-12-31 00:00:00'
+             |  FROM v WHERE NOT lo AND (k % 7 = 0 OR k % 11 = 0)
+             |  UNION ALL
+             |  SELECT k, et, 1, '2024-03-01 00:00:00', '2099-12-31 00:00:00'
+             |  FROM v WHERE NOT lo AND k % 7 <> 0 AND k % 11 <> 0)
+             |SELECT 'XML - ' || CAST(r.k AS VARCHAR) AS SOURCE_SYSTEM_IDENTIFIER,
+             |       r.k AS stream_record_id,
+             |       r.status,
+             |       'u' || CAST(v.u AS VARCHAR) AS note,
+             |       md5(concat_ws('||', CAST(r.k AS VARCHAR), r.status,
+             |                     'u' || CAST(v.u AS VARCHAR))) AS SOURCE_HASH_KEY,
+             |       CAST(1 AS INT) AS IS_VALID_DATA,
+             |       CAST(r.af AS INT) AS ACTIVE_FLAG,
+             |       r.sd AS START_DATE,
+             |       r.ed AS END_DATE
+             |FROM r JOIN v ON v.k = r.k""".stripMargin)
     )
   )
 }

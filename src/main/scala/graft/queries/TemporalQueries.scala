@@ -555,6 +555,60 @@ object TemporalQueries {
              |GROUP BY 1, 2, 3, 4""".stripMargin)
     ),
 
+    // ---- the SAME result as t_interval_join_bucketed, by sweep/prefix
+    //      -sum instead of pair enumeration: the count-shaped consumer's
+    //      scale path. The bucketed join materializes every (span,
+    //      other-user-event) pair before counting — an intermediate
+    //      that grows ~100x at 10x event density; the sweep never
+    //      builds it (events-in-span = cum(end) - cum(start) via ONE
+    //      window over per-day event timestamps, minus the span's own
+    //      event count, which the span agg computes for free). NO join
+    //      operator in the plan — TemporalOpsSpec pins it — and cost
+    //      is O(n log n) regardless of density. Keep the bucketed join
+    //      for pair-EMITTING consumers; counts go this way. ----
+    Q(
+      "t_interval_count_sweep",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val spans = ev
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(
+            min(col("ts")).as("span_start"),
+            max(col("ts")).as("span_end"),
+            count(lit(1)).as("n_own"))
+        graft.operators.RangeJoin
+          .sweepContainCount(
+            spans,
+            ev.select(col("ts").as("p_ts")),
+            startCol = "span_start",
+            endCol = "span_end",
+            tsCol = "p_ts",
+            keyCols = Seq("user_id", "day", "span_start", "span_end", "n_own"),
+            epoch = to_date(_)
+          )
+          .select(
+            col("user_id"),
+            date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+            date_format(col("span_start"), "yyyy-MM-dd HH:mm:ss").as("span_start_s"),
+            date_format(col("span_end"), "yyyy-MM-dd HH:mm:ss").as("span_end_s"),
+            (col("n_in_span") - col("n_own")).as("n_other")
+          )
+      },
+      Some("""WITH spans AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |         min(ts) AS span_start, max(ts) AS span_end
+             |  FROM events GROUP BY 1, 2)
+             |SELECT sp.user_id,
+             |       strftime(sp.day, '%Y-%m-%d') AS day_s,
+             |       strftime(sp.span_start, '%Y-%m-%d %H:%M:%S') AS span_start_s,
+             |       strftime(sp.span_end, '%Y-%m-%d %H:%M:%S') AS span_end_s,
+             |       CAST(count(e.event_id) AS BIGINT) AS n_other
+             |FROM spans sp LEFT JOIN events e
+             |  ON e.ts >= sp.span_start AND e.ts <= sp.span_end
+             | AND e.user_id <> sp.user_id
+             |GROUP BY 1, 2, 3, 4""".stripMargin)
+    ),
+
     // ---- interval-OVERLAP join (interval x interval — the general
     //      case of the containment join above): which users' daily
     //      activity spans overlapped, and for how long. Naive overlap

@@ -3811,7 +3811,16 @@ object TextQueries {
     //      keeper bit (the only exchange an exact-dedup stage can ever
     //      avoid paying), the cumulative conjunctions aggregate in a
     //      single reduce, and the 4-row funnel unpivots from that one
-    //      row. Never a per-stage re-filter, never a doc_id join. ----
+    //      row. Never a per-stage re-filter, never a doc_id join.
+    //      Dedup canonicalization is deliberately CORPUS-GLOBAL: the
+    //      keeper bit is min(doc_id) over md5(text) across ALL docs,
+    //      not just stage-3 survivors. Duplicates share their text, so
+    //      the only field that can diverge between same-hash twins is
+    //      lang nullability; if the min-doc_id twin had null lang the
+    //      surviving twin is still counted as a duplicate here — i.e.
+    //      the funnel reports "unique texts among survivors", the
+    //      global-dedup-first accounting, and the oracle + replay spec
+    //      pin the same spelling. ----
     Q(
       "corpus_filter_funnel",
       (s, dir) => {

@@ -36,7 +36,13 @@ object ArchiveStream {
   /** T2: watermark recovery — highest archived stream_record_id, or -1. */
   def recoverWatermark(spark: SparkSession, archiveDir: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(archiveDir))) return -1L
+    val path = new org.apache.hadoop.fs.Path(archiveDir)
+    // a dir that exists but holds no data files (pre-created for the
+    // mart's file-stream source, or a crash before the first append) is
+    // the same bootstrap state as a missing dir — watermark -1
+    if (!fs.exists(path) ||
+        !fs.listStatus(path).exists(s => s.isFile && !s.getPath.getName.startsWith("_")))
+      return -1L
     val row = spark.read.parquet(archiveDir).agg(max(col("stream_record_id"))).head()
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }

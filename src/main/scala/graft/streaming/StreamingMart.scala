@@ -36,10 +36,17 @@ object StreamingMart {
       checkpointDir: String,
       loadTsForBatch: Long => String,
       intervalSeconds: Int = 10,
-      numBuckets: Int = 32
+      numBuckets: Int = 32,
+      // override the processing-time cadence — Trigger.AvailableNow
+      // turns one call into a drain-everything-then-stop increment (the
+      // reference's "periodic batch process over the archive" mode,
+      // ETL/XML_Batch_Processing.py run as a cron): offsets persist in
+      // the checkpoint, so successive AvailableNow runs each load only
+      // the files that arrived since the previous run
+      trigger: Option[Trigger] = None
   ): StreamingQuery =
     input.writeStream
-      .trigger(Trigger.ProcessingTime(s"$intervalSeconds seconds"))
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(s"$intervalSeconds seconds")))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
