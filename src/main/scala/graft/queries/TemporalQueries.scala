@@ -663,6 +663,59 @@ object TemporalQueries {
              |FROM e GROUP BY user_id""".stripMargin)
     ),
 
+    // ---- the PAIR-BUDGET contract of the overlap join, oracle-gated:
+    //      maxPairsPerLeft keeps only each left interval's top-N right
+    //      matches by overlap duration (ties rStart asc, rEnd asc) —
+    //      the bounded-output mode a 100 TB consumer of dense pair
+    //      spaces must use. The cap window can pick either twin when
+    //      candidates tie in ALL THREE order keys, so the oracle-stable
+    //      surface aggregates per user: tied candidates share ov_us by
+    //      construction, making count+sum invariant to the pick. ----
+    Q(
+      "t_interval_overlap_capped",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def spans(p: String) = ev
+          .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+          .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
+        graft.operators.RangeJoin
+          .bucketedOverlapJoin(
+            spans("l_"),
+            spans("r_"),
+            lStart = "l_start",
+            lEnd = "l_end",
+            rStart = "r_start",
+            rEnd = "r_end",
+            bucketSeconds = 21600L,
+            extraPred = col("l_user") =!= col("r_user"),
+            maxPairsPerLeft = 5,
+            pairBudgetKeys = Seq("l_user")
+          )
+          .select(
+            col("l_user"),
+            (least(expr("unix_micros(l_end)"), expr("unix_micros(r_end)")) -
+              greatest(expr("unix_micros(l_start)"), expr("unix_micros(r_start)"))).as("ov_us")
+          )
+          .groupBy(col("l_user"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("ov_us")).as("sum_kept_us"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS a, max(ts) AS b
+             |  FROM events GROUP BY 1, 2),
+             |p AS (
+             |  SELECT l.user_id AS lu, l.a AS la, l.b AS lb, r.a AS ra, r.b AS rb,
+             |         epoch_us(least(l.b, r.b)) - epoch_us(greatest(l.a, r.a)) AS ov
+             |  FROM s l JOIN s r
+             |    ON l.user_id <> r.user_id AND l.a <= r.b AND r.a <= l.b),
+             |k AS (
+             |  SELECT lu, ov, row_number() OVER (
+             |    PARTITION BY lu, la, lb ORDER BY ov DESC, ra ASC, rb ASC) AS rn
+             |  FROM p)
+             |SELECT lu AS l_user, CAST(count(*) AS BIGINT) AS n_kept,
+             |       CAST(sum(ov) AS BIGINT) AS sum_kept_us
+             |FROM k WHERE rn <= 5 GROUP BY 1""".stripMargin)
+    ),
+
     // ---- time-series gap-fill + forward-fill: densify each user's
     //      event stream to an hourly grid (sequence + explode — a
     //      narrow generator, no driver loop) and carry the last

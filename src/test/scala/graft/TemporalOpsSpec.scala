@@ -479,4 +479,75 @@ class TemporalOpsSpec extends SparkSpec {
     val afterJoin = plan.substring(0, plan.indexOf("Join"))
     assert(!afterJoin.contains("HashAggregate"), s"unexpected post-join dedup:\n$plan")
   }
+
+  test("sweep count: closed-interval boundary semantics, ties included exactly once") {
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")), // degenerate a == b
+      (3L, ts("2024-01-01 23:00:00"), ts("2024-01-01 23:30:00"))  // empty span
+    ).toDF("id", "lo", "hi")
+    val probes = Seq(
+      ts("2024-01-01 09:59:59"), // before iv1
+      ts("2024-01-01 10:00:00"), // AT iv1.lo — closed: counted
+      ts("2024-01-01 11:00:00"),
+      ts("2024-01-01 12:00:00"), // AT iv1.hi and the whole of iv2
+      ts("2024-01-01 12:00:00"), // duplicate timestamp — both counted
+      ts("2024-01-01 12:00:01")  // after
+    ).toDF("p_ts")
+    val out = RangeJoin
+      .sweepContainCount(iv, probes, "lo", "hi", "p_ts",
+        keyCols = Seq("id"), epoch = to_date(_))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 0L))
+  }
+
+  test("sweep count: matches the bucketed containment join on real events") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    val spans = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"), count(lit(1)).as("n_own"))
+    val sweep = RangeJoin
+      .sweepContainCount(spans, ev.select(col("ts").as("p_ts")), "lo", "hi", "p_ts",
+        keyCols = Seq("user_id", "day", "n_own"), epoch = to_date(_))
+      .select(col("user_id"), col("day"), (col("n_in_span") - col("n_own")).as("n"))
+    val joined = RangeJoin
+      .bucketedContainJoin(
+        spans.drop("n_own"),
+        ev.select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts")),
+        "lo", "hi", "p_ts", bucketSeconds = 3600L,
+        extraPred = col("p_user") =!= col("user_id"), joinType = "left")
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(col("p_id")).as("n"))
+    assert(sweep.collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+      == joined.collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap)
+  }
+
+  test("sweep count: NO join operator — one window, one final aggregate") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    val spans = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val plan = RangeJoin
+      .sweepContainCount(spans, ev.select(col("ts").as("p_ts")), "lo", "hi", "p_ts",
+        keyCols = Seq("user_id", "day"), epoch = to_date(_))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sweep count must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"sweep count must run as a window pass:\n$plan")
+  }
+
+  test("sweep count: an epoch-crossing interval fails loudly, never undercounts") {
+    import graft.operators.RangeJoin
+    val iv = Seq((1L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"))).toDF("id", "lo", "hi")
+    val probes = Seq(ts("2024-01-01 23:30:00")).toDF("p_ts")
+    val e = intercept[Exception] {
+      RangeJoin.sweepContainCount(iv, probes, "lo", "hi", "p_ts",
+        keyCols = Seq("id"), epoch = to_date(_)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("crosses epochs")), s"unexpected failure: $e")
+  }
 }
