@@ -25,20 +25,41 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.filter(n => only.forall(_.contains(n)))
     val best   = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to reps; name <- names) {
+    // Host-noise control: a fixed cheap query re-run at the start and end
+    // of every suite pass (plus its in-suite slot). Its timing SPREAD
+    // self-describes the run's contamination — every seal adjudication
+    // to date (r6-r8) had to hand-run this normalization after the fact;
+    // now the artifact carries it. control_ratio = median/min of the
+    // control samples: ~1.0 = clean run; >>1 = bursty CPU steal, read
+    // per-query movers against it before calling anything a regression.
+    val controlName = "w1_window_dedup_latest"
+    val controlTs   = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       // a rep that throws is a FAILURE, not a timing: record the error and
       // never fold its wall time into the min (a crashing query must not
       // masquerade as a fast one)
       try {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
           System.err.println(s"[bench] FAILED $name: ${failed(name)}")
+          None
       }
+    }
+    def runControl(): Unit =
+      if (SparkEntry.queries.contains(controlName))
+        runOnce(controlName).foreach(controlTs += _)
+    for (_ <- 1 to reps) {
+      runControl()
+      for (name <- names) {
+        val t = runOnce(name)
+        t.foreach(v => best(name) = math.min(best.getOrElse(name, Double.MaxValue), v))
+        if (name == controlName) t.foreach(controlTs += _)
+      }
+      runControl()
     }
     // failed-only queries report -1 (the old sentinel) and are excluded
     // from the total so a crash cannot read as a fast suite
@@ -50,7 +71,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failures = failed.keys.toSeq.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failures,"sf":"$sfDir"}"""
+    val control =
+      if (controlTs.isEmpty) "null"
+      else {
+        val sorted = controlTs.sorted
+        val med = sorted(sorted.size / 2)
+        val min = sorted.head
+        s"""{"query":"$controlName","n":${sorted.size},"min":${fmt(min)},"median":${fmt(med)},"control_ratio":${fmt(med / min)}}"""
+      }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failures,"control":$control,"sf":"$sfDir"}"""
     // survive stdout truncation: persist the result next to the repo bench seals
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")),
