@@ -238,7 +238,81 @@ object TextQueries {
   private def annProbeMasks: Seq[Int] =
     Similarity.lshProbeMasks(AnnPlanes, AnnProbeDepth)
 
-  val qs: Seq[Q] = Seq(
+  // ---- fixed-query-set ANN twins: the serving-shape scaling rows ----
+  // The base ANN rows take their query set from the corpus itself
+  // (vec_id % 100 == 0), so it grows with SF and the sf1/sf0.1 time
+  // ratio confounds per-query cost with a 10x larger query batch. The
+  // _fixedq twins pin the SAME ~20 queries at every SF (all vec_ids are
+  // dense from 0, so `vec_id < 2000` selects identical vectors at
+  // sf >= 0.1): their cross-SF ratio is pure per-query scaling — the
+  // sublinearity claim of the IVF/LSH paths, measured directly.
+  // Oracles are DERIVED from the base rows' SQL (predicate substitution,
+  // not duplication); AnnRecallSpec pins twin == base restricted to the
+  // fixed query ids, so the Spark bodies cannot drift apart silently.
+  private val FixedAnnQMax = 2000L
+  private val FixedAnnSqlPred = s"vec_id % 100 = 0 AND vec_id < $FixedAnnQMax"
+
+  private def fixedAnnTwins(base: Seq[Q]): Seq[Q] = {
+    def oracleOf(name: String) = base
+      .find(_.name == name)
+      .flatMap(_.oracle)
+      .map(_.replace("vec_id % 100 = 0", FixedAnnSqlPred))
+    def fixedQueries(s: org.apache.spark.sql.SparkSession, dir: String) =
+      Tables.embeddings(s, dir)
+        .where(col("vec_id") % 100 === 0 && col("vec_id") < FixedAnnQMax)
+        .select(col("vec_id"), col("embedding"))
+    Seq(
+      Q(
+        "ann_knn_ivfpq_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Pq.ivfPqTopK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK,
+              centroids = IvfCentroids.cells, codebooks = PqCodebooks.books,
+              nProbe = IvfPqProbe, shortlist = 50)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_ivfpq")
+      ),
+      Q(
+        "ann_knn_ivfpq_residual_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Pq.ivfPqResidualTopK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK,
+              centroids = IvfCentroids.cells, codebooks = PqResidualCodebooks.books,
+              nProbe = IvfPqProbe, shortlist = ResidShortlist)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_ivfpq_residual")
+      ),
+      Q(
+        "ann_knn_lsh_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Similarity.lshTopK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK,
+              nPlanes = AnnPlanes, dim = EmbeddingDim,
+              probeDepth = AnnProbeDepth, nTables = AnnTables)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_lsh")
+      )
+    )
+  }
+
+  val qs: Seq[Q] = baseQs ++ fixedAnnTwins(baseQs)
+
+  private lazy val baseQs: Seq[Q] = Seq(
     // ---- token counting: whitespace + BPE-ish regex units ----
     Q(
       "text_token_stats",

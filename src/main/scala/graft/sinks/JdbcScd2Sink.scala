@@ -33,6 +33,14 @@ import java.sql.{Connection, DriverManager}
   *
   * Tested against embedded Derby (in the Spark distribution); the SQL is
   * ANSI and the DDL type mapping covers the mart column types.
+  *
+  * ENVIRONMENT SUBSTITUTION: the reference's literal target is SQLite,
+  * but no sqlite-jdbc driver ships in this environment's jar set and
+  * zero egress rules out fetching one, so Derby stands in. The sink is
+  * plain JDBC — at deployment, pointing the url/driver at
+  * `jdbc:sqlite:...`/`org.sqlite.JDBC` (or any ANSI target) changes no
+  * graft code; SQLite's single-writer file locking is compatible with
+  * the one-transaction-per-load shape by construction.
   */
 object JdbcScd2Sink {
   /** ANSI DDL type for a mart column. */

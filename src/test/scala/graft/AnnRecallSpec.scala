@@ -176,4 +176,22 @@ class AnnRecallSpec extends SparkSpec {
       .sortBy(_._3)
     assert(out == Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3)))
   }
+
+  test("fixed-query ANN twins equal the base rows restricted to the fixed query ids") {
+    // the _fixedq rows exist so the cross-SF bench ratio measures pure
+    // per-query scaling (the base rows' query set grows with the
+    // corpus); their Spark bodies are duplicated call sites, so pin
+    // twin == base ∩ (query_id < 2000) to make drift impossible to miss
+    val sf = "/root/testdata/sf0.01"
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().toSet
+    for ((base, twin) <- Seq(
+        "ann_knn_ivfpq" -> "ann_knn_ivfpq_fixedq",
+        "ann_knn_ivfpq_residual" -> "ann_knn_ivfpq_residual_fixedq",
+        "ann_knn_lsh" -> "ann_knn_lsh_fixedq")) {
+      val expected = rows(base).filter(_._1 < 2000L)
+      assert(rows(twin) == expected, s"$twin drifted from $base")
+    }
+  }
 }
