@@ -305,4 +305,64 @@ object RangeJoin {
         .drop("__pr")
     }
   }
+
+  /** Pair-budgeted overlap TOP-K as a bounded-state AGGREGATION — the
+    * scale path for `maxPairsPerLeft` consumers that don't need the
+    * full joined row back.
+    *
+    * The window form above must SORT the whole materialized pair space
+    * inside each partition before Spark's WindowGroupLimit can prune
+    * (the partial group-limit bounds what crosses the exchange, not the
+    * local sort) — measured 230 s at sf1 vs 13.5 s for the plain
+    * aggregated overlap join, and wider exchanges don't help (170 s at
+    * 64x width: the sort volume IS the cost). This variant never sorts:
+    * pairs stream out of the bucket join straight into a hash aggregate
+    * whose per-group state is a <= k-element buffer
+    * ([[TopK.perGroupTies]], order (overlap DESC, rStart ASC, rEnd ASC,
+    * rId ASC) — a total order, so the kept set is deterministic).
+    * Measured 41 s on the same sf1 workload (PLANS.md round 9).
+    *
+    * See [[TopK.perGroupTies]] for the ObjectHashAggregate fallback
+    * contract (raise `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` via an isolated `newSession` on group-rich
+    * inputs — this buffer is bounded, the 128 default is sized for
+    * unbounded collect buffers).
+    *
+    * @param leftKeys columns identifying the left interval (carried to
+    *                 the output; must functionally determine
+    *                 `(lStart, lEnd)`)
+    * @param rIdCol   LONG column identifying the right interval
+    * @return leftKeys + rnk (1-based) + ov_us + r_start_us + r_end_us
+    *         + rIdCol
+    */
+  def bucketedOverlapTopK(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketSeconds: Long,
+      k: Int,
+      leftKeys: Seq[String],
+      rIdCol: String,
+      extraPred: Column = lit(true),
+      shufflePartitions: Int = 0
+  ): DataFrame = {
+    val joined = bucketedOverlapJoin(
+      left, right, lStart, lEnd, rStart, rEnd, bucketSeconds, extraPred, shufflePartitions)
+    val pairs = joined.select(
+      (leftKeys.map(col) :+
+        (expr(s"unix_micros(least($lEnd, $rEnd))") -
+          expr(s"unix_micros(greatest($lStart, $rStart))")).as("__ov") :+
+        expr(s"unix_micros($rStart)").as("__rs") :+
+        expr(s"unix_micros($rEnd)").as("__re") :+
+        col(rIdCol)): _*)
+    TopK
+      .perGroupTies(pairs, leftKeys, col("__ov"), col("__rs"), col("__re"), col(rIdCol), k)
+      .withColumnRenamed("value", "ov_us")
+      .withColumnRenamed("t1", "r_start_us")
+      .withColumnRenamed("t2", "r_end_us")
+      .withColumnRenamed("id", rIdCol)
+  }
 }

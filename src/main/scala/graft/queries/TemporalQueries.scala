@@ -664,22 +664,32 @@ object TemporalQueries {
     ),
 
     // ---- the PAIR-BUDGET contract of the overlap join, oracle-gated:
-    //      maxPairsPerLeft keeps only each left interval's top-N right
-    //      matches by overlap duration (ties rStart asc, rEnd asc) —
+    //      keep only each left interval's top-5 right matches by
+    //      overlap duration (ties rStart asc, rEnd asc, r id asc) —
     //      the bounded-output mode a 100 TB consumer of dense pair
-    //      spaces must use. The cap window can pick either twin when
-    //      candidates tie in ALL THREE order keys, so the oracle-stable
-    //      surface aggregates per user: tied candidates share ov_us by
-    //      construction, making count+sum invariant to the pick. ----
+    //      spaces must use. Runs as bucketedOverlapTopK: the pair
+    //      stream feeds a bounded-buffer hash AGGREGATE, never a
+    //      pair-space sort (the window form measured 230 s at sf1; this
+    //      41 s — PLANS.md round 9). The fallback-threshold raise rides
+    //      an ISOLATED newSession so the live session's conf is never
+    //      mutated. The oracle surface aggregates per user: boundary
+    //      ties share ov_us by construction, so count+sum are invariant
+    //      to which twin is kept. ----
     Q(
       "t_interval_overlap_capped",
-      (s, dir) => {
+      (s0, dir) => {
+        // isolated SQLConf (shared context): this aggregator's per-group
+        // state is bounded (<= 5 tuples of 4 longs), so the hash map may
+        // safely hold every group — the 128-group default fallback is
+        // sized for memory-unbounded collect buffers, not this
+        val s = s0.newSession()
+        s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (4 << 20).toString)
         val ev = Tables.events(s, dir)
         def spans(p: String) = ev
           .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
           .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
         graft.operators.RangeJoin
-          .bucketedOverlapJoin(
+          .bucketedOverlapTopK(
             spans("l_"),
             spans("r_"),
             lStart = "l_start",
@@ -687,14 +697,10 @@ object TemporalQueries {
             rStart = "r_start",
             rEnd = "r_end",
             bucketSeconds = 21600L,
-            extraPred = col("l_user") =!= col("r_user"),
-            maxPairsPerLeft = 5,
-            pairBudgetKeys = Seq("l_user")
-          )
-          .select(
-            col("l_user"),
-            (least(expr("unix_micros(l_end)"), expr("unix_micros(r_end)")) -
-              greatest(expr("unix_micros(l_start)"), expr("unix_micros(r_start)"))).as("ov_us")
+            k = 5,
+            leftKeys = Seq("l_user", "l_day"),
+            rIdCol = "r_user",
+            extraPred = col("l_user") =!= col("r_user")
           )
           .groupBy(col("l_user"))
           .agg(count(lit(1)).as("n_kept"), sum(col("ov_us")).as("sum_kept_us"))

@@ -63,4 +63,74 @@ class TopKSpec extends SparkSpec {
     // partial + final pair proves the map-side combine actually happens
     assert(plan.contains("partial_"), s"expected a partial aggregation stage:\n$plan")
   }
+
+  test("perGroupTies: full (value DESC, t1 ASC, t2 ASC, id ASC) order, cut at k") {
+    val df = Seq(
+      // group 1: value tie broken by t1, then t2, then id
+      (1L, 10L, 5L, 5L, 100L),
+      (1L, 10L, 3L, 9L, 101L),
+      (1L, 10L, 3L, 7L, 102L),
+      (1L, 10L, 3L, 7L, 99L),
+      (1L, 20L, 9L, 9L, 103L), // highest value wins outright
+      (1L, 1L, 0L, 0L, 104L),  // cut by k=4
+      // group 2: fewer than k rows survive whole
+      (2L, 7L, 1L, 1L, 200L)
+    ).toDF("g", "v", "t1", "t2", "i")
+    val got = TopK
+      .perGroupTies(df, Seq("g"), col("v"), col("t1"), col("t2"), col("i"), k = 4)
+      .select("g", "rnk", "value", "id")
+      .as[(Long, Int, Long, Long)]
+      .collect()
+      .sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1, 20L, 103L),
+      (1L, 2, 10L, 99L),  // t1=3,t2=7,id 99 beats id 102
+      (1L, 3, 10L, 102L),
+      (1L, 4, 10L, 101L), // t2=9 loses to t2=7; (t1=5) row cut
+      (2L, 1, 7L, 200L)
+    ))
+  }
+
+  test("bucketedOverlapTopK equals the window-capped overlap join on real events") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    def spans(p: String) = ev
+      .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+      .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
+    val agg = RangeJoin
+      .bucketedOverlapTopK(
+        spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
+        bucketSeconds = 21600L, k = 3, leftKeys = Seq("l_user", "l_day"),
+        rIdCol = "r_user", extraPred = col("l_user") =!= col("r_user"))
+      .select(col("l_user"), col("l_day").cast("string"), col("rnk"), col("ov_us"), col("r_user"))
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    val win = RangeJoin
+      .bucketedOverlapJoin(
+        spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
+        bucketSeconds = 21600L, extraPred = col("l_user") =!= col("r_user"),
+        maxPairsPerLeft = 3, pairBudgetKeys = Seq("l_user"))
+      .select(
+        col("l_user"), col("l_day").cast("string"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_user"), col("l_day"))
+            .orderBy(
+              (least(expr("unix_micros(l_end)"), expr("unix_micros(r_end)")) -
+                greatest(expr("unix_micros(l_start)"), expr("unix_micros(r_start)"))).desc,
+              col("r_start").asc, col("r_end").asc, col("r_user").asc)).as("rnk"),
+        (least(expr("unix_micros(l_end)"), expr("unix_micros(r_end)")) -
+          greatest(expr("unix_micros(l_start)"), expr("unix_micros(r_start)"))).as("ov_us"),
+        col("r_user"))
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    assert(agg == win)
+    // and the aggregate path must not plan a window
+    val plan = RangeJoin
+      .bucketedOverlapTopK(
+        spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
+        bucketSeconds = 21600L, k = 3, leftKeys = Seq("l_user", "l_day"),
+        rIdCol = "r_user", extraPred = col("l_user") =!= col("r_user"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"overlap top-k must aggregate, not window-sort:\n$plan")
+  }
 }
