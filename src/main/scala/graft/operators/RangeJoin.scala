@@ -130,6 +130,79 @@ object RangeJoin {
       .agg(sum(col("__sign") * col("__cum")).as("n_in_span"))
   }
 
+  /** [[sweepContainCount]] without the same-epoch restriction: intervals
+    * may span any number of epochs.
+    *
+    * The per-epoch window still computes LOCAL running counts; a
+    * per-epoch prefix-offset table (one row per epoch: probes in all
+    * EARLIER epochs) globalizes each boundary marker's cumulative value
+    * as `global = offset(epoch) + local`, and the signed difference of
+    * two global cums is exact regardless of which epochs the two
+    * boundaries fall in. The offset table is |epochs| rows — it gets a
+    * single-partition window (bounded data, same pattern as
+    * perplexityBuckets' histogram) and BROADCAST-joins onto the marker
+    * rows only, so the count path gains one tiny broadcast join and
+    * nothing corpus-sized ever joins or sorts globally. Requires
+    * `epoch` to be MONOTONE in the timestamp (any truncation is).
+    *
+    * Use [[sweepContainCount]] when intervals provably fit one epoch —
+    * it stays entirely join-free; this variant is the general form.
+    */
+  def sweepContainCountGlobal(
+      intervals: DataFrame,
+      probes: DataFrame,
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      keyCols: Seq[String],
+      epoch: Column => Column
+  ): DataFrame = {
+    def marker(boundary: String, rank: Int, sign: Long) = intervals
+      .select(
+        (keyCols.map(col) :+
+          col(boundary).as("__ts") :+
+          lit(rank).as("__rk") :+
+          lit(0L).as("__c") :+
+          lit(sign).as("__sign")): _*)
+    val probeRows = probes.select(
+      (keyCols.map(k => lit(null).cast(intervals.schema(k).dataType).as(k)) :+
+        col(tsCol).as("__ts") :+
+        lit(1).as("__rk") :+
+        lit(1L).as("__c") :+
+        lit(0L).as("__sign")): _*)
+    val u = probeRows
+      .unionByName(marker(startCol, 0, -1L))
+      .unionByName(marker(endCol, 2, 1L))
+    // per-epoch probe totals -> exclusive prefix offsets, enumerated
+    // over the UNION's epochs (markers contribute __c = 0), so a marker
+    // in a probe-free epoch still finds its prefix row. |epochs| rows:
+    // the unpartitioned prefix window runs over bounded data by
+    // construction (one row per epoch, never per record).
+    val offsets = u
+      .groupBy(epoch(col("__ts")).as("__ep"))
+      .agg(sum(col("__c")).as("__n"))
+      .withColumn(
+        "__pfx",
+        coalesce(
+          sum(col("__n")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("__ep").asc)
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__ep"), col("__pfx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(epoch(col("__ts")))
+      .orderBy(col("__ts").asc, col("__rk").asc)
+    u
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .where(col("__sign") =!= 0L)
+      .withColumn("__ep", epoch(col("__ts")))
+      .join(broadcast(offsets), Seq("__ep"))
+      .withColumn("__global", col("__pfx") + col("__cum"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign") * col("__global")).as("n_in_span"))
+  }
+
   /** Containment join: rows of `intervals` paired with rows of
     * `probes` whose `tsCol` lies in `[startCol, endCol]` (closed) and
     * that satisfy `extraPred`. Column names must be disjoint across the

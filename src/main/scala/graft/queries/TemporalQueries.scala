@@ -609,6 +609,56 @@ object TemporalQueries {
              |GROUP BY 1, 2, 3, 4""".stripMargin)
     ),
 
+    // ---- the sweep count's GENERAL form: weekly activity spans cross
+    //      day epochs, so the same-epoch fast path can't apply; the
+    //      cross-epoch variant globalizes each boundary's cumulative
+    //      count with a per-epoch prefix-offset table (|days| rows,
+    //      broadcast onto the 2-per-interval marker rows). Still no
+    //      pair space, still one corpus window — the only join in the
+    //      plan is the tiny offsets broadcast. ----
+    Q(
+      "t_interval_count_sweep_weekly",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val spans = ev
+          .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+          .agg(
+            min(col("ts")).as("span_start"),
+            max(col("ts")).as("span_end"),
+            count(lit(1)).as("n_own"))
+        graft.operators.RangeJoin
+          .sweepContainCountGlobal(
+            spans,
+            ev.select(col("ts").as("p_ts")),
+            startCol = "span_start",
+            endCol = "span_end",
+            tsCol = "p_ts",
+            keyCols = Seq("user_id", "week", "span_start", "span_end", "n_own"),
+            epoch = to_date(_)
+          )
+          .select(
+            col("user_id"),
+            date_format(col("week"), "yyyy-MM-dd").as("week_s"),
+            date_format(col("span_start"), "yyyy-MM-dd HH:mm:ss").as("span_start_s"),
+            date_format(col("span_end"), "yyyy-MM-dd HH:mm:ss").as("span_end_s"),
+            (col("n_in_span") - col("n_own")).as("n_other")
+          )
+      },
+      Some("""WITH spans AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+             |         min(ts) AS span_start, max(ts) AS span_end
+             |  FROM events GROUP BY 1, 2)
+             |SELECT sp.user_id,
+             |       strftime(sp.week, '%Y-%m-%d') AS week_s,
+             |       strftime(sp.span_start, '%Y-%m-%d %H:%M:%S') AS span_start_s,
+             |       strftime(sp.span_end, '%Y-%m-%d %H:%M:%S') AS span_end_s,
+             |       CAST(count(e.event_id) AS BIGINT) AS n_other
+             |FROM spans sp LEFT JOIN events e
+             |  ON e.ts >= sp.span_start AND e.ts <= sp.span_end
+             | AND e.user_id <> sp.user_id
+             |GROUP BY 1, 2, 3, 4""".stripMargin)
+    ),
+
     // ---- interval-OVERLAP join (interval x interval — the general
     //      case of the containment join above): which users' daily
     //      activity spans overlapped, and for how long. Naive overlap

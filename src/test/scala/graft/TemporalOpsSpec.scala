@@ -538,6 +538,71 @@ class TemporalOpsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"sweep count must run as a window pass:\n$plan")
   }
 
+  test("sweep count (global): epoch-crossing intervals, probe-free epochs, boundary ties") {
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      // crosses two days
+      (1L, ts("2024-01-01 22:00:00"), ts("2024-01-02 02:00:00")),
+      // crosses a probe-FREE day (Jan 3 has no probes): the prefix
+      // offset for its end epoch must still resolve
+      (2L, ts("2024-01-02 23:00:00"), ts("2024-01-03 12:00:00")),
+      // whole-range interval
+      (3L, ts("2024-01-01 00:00:00"), ts("2024-01-04 23:59:59")),
+      (4L, ts("2024-01-04 05:00:00"), ts("2024-01-04 06:00:00")) // empty
+    ).toDF("id", "lo", "hi")
+    val probes = Seq(
+      ts("2024-01-01 21:59:59"), // before iv1
+      ts("2024-01-01 22:00:00"), // AT iv1.lo (closed)
+      ts("2024-01-01 23:30:00"),
+      ts("2024-01-02 01:00:00"),
+      ts("2024-01-02 02:00:00"), // AT iv1.hi
+      ts("2024-01-02 23:30:00"), // in iv2
+      ts("2024-01-04 00:00:00")  // after iv2, inside iv3
+    ).toDF("p_ts")
+    val out = RangeJoin
+      .sweepContainCountGlobal(iv, probes, "lo", "hi", "p_ts",
+        keyCols = Seq("id"), epoch = to_date(_))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 1L, 3L -> 7L, 4L -> 0L))
+  }
+
+  test("sweep count (global): matches the same-epoch sweep when intervals fit one epoch") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    val spans = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    def counts(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val local = counts(RangeJoin.sweepContainCount(
+      spans, ev.select(col("ts").as("p_ts")), "lo", "hi", "p_ts",
+      keyCols = Seq("user_id", "day"), epoch = to_date(_))
+      .select(col("user_id"), col("day"), col("n_in_span")))
+    val global = counts(RangeJoin.sweepContainCountGlobal(
+      spans, ev.select(col("ts").as("p_ts")), "lo", "hi", "p_ts",
+      keyCols = Seq("user_id", "day"), epoch = to_date(_))
+      .select(col("user_id"), col("day"), col("n_in_span")))
+    assert(local == global)
+  }
+
+  test("sweep count (global): the only join is the broadcast of the epoch-offset table") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    val spans = ev
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val plan = RangeJoin
+      .sweepContainCountGlobal(spans, ev.select(col("ts").as("p_ts")), "lo", "hi", "p_ts",
+        keyCols = Seq("user_id", "week"), epoch = to_date(_))
+      .queryExecution.executedPlan.toString
+    val joins = "Join".r.findAllIn(plan).size
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets must broadcast onto the markers:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"no corpus-sized join is allowed in the count path (found $joins Join nodes):\n$plan")
+  }
+
   test("sweep count: an epoch-crossing interval fails loudly, never undercounts") {
     import graft.operators.RangeJoin
     val iv = Seq((1L, ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00"))).toDF("id", "lo", "hi")
