@@ -306,6 +306,38 @@ object TextQueries {
             .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
         },
         oracleOf("ann_knn_lsh")
+      ),
+      // the two full-scan YARDSTICKS get fixed-query twins too: with the
+      // query batch pinned, their cross-SF ratio is per-query cost —
+      // corpus-LINEAR by construction (one full sweep per query), the
+      // honest number the pedagogical rows should scale by instead of
+      // the quadratic |q|x|corpus| the growing set produced
+      Q(
+        "ann_knn_pq_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Pq.topK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK,
+              codebooks = PqCodebooks.books, shortlist = 50)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_pq")
+      ),
+      Q(
+        "ann_knn_bruteforce_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Similarity.bruteForceTopK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_bruteforce")
       )
     )
   }

@@ -189,7 +189,9 @@ class AnnRecallSpec extends SparkSpec {
     for ((base, twin) <- Seq(
         "ann_knn_ivfpq" -> "ann_knn_ivfpq_fixedq",
         "ann_knn_ivfpq_residual" -> "ann_knn_ivfpq_residual_fixedq",
-        "ann_knn_lsh" -> "ann_knn_lsh_fixedq")) {
+        "ann_knn_lsh" -> "ann_knn_lsh_fixedq",
+        "ann_knn_pq" -> "ann_knn_pq_fixedq",
+        "ann_knn_bruteforce" -> "ann_knn_bruteforce_fixedq")) {
       val expected = rows(base).filter(_._1 < 2000L)
       assert(rows(twin) == expected, s"$twin drifted from $base")
     }
