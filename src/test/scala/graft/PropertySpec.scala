@@ -92,4 +92,72 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"dataset $i threshold $t: ${got.size} vs ${want.size}")
     }
   }
+
+  test("sweepContainCountGlobal equals the naive containment join on random intervals") {
+    import graft.operators.RangeJoin
+    // random micro-timestamps over ~5 days so intervals cross epochs,
+    // share boundaries with probes, and leave some epochs probe-free
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    val day  = 86400000000L
+    val gen = for {
+      nIv <- Gen.chooseNum(5, 40)
+      ivs <- Gen.listOfN(nIv, for {
+        lo  <- Gen.chooseNum(0L, 5 * day)
+        len <- Gen.chooseNum(0L, 2 * day)
+      } yield (lo, lo + len))
+      nP <- Gen.chooseNum(0, 300)
+      ps <- Gen.listOfN(nP, Gen.chooseNum(0L, 7 * day))
+    } yield (ivs, ps)
+    for (((ivs, ps), i) <- sample(gen, 4, seed = 1234L).zipWithIndex) {
+      val iv = ivs.zipWithIndex
+        .map { case ((lo, hi), id) => (id.toLong, base + lo, base + hi) }
+        .toDF("id", "lo_us", "hi_us")
+        .select(col("id"),
+          expr("timestamp_micros(lo_us)").as("lo"), expr("timestamp_micros(hi_us)").as("hi"))
+      val probes = ps.map(base + _).toDF("p_us")
+        .select(expr("timestamp_micros(p_us)").as("p_ts"))
+      val got = RangeJoin
+        .sweepContainCountGlobal(iv, probes, "lo", "hi", "p_ts",
+          keyCols = Seq("id"), epoch = to_date(_))
+        .as[(Long, Long)].collect().toMap
+      val want = iv
+        .join(probes, col("p_ts") >= col("lo") && col("p_ts") <= col("hi"), "left")
+        .groupBy(col("id")).agg(count(col("p_ts")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"dataset $i: sweep disagrees with the naive join")
+    }
+  }
+
+  test("TopK.perGroupTies equals a sorted-take reference on random groups with heavy ties") {
+    import graft.operators.TopK
+    val gen = for {
+      n    <- Gen.chooseNum(50, 400)
+      rows <- Gen.listOfN(n, for {
+        g  <- Gen.chooseNum(0, 8)
+        v  <- Gen.chooseNum(0L, 5L) // tiny domain -> dense value ties
+        t1 <- Gen.chooseNum(0L, 3L)
+        t2 <- Gen.chooseNum(0L, 3L)
+        id <- Gen.chooseNum(0L, 1000L)
+      } yield (g.toLong, v, t1, t2, id))
+    } yield rows.distinct // distinct rows so the total order is strict
+    for ((rows, i) <- sample(gen, 3, seed = 321L).zipWithIndex) {
+      val k = Seq(1, 3, 7)(i)
+      val got = TopK
+        .perGroupTies(rows.toDF("g", "v", "t1", "t2", "i").repartition(5),
+          Seq("g"), col("v"), col("t1"), col("t2"), col("i"), k)
+        .select("g", "rnk", "value", "t1", "t2", "id")
+        .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+      val want = rows
+        .groupBy(_._1)
+        .flatMap { case (g, xs) =>
+          xs.map(r => (r._2, r._3, r._4, r._5))
+            .sortBy { case (v, t1, t2, id) => (-v, t1, t2, id) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((v, t1, t2, id), pos) => (g, pos + 1, v, t1, t2, id) }
+        }
+        .toSet
+      assert(got == want, s"dataset $i k=$k")
+    }
+  }
 }
