@@ -398,4 +398,79 @@ object Curation {
       )
       .drop("__e", "__one")
   }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much its hashed-n-gram feature profile
+    * looks like a TARGET distribution relative to the RAW corpus, then
+    * select the top mass. The published method weights by
+    * prod_f p_target(f)/p_raw(f) over hashed bigram features; this
+    * implementation keeps the architecture (hashed feature buckets,
+    * target-vs-raw contrast table, per-document feature-sum score)
+    * but replaces the floating log-likelihood ratio with an ADDITIVE
+    * INTEGER surrogate — score = sum over feature occurrences of
+    * `((target_count_f + 1) * 10^6) div (raw_count_f + 1)` — so the
+    * score is engine-portable bit-for-bit (the repo's integer-exact
+    * oracle discipline; ln() differs across libm implementations in
+    * the last ulp, which a micro-grid floor can flip). Monotonicity in
+    * each feature's target affinity is preserved; the multiplicative
+    * coupling of the true likelihood ratio is not, and callers who can
+    * tolerate float drift can swap the contrast literal for
+    * log-ratios without touching the plan shape.
+    *
+    * Scale shape: training is ONE explode + aggregate whose output is
+    * `nBuckets` rows (collected to the driver — the trained-literal
+    * pattern shared with KMeans centroids / PQ codebooks); scoring is a
+    * PURE map stage (the contrast table ships as a literal array, each
+    * doc folds its feature array through element_at) — zero joins,
+    * zero shuffles over the corpus beyond the one training aggregate.
+    *
+    * @param targetPred row predicate defining the target distribution
+    *                   (e.g. `col("lang") === "en"`)
+    * @return input columns + `score_micro` (long)
+    */
+  def importanceContrast(
+      docs: DataFrame,
+      textCol: String,
+      targetPred: Column,
+      nBuckets: Int = 64,
+      seed: Int = 11
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: got $nBuckets")
+    def features(c: Column): Column = {
+      val tk = TextFunctions.tokens(c)
+      when(
+        size(tk) >= 2,
+        transform(
+          sequence(lit(0), size(tk) - 2),
+          i =>
+            (graft.functions.Fingerprint.seededLongHash(
+              concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2)),
+              seed
+            ) % nBuckets).cast("int")
+        )
+      ).otherwise(array().cast("array<int>"))
+    }
+    // train: bucket -> (raw count, target count); nBuckets rows, the
+    // bounded driver collect every trained-literal operator uses
+    val counts = docs
+      .select(explode(features(col(textCol))).as("__b"), targetPred.cast("long").as("__t"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__r"), sum(col("__t")).as("__tc"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val contrast = (0 until nBuckets).map { b =>
+      val (r, t) = counts.getOrElse(b, (0L, 0L))
+      ((t + 1L) * 1000000L) / (r + 1L)
+    }
+    val table = array(contrast.map(lit): _*)
+    docs.withColumn(
+      "score_micro",
+      aggregate(
+        features(col(textCol)),
+        lit(0L),
+        (acc, b) => acc + element_at(table, b + 1)
+      )
+    )
+  }
 }

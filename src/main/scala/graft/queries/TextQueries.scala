@@ -513,6 +513,61 @@ object TextQueries {
              |SELECT doc_id, lang, quality, pr_micro FROM r WHERE pr_micro >= 200000""".stripMargin)
     ),
 
+    // ---- DSIR-shaped data selection (Xie et al. 2023): score docs by a
+    //      hashed-bigram target-vs-raw contrast (target = English docs),
+    //      keep each language's top 30% by per-language percent_rank.
+    //      Training is one explode+agg collapsing to 64 bucket rows
+    //      (trained-literal pattern); scoring is a PURE map stage (the
+    //      contrast table rides as a literal array, each doc folds its
+    //      feature array); selection reuses the w2 percent_rank micro
+    //      grid, partitioned by language so no global sort. The
+    //      contrast is the integer surrogate ((t+1)*1e6 div (r+1)) —
+    //      see Curation.importanceContrast for why not ln(). ----
+    Q(
+      "curation_importance_contrast",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("score_micro").asc, col("doc_id").asc)
+        graft.operators.Curation
+          .importanceContrast(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+            textCol = "text",
+            targetPred = col("lang") === "en"
+          )
+          .withColumn("pr_micro", floor(percent_rank().over(w) * 1000000 + 0.5).cast("long"))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            col("score_micro"),
+            when(col("pr_micro") >= 700000, 1).otherwise(0).cast("int").as("selected")
+          )
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+             |m AS (SELECT doc_id, lang,
+             |        unnest(list_transform(generate_series(1, len(tk) - 1),
+             |                              i -> tk[i] || ' ' || tk[i+1])) AS bg
+             |      FROM t),
+             |f AS (SELECT doc_id, lang,
+             |        CAST(${sqlHash(11, "bg")} % 64 AS INT) AS b
+             |      FROM m),
+             |c AS (SELECT b, CAST(count(*) AS BIGINT) AS r,
+             |        CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tc
+             |      FROM f GROUP BY 1),
+             |sc AS (SELECT f.doc_id,
+             |         CAST(sum(((c.tc + 1) * 1000000) // (c.r + 1)) AS BIGINT) AS score
+             |       FROM f JOIN c USING (b) GROUP BY 1),
+             |d AS (SELECT d0.doc_id, d0.lang, COALESCE(sc.score, 0) AS score_micro
+             |      FROM documents d0 LEFT JOIN sc USING (doc_id)),
+             |r AS (SELECT doc_id, lang, score_micro,
+             |        CAST(floor(percent_rank() OVER (PARTITION BY lang
+             |               ORDER BY score_micro ASC, doc_id ASC) * 1000000 + 0.5) AS BIGINT) AS pr
+             |      FROM d)
+             |SELECT doc_id, lang, score_micro,
+             |       CAST(CASE WHEN pr >= 700000 THEN 1 ELSE 0 END AS INT) AS selected
+             |FROM r""".stripMargin)
+    ),
+
     // ---- corpus curation by ROBUST dispersion: per-language median/MAD
     //      gate (|len - median| <= 1.5*MAD, stated as 3/2 — prunes ~20%
     //      of this corpus). Mean/stddev gates move with

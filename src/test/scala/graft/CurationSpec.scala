@@ -316,4 +316,34 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"epoch upsampling must not shuffle:\n$plan")
   }
+
+  test("importanceContrast: target-like docs outscore the rest; scoring stage is join-free") {
+    // two disjoint vocabularies: the 'en' target speaks ping-pong, the
+    // rest speaks bla-blub — every en bigram bucket has tc ~ r (contrast
+    // ~1e6), every other bucket tc = 0 (contrast ~1e6/(r+1))
+    val corpus = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", "ping pong ping pong ping pong")
+      else (i.toLong, "xx", "bla blub bla blub bla blub")
+    }.toDF("doc_id", "lang", "text")
+    val scored = Curation
+      .importanceContrast(corpus, "text", col("lang") === "en")
+      .select(col("lang"), col("score_micro"))
+      .as[(String, Long)].collect()
+    val en = scored.filter(_._1 == "en").map(_._2)
+    val xx = scored.filter(_._1 == "xx").map(_._2)
+    assert(en.min > xx.max,
+      s"every target doc must outscore every non-target doc: en.min=${en.min} xx.max=${xx.max}")
+    // docs with < 2 tokens score 0 (no features)
+    val empty = Curation
+      .importanceContrast(Seq((1L, "en", "solo")).toDF("doc_id", "lang", "text"),
+        "text", col("lang") === "en")
+      .select(col("score_micro")).as[Long].head()
+    assert(empty == 0L)
+    // the SCORING plan (post-training) is a pure map stage over the scan
+    val plan = Curation
+      .importanceContrast(corpus, "text", col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join (literal contrast table):\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
 }
