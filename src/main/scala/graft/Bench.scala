@@ -32,9 +32,14 @@ object Bench {
     // now the artifact carries it. control_ratio = median/min of the
     // control samples: ~1.0 = clean run; >>1 = bursty CPU steal, read
     // per-query movers against it before calling anything a regression.
-    val controlName = "w1_window_dedup_latest"
-    val controlTs   = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def runOnce(name: String): Option[Double] = {
+    val controlName   = "w1_window_dedup_latest"
+    val controlTs     = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // control-run failures are recorded HERE, never in the suite-level
+    // `failed` map: an out-of-suite control rep that crashes must not
+    // report a failure for a query the suite excluded (via `only`) or
+    // that passed all its in-suite reps
+    val controlFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runOnce(name: String, failSink: String => Unit): Option[Double] = {
       val t0 = System.nanoTime()
       // a rep that throws is a FAILURE, not a timing: record the error and
       // never fold its wall time into the min (a crashing query must not
@@ -44,18 +49,19 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
-          System.err.println(s"[bench] FAILED $name: ${failed(name)}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200)
+          failSink(msg)
+          System.err.println(s"[bench] FAILED $name: $msg")
           None
       }
     }
     def runControl(): Unit =
       if (SparkEntry.queries.contains(controlName))
-        runOnce(controlName).foreach(controlTs += _)
+        runOnce(controlName, controlFailed += _).foreach(controlTs += _)
     for (_ <- 1 to reps) {
       runControl()
       for (name <- names) {
-        val t = runOnce(name)
+        val t = runOnce(name, failed(name) = _)
         t.foreach(v => best(name) = math.min(best.getOrElse(name, Double.MaxValue), v))
         if (name == controlName) t.foreach(controlTs += _)
       }
@@ -77,9 +83,15 @@ object Bench {
         val sorted = controlTs.sorted
         val med = sorted(sorted.size / 2)
         val min = sorted.head
-        s"""{"query":"$controlName","n":${sorted.size},"min":${fmt(min)},"median":${fmt(med)},"control_ratio":${fmt(med / min)}}"""
+        val cf  = if (controlFailed.isEmpty) "" else s""","control_failed":${controlFailed.size}"""
+        s"""{"query":"$controlName","n":${sorted.size},"min":${fmt(min)},"median":${fmt(med)},"control_ratio":${fmt(med / min)}$cf}"""
       }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failures,"control":$control,"sf":"$sfDir"}"""
+    // the full-scan recall yardsticks present in this run, so the
+    // artifact self-describes which rows the scale surface excludes
+    // (SparkEntry.Yardsticks is the registry; COVERAGE.md adjudicates)
+    val yard = names.filter(SparkEntry.Yardsticks).sorted
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failures,"control":$control,"yardsticks":$yard,"sf":"$sfDir"}"""
     // survive stdout truncation: persist the result next to the repo bench seals
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")),

@@ -313,7 +313,8 @@ object RangeJoin {
       extraPred: Column = lit(true),
       shufflePartitions: Int = 0,
       maxPairsPerLeft: Int = 0,
-      pairBudgetKeys: Seq[String] = Nil
+      pairBudgetKeys: Seq[String] = Nil,
+      pairBudgetTieKeys: Seq[String] = Nil
   ): DataFrame = {
     val b = bucketSeconds * 1000000L
     // 128 KiB granularity: the exploded bucket rows multiply the input
@@ -364,13 +365,20 @@ object RangeJoin {
       .drop("__bka", "__bkb")
     if (maxPairsPerLeft <= 0) joined
     else {
+      // `pairBudgetTieKeys` (right-side id columns, ASC) extend the order
+      // to a TOTAL one: without them, right rows tying on all of
+      // (overlap, rStart, rEnd) are kept nondeterministically, and this
+      // path can diverge from bucketedOverlapTopK/TopK.perGroupTies'
+      // 4-key order on exact ties
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy((Seq(lStart, lEnd) ++ pairBudgetKeys).map(col): _*)
         .orderBy(
-          (expr(s"unix_micros(least($lEnd, $rEnd))") -
-            expr(s"unix_micros(greatest($lStart, $rStart))")).desc,
-          col(rStart).asc,
-          col(rEnd).asc
+          Seq(
+            (expr(s"unix_micros(least($lEnd, $rEnd))") -
+              expr(s"unix_micros(greatest($lStart, $rStart))")).desc,
+            col(rStart).asc,
+            col(rEnd).asc
+          ) ++ pairBudgetTieKeys.map(col(_).asc): _*
         )
       joined
         .withColumn("__pr", row_number().over(w))
@@ -437,5 +445,80 @@ object RangeJoin {
       .withColumnRenamed("t1", "r_start_us")
       .withColumnRenamed("t2", "r_end_us")
       .withColumnRenamed("id", rIdCol)
+  }
+
+  /** [[bucketedOverlapTopK]] for the SELF-join case (`left` and `right`
+    * are the same relation under renaming), enumerating each unordered
+    * pair ONCE.
+    *
+    * The `a.id =!= b.id` formulation pays the dense-quadratic pair
+    * stream TWICE — every unordered overlap {A, B} materializes as both
+    * (A, B) and (B, A), each with its own overlap/endpoint arithmetic.
+    * Here the join predicate is canonical (`lId < rId`, exactly one row
+    * per unordered pair — ids differ by the predicate itself), and each
+    * surviving pair fans into BOTH directed group-updates through a
+    * narrow generate: (A's keys, B as neighbor) and (B's keys, A as
+    * neighbor), sharing the one computed overlap. The top-k hash
+    * aggregate ([[TopK.perGroupTies]]) sees the same update multiset as
+    * the `=!=` form — identical results — but the join output, the
+    * overlap predicate survivors, and the endpoint arithmetic are all
+    * halved. The plan stays aggregation-only (bucket equi-join ->
+    * generate -> hash agg; no window, no sort).
+    *
+    * `lKeys`/`rKeys` are the two renamings of the SAME key columns
+    * (positionally matched, types equal); output names them `outKeys`.
+    * `lIdCol`/`rIdCol` must be the two renamings of one orderable id
+    * column that is distinct across the relation's rows OR carried in
+    * the keys — pairs with equal ids are dropped as self-pairs.
+    *
+    * @return outKeys + rnk (1-based) + ov_us + r_start_us + r_end_us
+    *         + outIdCol (the neighbor's id)
+    */
+  def bucketedOverlapTopKSym(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketSeconds: Long,
+      k: Int,
+      lKeys: Seq[String],
+      rKeys: Seq[String],
+      lIdCol: String,
+      rIdCol: String,
+      outKeys: Seq[String],
+      outIdCol: String,
+      shufflePartitions: Int = 0
+  ): DataFrame = {
+    require(lKeys.size == rKeys.size && lKeys.size == outKeys.size,
+      s"key lists must align: ${lKeys.size}/${rKeys.size}/${outKeys.size}")
+    val joined = bucketedOverlapJoin(
+      left, right, lStart, lEnd, rStart, rEnd, bucketSeconds,
+      extraPred = col(lIdCol) < col(rIdCol), shufflePartitions = shufflePartitions)
+    val ov = expr(s"unix_micros(least($lEnd, $rEnd))") -
+      expr(s"unix_micros(greatest($lStart, $rStart))")
+    // one struct per direction, identical field names/types, exploded —
+    // a narrow generate on the HALVED pair stream, never a second join
+    def directed(ks: Seq[String], ns: String, ne: String, nid: String) =
+      struct(
+        (ks.zip(outKeys).map { case (c, o) => col(c).as(o) } :+
+          ov.as("__ov") :+
+          expr(s"unix_micros($ns)").as("__rs") :+
+          expr(s"unix_micros($ne)").as("__re") :+
+          col(nid).as("__id")): _*
+      )
+    val updates = joined
+      .select(explode(array(
+        directed(lKeys, rStart, rEnd, rIdCol),
+        directed(rKeys, lStart, lEnd, lIdCol)
+      )).as("__d"))
+      .select(col("__d.*"))
+    TopK
+      .perGroupTies(updates, outKeys, col("__ov"), col("__rs"), col("__re"), col("__id"), k)
+      .withColumnRenamed("value", "ov_us")
+      .withColumnRenamed("t1", "r_start_us")
+      .withColumnRenamed("t2", "r_end_us")
+      .withColumnRenamed("id", outIdCol)
   }
 }

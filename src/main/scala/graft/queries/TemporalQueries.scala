@@ -738,8 +738,15 @@ object TemporalQueries {
         def spans(p: String) = ev
           .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
           .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
+        // SELF overlap -> the symmetric variant: canonical l_user < r_user
+        // pairs enumerated ONCE, each feeding both endpoints' top-k
+        // buffers through a narrow generate — the join output, overlap
+        // predicate survivors, and endpoint arithmetic are all halved vs
+        // the r9 `=!=` form (which paid every unordered pair twice).
+        // Same update multiset, same oracle; TemporalOpsSpec pins
+        // equality with the asymmetric path and the window-free plan.
         graft.operators.RangeJoin
-          .bucketedOverlapTopK(
+          .bucketedOverlapTopKSym(
             spans("l_"),
             spans("r_"),
             lStart = "l_start",
@@ -748,9 +755,12 @@ object TemporalQueries {
             rEnd = "r_end",
             bucketSeconds = 21600L,
             k = 5,
-            leftKeys = Seq("l_user", "l_day"),
+            lKeys = Seq("l_user", "l_day"),
+            rKeys = Seq("r_user", "r_day"),
+            lIdCol = "l_user",
             rIdCol = "r_user",
-            extraPred = col("l_user") =!= col("r_user")
+            outKeys = Seq("l_user", "l_day"),
+            outIdCol = "r_user"
           )
           .groupBy(col("l_user"))
           .agg(count(lit(1)).as("n_kept"), sum(col("ov_us")).as("sum_kept_us"))

@@ -109,7 +109,10 @@ class TopKSpec extends SparkSpec {
       .bucketedOverlapJoin(
         spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
         bucketSeconds = 21600L, extraPred = col("l_user") =!= col("r_user"),
-        maxPairsPerLeft = 3, pairBudgetKeys = Seq("l_user"))
+        maxPairsPerLeft = 3, pairBudgetKeys = Seq("l_user"),
+        // total order: same 4-key tiebreak as the aggregate path, so the
+        // two 'same semantics' cap paths keep identical twins on ties
+        pairBudgetTieKeys = Seq("r_user"))
       .select(
         col("l_user"), col("l_day").cast("string"),
         row_number().over(
@@ -132,5 +135,37 @@ class TopKSpec extends SparkSpec {
         rIdCol = "r_user", extraPred = col("l_user") =!= col("r_user"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"overlap top-k must aggregate, not window-sort:\n$plan")
+  }
+
+  test("bucketedOverlapTopKSym equals the asymmetric =!= form on real events, window-free") {
+    import graft.operators.RangeJoin
+    val ev = Tables.events(spark, Sf)
+    def spans(p: String) = ev
+      .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
+      .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
+    def sym = RangeJoin.bucketedOverlapTopKSym(
+      spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
+      bucketSeconds = 21600L, k = 3,
+      lKeys = Seq("l_user", "l_day"), rKeys = Seq("r_user", "r_day"),
+      lIdCol = "l_user", rIdCol = "r_user",
+      outKeys = Seq("l_user", "l_day"), outIdCol = "r_user")
+    val asym = RangeJoin.bucketedOverlapTopK(
+      spans("l_"), spans("r_"), "l_start", "l_end", "r_start", "r_end",
+      bucketSeconds = 21600L, k = 3, leftKeys = Seq("l_user", "l_day"),
+      rIdCol = "r_user", extraPred = col("l_user") =!= col("r_user"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(
+        col("l_user"), col("l_day").cast("string"), col("rnk"),
+        col("ov_us"), col("r_start_us"), col("r_end_us"), col("r_user"))
+      .as[(Long, String, Int, Long, Long, Long, Long)]
+      .collect()
+      .toSet
+    // the canonical l<r enumeration + two-directed-updates generate must
+    // reproduce the double-enumerated pair semantics EXACTLY (full rows,
+    // including the neighbor endpoints the tiebreak orders by)
+    assert(rows(sym) == rows(asym))
+    val plan = sym.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sym overlap top-k must aggregate, not window-sort:\n$plan")
+    assert(plan.contains("Generate"), s"sym path should fan canonical pairs via a generate:\n$plan")
   }
 }
