@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.Fingerprint
 import graft.operators.{CdcRouter, Scd2}
-import graft.sinks.{AuditSink, SnapshotSink}
+import graft.sinks.{AuditSink, JdbcScd2Sink, SnapshotSink}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,13 @@ object CdcQueries {
   private val LoadTs    = "2024-06-01 00:00:00"
   private val InitialTs = "2024-01-01 00:00:00"
   private val EndOfTime = "2099-12-31 00:00:00"
+
+  // one embedded-Derby database PER INVOCATION of jdbc_scd2_mart: Derby
+  // keeps a booted database's files open until JVM shutdown, so a bench
+  // rep cannot delete-and-recreate the previous rep's db — a fresh
+  // sub-database sidesteps reuse entirely (dbs are tiny; the workspace
+  // dir itself is retention-reaped by TmpWorkspace)
+  private val jdbcMartRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def historic(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -206,6 +213,43 @@ object CdcQueries {
           col(Scd2.StartDate).as("start_date"),
           col(Scd2.EndDate).as("end_date")
         ),
+      Some(s"""$MergedSqlCtes
+              |SELECT * FROM merged""".stripMargin)
+    ),
+
+    // ---- K1 relational: the SAME merge contract through the JDBC sink
+    //      (the reference's actual persistence boundary — relational
+    //      upsert, ETL/CSV_Batch_Processing.py:306-324). Two increments
+    //      against embedded Derby: load 1 seeds the historic snapshot
+    //      through the merge path (all-INSERT at InitialTs), load 2
+    //      applies the routed feed, so the set-based deactivate-UPDATE
+    //      close-out executes against live rows. The table read back
+    //      must equal the SAME closed form the parquet snapshot row
+    //      (scd2_merge_snapshot) is gated on — one oracle, two sinks. ----
+    Q(
+      "jdbc_scd2_mart",
+      (s, dir) => {
+        val ws    = TmpWorkspace.scoped(s, "graft_derby_mart", dir)
+        val url   = s"jdbc:derby:$ws/db${jdbcMartRuns.incrementAndGet()};create=true"
+        val table = "CSD_DATA_MART"
+        val seed = historic(s, dir).select(
+          col("hssi").as("ssi"),
+          col("hhash").as("src_hash"),
+          lit(CdcRouter.Insert).as(CdcRouter.RouterCol)
+        )
+        JdbcScd2Sink.merge(s, url, table, seed, "ssi", InitialTs, EndOfTime)
+        val batch = routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol)
+        JdbcScd2Sink.merge(s, url, table, batch, "ssi", LoadTs, EndOfTime)
+        JdbcScd2Sink
+          .readSnapshot(s, url, table, batch.drop(CdcRouter.RouterCol).schema)
+          .select(
+            col("ssi"),
+            col("src_hash"),
+            col(Scd2.ActiveFlag).cast("int").as("active_flag"),
+            col(Scd2.StartDate).as("start_date"),
+            col(Scd2.EndDate).as("end_date")
+          )
+      },
       Some(s"""$MergedSqlCtes
               |SELECT * FROM merged""".stripMargin)
     ),
