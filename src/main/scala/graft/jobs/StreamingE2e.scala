@@ -83,19 +83,41 @@ object StreamingE2e {
     StructField("archive_id", LongType)
   ))
 
-  /** The deterministic feed records for one (predicate, variant) slice,
-    * collected to the driver ONLY because MemoryStream (the in-process
-    * poll endpoint) is driver-fed by nature — the slice plays the role
-    * of the reference's REST response body, which is likewise a bounded
-    * driver-side fetch (ETL/XML_Streaming.py:57-62). The archive and
-    * mart sides stay fully distributed.
+  /** The reference's poll contract: every fetch returns AT MOST this
+    * many records (Setup/Streaming_API_Setup.py:50, MAX_RECORDS=5000).
+    * The feed simulator must honor the same bound — a poll whose size
+    * scales with sf would be the one driver-side collect in the
+    * lifecycle that grows with the data.
+    */
+  val MaxRecordsPerPoll = 5000
+
+  /** Chunk a record stream into bounded polls: `poll` is invoked with
+    * at most `maxPerPoll` records per call, in stream order. Pure
+    * (StreamingChaosSpec pins per-poll boundedness + order); returns
+    * the number of polls issued.
+    */
+  def chunkedPolls[A](records: Iterator[A], maxPerPoll: Int)(poll: Seq[A] => Unit): Int = {
+    require(maxPerPoll >= 1, s"maxPerPoll must be >= 1, got $maxPerPoll")
+    var n = 0
+    records.grouped(maxPerPoll).foreach { chunk => poll(chunk); n += 1 }
+    n
+  }
+
+  /** The deterministic feed records for one (predicate, variant) slice.
+    * Streams to the driver via toLocalIterator — one PARTITION resident
+    * at a time, never the whole slice — because MemoryStream (the
+    * in-process poll endpoint) is driver-fed by nature: the slice plays
+    * the role of the reference's REST response body. [[chunkedPolls]]
+    * then re-bounds delivery to the reference's MAX_RECORDS per poll.
+    * The archive and mart sides stay fully distributed.
     */
   private def slice(
       events: DataFrame,
       pred: org.apache.spark.sql.Column,
       variant: String
-  ): Seq[PollSource.StreamRecord] = {
+  ): Iterator[PollSource.StreamRecord] = {
     import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
     val status = variant match {
       case "v1" => col("event_type")
       case "v2" => concat(col("event_type"), lit("_m"))
@@ -109,8 +131,8 @@ object StreamingE2e {
         status.as("status"),
         concat(lit("u"), col("user_id").cast("string")).as("note")
       )
-      .collect()
-      .toSeq
+      .toLocalIterator()
+      .asScala
       .map { case Row(id: Long, st: String, nt: String) =>
         // payload rides MemoryStream as "<status>|<note>"; unpack splits
         // on the FIRST '|', so a separator inside status would silently
@@ -145,8 +167,14 @@ object StreamingE2e {
     )
 
     def drainMart(loadTs: String): Unit = {
+      // one mart increment PER DRAIN is this lifecycle's contract (B2+B3
+      // must version a %77 key inside a single increment): pin the file
+      // source's batch sizing explicitly so an inherited session-level
+      // maxFilesPerTrigger can never split a drain into two increments
+      // sharing a load timestamp
       val feed = spark.readStream
         .schema(archiveSchema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
         .parquet(archiveDir)
       val q = StreamingMart.start(
         feed, spec, martDir, martCkpt,
@@ -164,13 +192,18 @@ object StreamingE2e {
     val q1 = ArchiveStream.start(
       unpack(stream1.toDF()), archiveDir, s"$workDir/ckpt1", w1, intervalSeconds = 1)
     try {
-      poll1(slice(events, lo && col("event_id") % 3 === 0, "v1"))
+      chunkedPolls(slice(events, lo && col("event_id") % 3 === 0, "v1"), MaxRecordsPerPoll)(poll1)
       q1.processAllAvailable()
       drainMart(Ts(0))
-      poll1(
+      // the three A2 slices carry DISJOINT key sets, so the poll
+      // boundaries the chunker introduces cannot reorder versions of one
+      // key; cross-version ordering (v1 vs v2 of %9 keys) rides the
+      // strictly increasing archive batch ids as before
+      chunkedPolls(
         slice(events, lo && col("event_id") % 3 =!= 0, "v1") ++
           slice(events, lo && col("event_id") % 9 === 0, "v2") ++
-          slice(events, lo && col("event_id") % 6 === 0 && col("event_id") % 9 =!= 0, "v1"))
+          slice(events, lo && col("event_id") % 6 === 0 && col("event_id") % 9 =!= 0, "v1"),
+        MaxRecordsPerPoll)(poll1)
       q1.processAllAvailable()
     } finally q1.stop()
     drainMart(Ts(1))
@@ -182,14 +215,15 @@ object StreamingE2e {
     val q2 = ArchiveStream.start(
       unpack(stream2.toDF()), archiveDir, s"$workDir/ckpt2", w2, intervalSeconds = 1)
     try {
-      poll2(
+      chunkedPolls(
         slice(events, hi, "v1") ++
-          slice(events, lo && col("event_id") % 5 === 0, "v3")) // poison: must be watermark-dropped
+          slice(events, lo && col("event_id") % 5 === 0, "v3"), // poison: must be watermark-dropped
+        MaxRecordsPerPoll)(poll2)
       q2.processAllAvailable()
       drainMart(Ts(2))
-      poll2(slice(events, hi && col("event_id") % 7 === 0, "v2"))
+      chunkedPolls(slice(events, hi && col("event_id") % 7 === 0, "v2"), MaxRecordsPerPoll)(poll2)
       q2.processAllAvailable()
-      poll2(slice(events, hi && col("event_id") % 11 === 0, "v4"))
+      chunkedPolls(slice(events, hi && col("event_id") % 11 === 0, "v4"), MaxRecordsPerPoll)(poll2)
       q2.processAllAvailable()
     } finally q2.stop()
     drainMart(Ts(3))

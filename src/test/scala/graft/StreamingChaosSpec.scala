@@ -148,4 +148,18 @@ class StreamingChaosSpec extends SparkSpec {
       (s"STREAM - $PoisonId", "<v>p1</v>", 1)
     ))
   }
+
+  test("feed polls are bounded: chunkedPolls never exceeds MAX_RECORDS and preserves order") {
+    import graft.jobs.StreamingE2e
+    val polls = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    // 12001 records across a 5000 cap -> 3 polls of 5000/5000/2001
+    val n = StreamingE2e.chunkedPolls((1 to 12001).iterator, 5000)(polls += _)
+    assert(n == 3 && polls.size == 3)
+    assert(polls.map(_.size) == Seq(5000, 5000, 2001))
+    assert(polls.forall(_.size <= StreamingE2e.MaxRecordsPerPoll))
+    assert(polls.flatten.toSeq == (1 to 12001))
+    // empty feed issues zero polls (a drain with no new data must not
+    // push an empty batch into the stream)
+    assert(StreamingE2e.chunkedPolls(Iterator.empty[Int], 5000)(polls += _) == 0)
+  }
 }
