@@ -509,6 +509,64 @@ object Pq {
       codebooks: Seq[Seq[Array[Double]]],
       nProbe: Int,
       shortlist: Int
+  ): DataFrame =
+    ivfPqTopKEncoded(
+      ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks),
+      idCol, queries, vecCol, k, centroids, codebooks, nProbe, shortlist)
+
+  /** The ENCODE half of [[ivfPqTopK]] on its own: assign every vector
+    * its coarse cell (argmax centroid dot on the normalized vector,
+    * first-max tiebreak) and its M PQ codes against FROZEN artifacts.
+    * This is the per-batch work of incremental index maintenance — a
+    * new batch encodes against the shipped quantizers exactly like the
+    * initial corpus did, independent of anything already stored
+    * ([[AnnIndex]] appends the result to the bucketed store; the
+    * ann_index_append oracle row pins append == full recompute).
+    * Output: idCol + cell (int) + pq0..pq{M-1} (int) + `vn`
+    * (normalized double vector, kept for the exact rerank fetch).
+    */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]]
+  ): DataFrame = {
+    val m = codebooks.size
+    def cellDots(v: Column): Column =
+      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+    withCodes(
+      corpus.select(col(idCol), col(vecCol).as("__vec")),
+      "__vec",
+      codebooks,
+      vnCol = "vn"
+    )
+      .withColumn("__cd", cellDots(col("vn")))
+      .select(
+        col(idCol) +:
+          (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell") +:
+          ((0 until m).map(i => col(s"pq$i")) :+ col("vn")): _*
+      )
+  }
+
+  /** The SEARCH half of [[ivfPqTopK]] over an ALREADY-ENCODED corpus —
+    * the production read path once an index store exists: queries never
+    * pay the corpus encode, they probe the stored (cell, codes, vn)
+    * rows directly. `encoded` must carry idCol + cell + pq0..pq{M-1} +
+    * vn as [[ivfPqEncode]] emits (e.g. [[AnnIndex.readStore]]).
+    * Results are identical to ivfPqTopK over the raw corpus: encoding
+    * is deterministic per row, so where it happened cannot show.
+    */
+  def ivfPqTopKEncoded(
+      encoded: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      nProbe: Int,
+      shortlist: Int
   ): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
@@ -518,18 +576,12 @@ object Pq {
     def cellDots(v: Column): Column =
       array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
 
-    val encoded = withCodes(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
-      "__vec",
-      codebooks,
-      vnCol = "c_vn"
-    ).withColumn("__cd", cellDots(col("c_vn")))
-    val codes = encoded.select(
-      col("neighbor_id") +:
-        (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell") +:
-        (0 until m).map(i => col(s"pq$i")): _*
+    val indexed = encoded.select(
+      (col(idCol).as("neighbor_id") +: col("cell") +: col("vn").as("c_vn") +:
+        (0 until m).map(i => col(s"pq$i"))): _*
     )
-    val vectors = encoded.select(col("neighbor_id"), col("c_vn"))
+    val codes   = indexed.select(col("neighbor_id") +: col("cell") +: (0 until m).map(i => col(s"pq$i")): _*)
+    val vectors = indexed.select(col("neighbor_id"), col("c_vn"))
 
     // query side: nProbe best cells + per-subspace LUTs, all broadcast
     val qw = Window.partitionBy(col("query_id")).orderBy(col("celldot").desc, col("cell").asc)

@@ -252,6 +252,12 @@ object TextQueries {
   private val FixedAnnQMax = 2000L
   private val FixedAnnSqlPred = s"vec_id % 100 = 0 AND vec_id < $FixedAnnQMax"
 
+  // one ANN index-store table PER INVOCATION of ann_index_append (catalog
+  // tables cannot be overwritten mid-bench while a prior rep's scan may
+  // still hold files; unique names sidestep reuse — the parquet payload
+  // lives under a TmpWorkspace dir and is retention-reaped)
+  private val annIndexRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def fixedAnnTwins(base: Seq[Q]): Seq[Q] = {
     def oracleOf(name: String) = base
       .find(_.name == name)
@@ -312,6 +318,20 @@ object TextQueries {
       // corpus-LINEAR by construction (one full sweep per query), the
       // honest number the pedagogical rows should scale by instead of
       // the quadratic |q|x|corpus| the growing set produced
+      Q(
+        "ann_knn_ivf_fixedq",
+        (s, dir) => {
+          val emb = Tables.embeddings(s, dir)
+          Similarity.ivfTopK(
+              corpus = emb.select(col("vec_id"), col("embedding"))
+                .repartition(s.sparkContext.defaultParallelism),
+              queries = fixedQueries(s, dir),
+              idCol = "vec_id", vecCol = "embedding", k = KnnK,
+              centroids = IvfCentroids.cells, nProbe = IvfProbe)
+            .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+        },
+        oracleOf("ann_knn_ivf")
+      ),
       Q(
         "ann_knn_pq_fixedq",
         (s, dir) => {
@@ -2808,6 +2828,78 @@ object TextQueries {
            |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
            |  FROM sc)
            |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= $KnnK""".stripMargin
+      }
+    ),
+
+    // ---- incremental ANN index maintenance: a new vector batch is
+    //      encoded against the FROZEN quantizer artifacts (cell + PQ
+    //      codes — Pq.ivfPqEncode, the assignment halves of the search
+    //      paths) and APPENDED to the cell-bucketed store with no
+    //      retraining and no rewrite of the stored corpus. The oracle
+    //      states the contract in closed form: the appended store must
+    //      equal a from-scratch encode of the grown corpus row-for-row.
+    //      AnnIndexSpec additionally pins that SEARCHING the appended
+    //      store (ivfPqTopKEncoded) returns the from-scratch index's
+    //      exact results. ----
+    Q(
+      "ann_index_append",
+      (s, dir) => {
+        val emb = Tables
+          .embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val base  = emb.where(col("vec_id") % 10 =!= 0) // the standing corpus
+        val incr  = emb.where(col("vec_id") % 10 === 0) // the arriving batch
+        val table = s"graft_ann_index_${annIndexRuns.incrementAndGet()}"
+        val store = TmpWorkspace.scoped(s, "graft_annstore", dir)
+        graft.operators.AnnIndex.writeStoreBucketed(
+          Pq.ivfPqEncode(base, "vec_id", "embedding", IvfCentroids.cells, PqCodebooks.books),
+          table, s"$store/$table", nBuckets = 8)
+        graft.operators.AnnIndex.appendToStoreBucketed(
+          Pq.ivfPqEncode(incr, "vec_id", "embedding", IvfCentroids.cells, PqCodebooks.books),
+          table, expectedBuckets = 8)
+        graft.operators.AnnIndex
+          .readStore(s, table)
+          .select(
+            col("vec_id") +: col("cell") +:
+              (0 until PqCodebooks.M).map(i => col(s"pq$i")): _*)
+      },
+      Some {
+        val m   = PqCodebooks.M
+        val sub = PqCodebooks.Dim / PqCodebooks.M
+        val pqValues = PqCodebooks.books.zipWithIndex
+          .flatMap { case (book, mi) =>
+            book.zipWithIndex.map { case (c, j) =>
+              val hn = c.map(x => x * x).sum / 2.0
+              s"($mi, $j, ${c.map(_.toString).mkString("[", ",", "]")}::DOUBLE[], $hn)"
+            }
+          }
+          .mkString(",\n")
+        val codePivot = (0 until m)
+          .map(i => s"MAX(CASE WHEN m = $i THEN code END) AS pq$i")
+          .mkString(", ")
+        s"""WITH cents(cell, cv) AS (VALUES $ivfCentsValuesSql),
+           |books(m, code, bv, hn) AS (VALUES $pqValues),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |nv AS (SELECT vec_id,
+           |         CASE WHEN list_dot_product(v, v) = 0 THEN list_transform(v, x -> 0.0)
+           |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+           |       FROM e),
+           |cellad AS (SELECT vec_id, c.cell,
+           |            row_number() OVER (PARTITION BY vec_id
+           |              ORDER BY list_dot_product(vn, c.cv) DESC, c.cell) AS rn
+           |          FROM nv CROSS JOIN cents c),
+           |assign AS (SELECT vec_id, cell FROM cellad WHERE rn = 1),
+           |sc AS (SELECT vec_id, b.m, b.code,
+           |         list_dot_product(vn[b.m*$sub+1 : b.m*$sub+$sub], b.bv) - b.hn AS score
+           |       FROM nv CROSS JOIN books b),
+           |codes AS (SELECT vec_id, m, code FROM (
+           |    SELECT vec_id, m, code,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code ASC) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |codep AS (SELECT vec_id, $codePivot FROM codes GROUP BY vec_id)
+           |SELECT a.vec_id, a.cell, ${(0 until m).map(i => s"cp.pq$i").mkString(", ")}
+           |FROM assign a JOIN codep cp USING (vec_id)""".stripMargin
       }
     ),
 

@@ -187,6 +187,7 @@ class AnnRecallSpec extends SparkSpec {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
       .as[(Long, Long, Int)].collect().toSet
     for ((base, twin) <- Seq(
+        "ann_knn_ivf" -> "ann_knn_ivf_fixedq",
         "ann_knn_ivfpq" -> "ann_knn_ivfpq_fixedq",
         "ann_knn_ivfpq_residual" -> "ann_knn_ivfpq_residual_fixedq",
         "ann_knn_lsh" -> "ann_knn_lsh_fixedq",
