@@ -217,22 +217,55 @@ object Similarity {
       k: Int,
       centroids: Seq[Array[Double]],
       nProbe: Int
-  ): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
-    def cellDots(v: Column): Column =
-      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+  ): DataFrame =
+    ivfTopKAssigned(ivfAssign(corpus, idCol, vecCol, centroids), queries, idCol, vecCol, k, centroids, nProbe)
 
-    // assignment: stage the dots array once per row, then argmax —
-    // array_position takes the FIRST max, giving a deterministic
-    // lowest-index tiebreak the oracle mirrors with (dot DESC, cell ASC)
-    val c = corpus
-      .withColumn("__cd", cellDots(col(vecCol)))
+  /** The ASSIGN half of [[ivfTopK]] on its own: each corpus vector's
+    * coarse cell (argmax centroid dot — array_position takes the FIRST
+    * max, a deterministic lowest-index tiebreak the oracle mirrors with
+    * (dot DESC, cell ASC)), plus the pre-cast vector and norm the exact
+    * in-cell scoring reuses. This is the IVF posting-list build — the
+    * one-time O(|batch| x C) map stage an incremental index pays per
+    * arriving batch (never per query); [[ivfTopKAssigned]] is the
+    * serving half that reads it back.
+    * Output: (neighbor_id, c_vec, c_norm, cell).
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]]
+  ): DataFrame =
+    corpus
+      .withColumn(
+        "__cd",
+        array(centroids.map(c => VectorFunctions.planeDot(col(vecCol), c)): _*))
       .select(
         col(idCol).as("neighbor_id"),
         VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
         VectorFunctions.norm2(col(vecCol)).as("c_norm"),
         (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell")
       )
+
+  /** The SEARCH half of [[ivfTopK]] over an ALREADY-ASSIGNED corpus
+    * (as [[ivfAssign]] emits) — per-query work only: probe the nProbe
+    * best cells, exact cosine inside probed cells. Results identical
+    * to ivfTopK over the raw corpus.
+    */
+  def ivfTopKAssigned(
+      assigned: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nProbe: Int
+  ): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
+    def cellDots(v: Column): Column =
+      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+
+    val c = assigned.select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cell"))
 
     val qw = Window.partitionBy(col("query_id")).orderBy(col("celldot").desc, col("cell").asc)
     val qProbes = queries
