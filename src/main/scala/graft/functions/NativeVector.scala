@@ -164,6 +164,37 @@ object GraftExtensions {
       }
     ),
     (
+      FunctionIdentifier("graft_cell_dots"),
+      new ExpressionInfo(classOf[CellDots].getName, "graft_cell_dots"),
+      (children: Seq[Expression]) => {
+        require(
+          children.size == 4,
+          s"graft_cell_dots expects (vec, cents, c, dim), got ${children.size}"
+        )
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val cents = children(1) match {
+          case Literal(ad: ArrayData, ArrayType(DoubleType, _)) => ad.toDoubleArray().toSeq
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_cell_dots cents must be an array<double> literal, got $other"
+            )
+        }
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_cell_dots $what must be an integer literal, got $other"
+            )
+        }
+        CellDots(
+          Cast(children.head, ArrayType(DoubleType)),
+          cents,
+          intLit(children(2), "c"),
+          intLit(children(3), "dim")
+        )
+      }
+    ),
+    (
       FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitNormalize].getName, "graft_unit"),
       (children: Seq[Expression]) => {

@@ -51,6 +51,22 @@ object VectorFunctions {
   def planeDot(v: Column, plane: Array[Double]): Column =
     call_function("graft_dot", v, lit(plane))
 
+  /** ALL C centroid dots of `v` in one native kernel call
+    * ([[CellDots]]) — the IVF cell-assignment primitive. Bit-identical
+    * to `array(planeDot(v, c0), ..., planeDot(v, cC-1))` but one
+    * compiled loop regardless of C: the Column form's C-wide literal
+    * projection blows Janino's method limit once C scales with the
+    * corpus (C ~ sqrt(N)) and drops the assignment stage to
+    * interpreted evaluation (measured ~15 s/pass at C=80 over 20k
+    * rows — the round-10 sqrt-C artifact's ivf_sqrtc outlier).
+    */
+  def cellDots(v: Column, cents: Seq[Array[Double]]): Column = {
+    require(cents.nonEmpty, "cellDots needs at least one centroid")
+    call_function(
+      "graft_cell_dots", v,
+      lit(cents.flatten.toArray), lit(cents.size), lit(cents.head.length))
+  }
+
   /** Sign bit (1/0) of the projection of `v` onto a constant hyperplane.
     * Hyperplanes come from a seeded RNG on the driver — data-independent
     * and reproducible across runs/clusters.

@@ -74,7 +74,11 @@ object KMeans {
 
     val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
     for (_ <- 1 to iters) {
-      val dots = array(centroids.map(c => VectorFunctions.planeDot(col("v"), c)): _*)
+      // ONE kernel call for all k centroid dots: the k-wide literal
+      // projection form drops to interpreted evaluation past Janino's
+      // method limit once k ~ sqrt(N) (see CellDots scaladoc) — at k=80
+      // it made each Lloyd pass ~15 s on a 20k-row corpus
+      val dots = VectorFunctions.cellDots(col("v"), centroids)
       val assigned = v
         .withColumn("__cd", dots)
         .select(

@@ -216,7 +216,7 @@ object Pq {
       centroids: Seq[Array[Double]],
       outCol: String
   ): DataFrame =
-    df.withColumn("__cd", array(centroids.map(c => VectorFunctions.planeDot(col(vnCol), c)): _*))
+    df.withColumn("__cd", VectorFunctions.cellDots(col(vnCol), centroids))
       .withColumn("__cell", (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
       .withColumn(
         "__cent",
@@ -267,7 +267,7 @@ object Pq {
     val sub  = codebooks.head.head.length
     val ccd  = cellCodeDots(centroids, codebooks)
     val base = withNormalized(df, vecCol, vnCol)
-      .withColumn("__cd", array(centroids.map(c => VectorFunctions.planeDot(col(vnCol), c)): _*))
+      .withColumn("__cd", VectorFunctions.cellDots(col(vnCol), centroids))
       .withColumn(cellCol, (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int"))
     val staged = (0 until m).foldLeft(base) { (d, mi) =>
       d.withColumn(
@@ -319,7 +319,7 @@ object Pq {
     val sub = codebooks.head.head.length
 
     def cellDots(v: Column): Column =
-      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+      VectorFunctions.cellDots(v, centroids)
 
     val encoded = withResidualCodes(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
@@ -534,7 +534,7 @@ object Pq {
   ): DataFrame = {
     val m = codebooks.size
     def cellDots(v: Column): Column =
-      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+      VectorFunctions.cellDots(v, centroids)
     withCodes(
       corpus.select(col(idCol), col(vecCol).as("__vec")),
       "__vec",
@@ -574,7 +574,7 @@ object Pq {
     val sub = codebooks.head.head.length
 
     def cellDots(v: Column): Column =
-      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+      VectorFunctions.cellDots(v, centroids)
 
     val indexed = encoded.select(
       (col(idCol).as("neighbor_id") +: col("cell") +: col("vn").as("c_vn") +:

@@ -237,9 +237,7 @@ object Similarity {
       centroids: Seq[Array[Double]]
   ): DataFrame =
     corpus
-      .withColumn(
-        "__cd",
-        array(centroids.map(c => VectorFunctions.planeDot(col(vecCol), c)): _*))
+      .withColumn("__cd", VectorFunctions.cellDots(col(vecCol), centroids))
       .select(
         col(idCol).as("neighbor_id"),
         VectorFunctions.toDouble(col(vecCol)).as("c_vec"),
@@ -262,8 +260,7 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
-    def cellDots(v: Column): Column =
-      array(centroids.map(c => VectorFunctions.planeDot(v, c)): _*)
+    def cellDots(v: Column): Column = VectorFunctions.cellDots(v, centroids)
 
     val c = assigned.select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cell"))
 

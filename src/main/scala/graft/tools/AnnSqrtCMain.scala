@@ -117,12 +117,48 @@ object AnnSqrtCMain {
       "ann_search_ivf_sqrtc_fixedq"   -> (() => searchIvf("ivf_sqrtc", centsSqrt)),
       "ann_search_ivfpq_c16_fixedq"   -> (() => searchIvfPq("ivfpq_c16", centsC16)),
       "ann_search_ivfpq_sqrtc_fixedq" -> (() => searchIvfPq("ivfpq_sqrtc", centsSqrt)),
-      // end-to-end twins of the r9 gate rows (encode in-query)
+      // end-to-end rows (encode in-query) at BOTH cell counts, measured
+      // under identical host/run conditions so the C comparison never
+      // crosses artifacts
+      "ann_knn_ivf_c16_fixedq" -> (() =>
+        Similarity.ivfTopK(corpus, fixedQ, "vec_id", "embedding", KnnK, centsC16, IvfProbe)),
       "ann_knn_ivf_sqrtc_fixedq" -> (() =>
         Similarity.ivfTopK(corpus, fixedQ, "vec_id", "embedding", KnnK, centsSqrt, IvfProbe)),
+      "ann_knn_ivfpq_c16_fixedq" -> (() =>
+        Pq.ivfPqTopK(corpus, fixedQ, "vec_id", "embedding", KnnK, centsC16,
+          PqCodebooks.books, IvfPqProbe, Shortlist)),
       "ann_knn_ivfpq_sqrtc_fixedq" -> (() =>
         Pq.ivfPqTopK(corpus, fixedQ, "vec_id", "embedding", KnnK, centsSqrt,
           PqCodebooks.books, IvfPqProbe, Shortlist))
+    )
+
+    // ---- probed candidate mass (untimed, EXACT): the number the
+    //      sublinearity claim actually is. Per config, the total corpus
+    //      rows inside the queries' probed cells — wall-clock at this
+    //      testbed scale is overhead-bound (every search row lands
+    //      sub-second), but candidate mass is scale-exact: at fixed C it
+    //      grows ~linearly with N; at C ~ sqrt(N) with fixed nProbe it
+    //      grows ~sqrt(N).
+    def candidateMass(store: String, cents: Seq[Array[Double]], nProbe: Int): Long = {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions
+      val pops = spark.read.parquet(stores(store))
+        .groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      val qd = fixedQ
+        .withColumn("__cd", VectorFunctions.cellDots(col("embedding"), cents))
+        .select(col("vec_id").as("qid"), posexplode(col("__cd")).as(Seq("cell", "celldot")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("celldot").desc, col("cell").asc)
+      val probed = qd
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= nProbe)
+        .select(col("qid"), col("cell"))
+      probed.join(pops, "cell").agg(coalesce(sum(col("pop")), lit(0L))).head().getLong(0)
+    }
+    val candMass = Seq(
+      "ivf_c16"     -> candidateMass("ivf_c16", centsC16, IvfProbe),
+      "ivf_sqrtc"   -> candidateMass("ivf_sqrtc", centsSqrt, IvfProbe),
+      "ivfpq_c16"   -> candidateMass("ivfpq_c16", centsC16, IvfPqProbe),
+      "ivfpq_sqrtc" -> candidateMass("ivfpq_sqrtc", centsSqrt, IvfPqProbe)
     )
 
     // ---- recall (untimed): each path vs exact brute force ----
@@ -171,6 +207,7 @@ object AnnSqrtCMain {
     val qs = queries.map(_._1).sorted
       .map(k => s"\"$k\":${best.get(k).map(fmt).getOrElse("-1")}").mkString("{", ",", "}")
     val rc = recall.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val cm = candMass.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val control = {
       val s = controlTs.sorted
       if (s.isEmpty) "null"
@@ -180,7 +217,8 @@ object AnnSqrtCMain {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""n_vectors":$n,"cells_c16":16,"cells_sqrtc":$cSqrt,"train_sec":${fmt(trainSec)},""" +
-        s""""recall_at_$KnnK":$rc,"failed":[${failed.keys.toSeq.sorted.map(f => s"\"$f\"").mkString(",")}],""" +
+        s""""probed_candidates":$cm,"recall_at_$KnnK":$rc,""" +
+        s""""failed":[${failed.keys.toSeq.sorted.map(f => s"\"$f\"").mkString(",")}],""" +
         s""""control":$control,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[ann-sqrtc] result backstop failed: $e") }

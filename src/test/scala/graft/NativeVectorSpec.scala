@@ -205,4 +205,48 @@ class NativeVectorSpec extends SparkSpec {
       "HOF projection unexpectedly codegen'd — native kernel may be unnecessary"
     )
   }
+
+  test("graft_cell_dots matches the per-centroid planeDot array bit-exactly, nulls included") {
+    import spark.implicits._
+    val cents = graft.operators.IvfCentroids.cells
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val kernel = emb
+      .select(col("vec_id"), VectorFunctions.cellDots(col("embedding"), cents).as("cd"))
+    val column = emb
+      .select(
+        col("vec_id"),
+        array(cents.map(c => VectorFunctions.planeDot(col("embedding"), c)): _*).as("cd"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Double])].collect().toMap
+    // bit-identical (map equality on raw doubles, no tolerance): the
+    // kernel replaces the Column form wherever C scales with the corpus,
+    // so any drift would silently move IVF cell boundaries
+    assert(rows(kernel) == rows(column))
+
+    // null surface: null vector -> null; wrong length or null element ->
+    // array of C nulls (every shared-v planeDot was null in the Column form)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val nullAt7: Seq[java.lang.Double] =
+      (0 until 64).map(i => if (i == 7) null else java.lang.Double.valueOf(1.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null),                                  // null vector
+        Row(2L, Seq(1.0, 2.0)),                         // wrong length
+        Row(3L, nullAt7)                                // null element
+      )),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType))
+      ))
+    )
+    val got = df
+      .select(col("vec_id"), VectorFunctions.cellDots(col("embedding"), cents).as("cd"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1)))
+      .toMap
+    assert(got(1L) == null)
+    assert(got(2L) == Seq.fill(cents.size)(null))
+    assert(got(3L) == Seq.fill(cents.size)(null))
+  }
 }
