@@ -23,11 +23,13 @@ object CdcQueries {
   private val InitialTs = "2024-01-01 00:00:00"
   private val EndOfTime = "2099-12-31 00:00:00"
 
-  // one embedded-Derby database PER INVOCATION of jdbc_scd2_mart: Derby
-  // keeps a booted database's files open until JVM shutdown, so a bench
-  // rep cannot delete-and-recreate the previous rep's db — a fresh
-  // sub-database sidesteps reuse entirely (dbs are tiny; the workspace
-  // dir itself is retention-reaped by TmpWorkspace)
+  // one embedded-Derby database PER INVOCATION of jdbc_scd2_mart, shut
+  // down (JdbcScd2Sink.shutdownDb) once its snapshot is materialized —
+  // a fresh sub-database keeps reps independent, and the explicit
+  // shutdown releases each db's page cache and file handles so a long
+  // multi-rep bench holds a bounded Derby footprint instead of one
+  // booted-forever db per rep (the workspace dir itself is
+  // retention-reaped by TmpWorkspace)
   private val jdbcMartRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def historic(s: SparkSession, dir: String): DataFrame =
@@ -230,7 +232,8 @@ object CdcQueries {
       "jdbc_scd2_mart",
       (s, dir) => {
         val ws    = TmpWorkspace.scoped(s, "graft_derby_mart", dir)
-        val url   = s"jdbc:derby:$ws/db${jdbcMartRuns.incrementAndGet()};create=true"
+        val run   = jdbcMartRuns.incrementAndGet()
+        val url   = s"jdbc:derby:$ws/db$run;create=true"
         val table = "CSD_DATA_MART"
         val seed = historic(s, dir).select(
           col("hssi").as("ssi"),
@@ -240,6 +243,11 @@ object CdcQueries {
         JdbcScd2Sink.merge(s, url, table, seed, "ssi", InitialTs, EndOfTime)
         val batch = routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol)
         JdbcScd2Sink.merge(s, url, table, batch, "ssi", LoadTs, EndOfTime)
+        // materialize the mart to parquet BEFORE shutting the db down
+        // (the JDBC read is lazy — returning it directly would probe a
+        // closed database when the caller consumes the frame), then
+        // release Derby's page cache/file handles for this invocation
+        val out = s"$ws/snap$run"
         JdbcScd2Sink
           .readSnapshot(s, url, table, batch.drop(CdcRouter.RouterCol).schema)
           .select(
@@ -249,6 +257,11 @@ object CdcQueries {
             col(Scd2.StartDate).as("start_date"),
             col(Scd2.EndDate).as("end_date")
           )
+          .write
+          .mode("overwrite")
+          .parquet(out)
+        JdbcScd2Sink.shutdownDb(url)
+        s.read.parquet(out)
       },
       Some(s"""$MergedSqlCtes
               |SELECT * FROM merged""".stripMargin)

@@ -95,6 +95,31 @@ class JdbcScd2SinkSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("merge indexes the target's close-out probe columns") {
+    // the round-10 driver bench timed out on an UNINDEXED Derby
+    // nested-loop close-out (8.4e9 row compares at sf0.1) — this pins
+    // that the index the fix creates actually exists after a merge
+    val url   = s"jdbc:derby:${tempDir("graft_derby_ix")}/db;create=true"
+    val table = "CSD_MART_IX"
+    val feed  = Seq((1L, 1, "a", "OPEN")).toDF("id", "version", "name", "status")
+    runJdbc(url, table, feed, "2024-01-01 00:00:00")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, table, false, false)
+      val cols = scala.collection.mutable.Map.empty[String, List[String]]
+      while (rs.next()) {
+        val ix = rs.getString("INDEX_NAME")
+        if (ix != null)
+          cols(ix.toUpperCase) =
+            cols.getOrElse(ix.toUpperCase, Nil) :+ rs.getString("COLUMN_NAME")
+      }
+      rs.close()
+      val want = JdbcScd2Sink.targetIndexName(table).toUpperCase
+      assert(cols.contains(want), s"missing close-out index $want; found ${cols.keySet}")
+      assert(cols(want) == List(BatchPipeline.SsiCol, Scd2.ActiveFlag))
+    } finally conn.close()
+  }
+
   test("failed transaction leaves the target untouched (staging rollback)") {
     val url   = s"jdbc:derby:${tempDir("graft_derby_rb")}/db;create=true"
     val table = "CSD_MART_RB"
