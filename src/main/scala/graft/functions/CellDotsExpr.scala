@@ -25,11 +25,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the cell count scales with the corpus.
   *
   * Semantics are BIT-IDENTICAL to the Column form (NativeVectorSpec
-  * pins it): same multiply order (v[i] * cent[i]), same accumulation
-  * order, and the same null surface — v null -> null; v shorter/longer
-  * than dim or holding a null element -> every per-centroid dot was
-  * null in the Column form (each graft_dot shared v), so the kernel
-  * returns an array of C nulls.
+  * pins it) on non-null input: same multiply order (v[i] * cent[i]),
+  * same accumulation order. For v shorter/longer than dim or holding a
+  * null element the kernel returns an array of C nulls, matching the
+  * Column form (every graft_dot shared v, so each per-centroid dot was
+  * null). The ONE divergence is a NULL v itself: the kernel is a
+  * null-intolerant UnaryExpression and returns NULL, where the Column
+  * form (an array() of C graft_dot calls) returns an array of C nulls —
+  * equivalent after the downstream argmax->cell step (both yield a null
+  * cell), but not the same shape; NativeVectorSpec pins the kernel's
+  * NULL-in/NULL-out directly.
   */
 case class CellDots(
     child: Expression,  // v: array<double>

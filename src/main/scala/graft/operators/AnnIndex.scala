@@ -95,6 +95,19 @@ object AnnIndex {
       .insertInto(table)
   }
 
+  /** Compact the store in place: every [[appendToStoreBucketed]] adds
+    * nBuckets files (one per bucket per batch) forever, so a year of
+    * daily appends reads 365 small files per posting-list bucket.
+    * Rewriting through a staging table with the SAME bucket spec
+    * collapses each bucket to one file; the bucket layout — and with it
+    * the cell-pruned scan and no-reshuffle join plans — survives.
+    * Crash-safe via [[BucketedStores.compact]]'s rename-aside swap;
+    * AnnIndexSpec pins files-per-bucket == 1 and search-result equality
+    * pre/post compaction.
+    */
+  def compactStoreBucketed(spark: SparkSession, table: String): Unit =
+    BucketedStores.compact(spark, table)
+
   /** Read the store back in [[Pq.ivfPqEncode]]'s column shape — the
     * frame [[Pq.ivfPqTopKEncoded]] searches directly.
     */

@@ -245,6 +245,22 @@ object Similarity {
         (array_position(col("__cd"), array_max(col("__cd"))) - 1).cast("int").as("cell")
       )
 
+  /** FAISS-practice probe scaling: when the coarse cell count grows
+    * with the corpus (C ~ sqrt(N)), a PINNED nProbe probes a shrinking
+    * fraction of the space and recall decays — measured at sf0.1:
+    * recall@5 0.43 at C=25/nProbe=4 vs 0.53 at C=16/nProbe=4
+    * (tools/bench_ann_sqrtc_sf01_r10.json). Scaling nProbe ∝ sqrt(C)
+    * holds the recall class while keeping the probed-candidate mass
+    * sublinear in N (nProbe·N/C ~ N^{3/4} when C ~ sqrt(N)).
+    * AnnRecallSpec pins the policy's recall floor; AnnSqrtCMain emits
+    * the measured artifact.
+    */
+  def sqrtScaledProbe(baseProbe: Int, baseCells: Int, cells: Int): Int = {
+    require(baseProbe >= 1 && baseCells >= 1 && cells >= 1)
+    math.min(cells, math.max(baseProbe,
+      math.round(baseProbe * math.sqrt(cells.toDouble / baseCells)).toInt))
+  }
+
   /** The SEARCH half of [[ivfTopK]] over an ALREADY-ASSIGNED corpus
     * (as [[ivfAssign]] emits) — per-query work only: probe the nProbe
     * best cells, exact cosine inside probed cells. Results identical

@@ -313,11 +313,14 @@ object TextQueries {
         },
         oracleOf("ann_knn_lsh")
       ),
-      // the two full-scan YARDSTICKS get fixed-query twins too: with the
-      // query batch pinned, their cross-SF ratio is per-query cost —
-      // corpus-LINEAR by construction (one full sweep per query), the
-      // honest number the pedagogical rows should scale by instead of
-      // the quadratic |q|x|corpus| the growing set produced
+      // ann_knn_ivf_fixedq is a cell-pruned SCALE-PATH twin (not in
+      // SparkEntry.Yardsticks): with the query batch pinned, its
+      // cross-SF ratio is pure per-query IVF serving cost. The two
+      // full-scan YARDSTICKS (pq / bruteforce, further below) get
+      // fixed-query twins too, for a different reason — their pinned
+      // ratio is corpus-LINEAR by construction (one full sweep per
+      // query), the honest number the pedagogical rows should scale by
+      // instead of the quadratic |q|x|corpus| the growing set produced
       Q(
         "ann_knn_ivf_fixedq",
         (s, dir) => {

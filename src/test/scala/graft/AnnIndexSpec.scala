@@ -82,6 +82,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall after append regressed: $recall%.3f")
   }
 
+  test("compaction: one file per bucket, layout survives, search results identical") {
+    val table = "graft_ann_index_compact"
+    val path  = tempDir("graft_ann_index_compact") + "/store"
+    val thirds = (0 until 3).map(i => emb.where(col("vec_id") % 3 === i))
+    AnnIndex.writeStoreBucketed(
+      Pq.ivfPqEncode(thirds(0), "vec_id", "embedding", Cells, Books), table, path, nBuckets = 4)
+    thirds.tail.foreach(b =>
+      AnnIndex.appendToStoreBucketed(
+        Pq.ivfPqEncode(b, "vec_id", "embedding", Cells, Books), table, expectedBuckets = 4))
+
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    def search() = knnRows(Pq.ivfPqTopKEncoded(
+      AnnIndex.readStore(spark, table), "vec_id", queries, "embedding", k = 5,
+      centroids = Cells, codebooks = Books, nProbe = 8, shortlist = 50))
+    def files(): Seq[String] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString))
+      loc.listFiles().toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+    }
+
+    val before     = search()
+    val rowsBefore = encodedRows(AnnIndex.readStore(spark, table))
+    // 3 batches x 4 buckets: multiple files per bucket before compaction
+    assert(files().size > 4, s"expected >4 pre-compaction files, got ${files().size}")
+
+    AnnIndex.compactStoreBucketed(spark, table)
+
+    // one file per bucket: bucket id is the _NNNNN suffix in bucketed
+    // parquet names (part-<task>-<uuid>_<bucket>.c000...)
+    val after    = files()
+    val bucketRe = "_(\\d{5})\\.".r
+    val byBucket = after.groupBy(f => bucketRe.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+    assert(byBucket.values.forall(_.size == 1),
+      s"expected one file per bucket after compaction, got $byBucket")
+    assert(after.size <= 4, s"expected <=4 post-compaction files, got ${after.size}")
+    AnnIndex.requireStoreBucketed(spark, table, expectedBuckets = 4)
+    assert(encodedRows(AnnIndex.readStore(spark, table)) == rowsBefore)
+    assert(search() == before)
+    // and the ingest path keeps working against the compacted table
+    AnnIndex.appendToStoreBucketed(
+      Pq.ivfPqEncode(emb.limit(0), "vec_id", "embedding", Cells, Books), table, expectedBuckets = 4)
+  }
+
   test("layout guard fails loudly on bucket-spec drift") {
     val table = "graft_ann_index_guard"
     val path  = tempDir("graft_ann_index_guard") + "/store"

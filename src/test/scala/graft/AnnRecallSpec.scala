@@ -154,6 +154,54 @@ class AnnRecallSpec extends SparkSpec {
     assert(liveRes >= 0.90, f"live-trained residual IVF-PQ recall regressed: $liveRes%.3f (measured 0.92)")
   }
 
+  test("nProbe ~ sqrt(C): the artifact's sqrt-C config holds the recall class with scaled probes") {
+    // the round-10 sqrt-C artifact showed recall@5 decaying 0.53 -> 0.43
+    // when C grew 16 -> 25 under a PINNED nProbe
+    // (tools/bench_ann_sqrtc_sf01_r10.json); the policy fix scales
+    // nProbe ∝ sqrt(C) (Similarity.sqrtScaledProbe — FAISS practice).
+    // Pin it live AT THE ARTIFACT'S OWN CONFIG — sf0.1 corpus, C=25,
+    // p=sqrtScaledProbe(4,16,25)=5: measured 0.51 scaled vs 0.53 base vs
+    // 0.43 pinned (probe sweep: p5 0.51, p6 0.55, p7 0.58, p8 0.63).
+    // Note the policy's claim is calibrated to the DEPLOYMENT path (N
+    // and C grow together, cell width constant); growing C at fixed N —
+    // as here and in the artifact's same-corpus contrast — shrinks
+    // cells, which is the harsher direction, and the sqrt-scaled probe
+    // still holds the class within ε. Everything is deterministic
+    // (seeded trainer, fixed corpus), so these values are exactly
+    // reproducible.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 100 === 0).select(col("vec_id"), col("embedding"))
+    val exact = topSets(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", K)
+    )
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      per.sum / per.size
+    }
+
+    val c25 = 25
+    val probe25 = Similarity.sqrtScaledProbe(4, IvfCentroids.K, c25)
+    assert(probe25 == 5, s"sqrtScaledProbe(4, 16, 25) should be 5, got $probe25")
+    val cells25 = KMeans.trainIvfCentroids(
+      corpus, "vec_id", "embedding", k = c25, dim = IvfCentroids.Dim,
+      iters = IvfCentroids.Iters)
+    val base = recall(topSets(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K, IvfCentroids.cells, nProbe = 4)))
+    val scaled = recall(topSets(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K, cells25, nProbe = probe25)))
+    val pinned = recall(topSets(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K, cells25, nProbe = 4)))
+    info(f"recall@5: C=16/p4 $base%.3f | C=25/p5 $scaled%.3f | C=25/p4 (unscaled) $pinned%.3f")
+    assert(scaled >= base - 0.05,
+      f"scaled-probe recall broke the floor: C=$c25/p$probe25 $scaled%.3f vs C=16/p4 $base%.3f")
+    // and the scaled probe must actually help over the pinned one —
+    // otherwise the policy is dead weight
+    assert(scaled > pinned, f"scaled probe did not improve on pinned: $scaled%.3f <= $pinned%.3f")
+  }
+
   test("hardNegativeTopK: only cross-label neighbors, ranked by cosine, self never appears") {
     import spark.implicits._
     import graft.operators.Similarity
