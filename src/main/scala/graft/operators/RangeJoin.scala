@@ -449,21 +449,38 @@ object RangeJoin {
 
   /** [[bucketedOverlapTopK]] for the SELF-join case (`left` and `right`
     * are the same relation under renaming), enumerating each unordered
-    * pair ONCE.
+    * pair ONCE. **Measured SLOWER than the asymmetric form at scale —
+    * prefer [[bucketedOverlapTopK]] with an `=!=` predicate** (details
+    * below); this stays available because the canonical-pair shape is
+    * occasionally what a consumer wants semantically, and
+    * TemporalOpsSpec/TopKSpec pin its result equality with the
+    * asymmetric path.
     *
-    * The `a.id =!= b.id` formulation pays the dense-quadratic pair
-    * stream TWICE — every unordered overlap {A, B} materializes as both
+    * The `a.id =!= b.id` formulation pays the post-filter pair stream
+    * TWICE — every unordered overlap {A, B} materializes as both
     * (A, B) and (B, A), each with its own overlap/endpoint arithmetic.
     * Here the join predicate is canonical (`lId < rId`, exactly one row
     * per unordered pair — ids differ by the predicate itself), and each
     * surviving pair fans into BOTH directed group-updates through a
-    * narrow generate: (A's keys, B as neighbor) and (B's keys, A as
+    * generate: (A's keys, B as neighbor) and (B's keys, A as
     * neighbor), sharing the one computed overlap. The top-k hash
     * aggregate ([[TopK.perGroupTies]]) sees the same update multiset as
-    * the `=!=` form — identical results — but the join output, the
-    * overlap predicate survivors, and the endpoint arithmetic are all
-    * halved. The plan stays aggregation-only (bucket equi-join ->
-    * generate -> hash agg; no window, no sort).
+    * the `=!=` form — identical results. The plan stays
+    * aggregation-only (bucket equi-join -> generate -> hash agg; no
+    * window, no sort).
+    *
+    * WHY IT LOSES ANYWAY (round-11 adjudication of the round-10
+    * halving claim, tools/bench_overlap_ab_r11.json): the bucket
+    * equi-join probes the SAME pre-filter candidate volume under
+    * either predicate — `lId < rId` halves only what survives the
+    * filter — and the per-pair generate (two 7-field structs exploded)
+    * rebuilds the directed stream the `=!=` join would have emitted as
+    * plain projected columns. Measured solo at sf1 (interleaved reps,
+    * local[32]): this form 112 s, a cheaper boolean-explode fan-out
+    * variant ~92 s, the asymmetric form 59 s. The halving thesis
+    * ignored that the dominant cost is join probing + filter
+    * evaluation, which is identical in both forms; what remains is
+    * fan-out overhead minus halved arithmetic, a net loss.
     *
     * `lKeys`/`rKeys` are the two renamings of the SAME key columns
     * (positionally matched, types equal); output names them `outKeys`.

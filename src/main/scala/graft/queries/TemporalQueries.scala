@@ -738,15 +738,17 @@ object TemporalQueries {
         def spans(p: String) = ev
           .groupBy(col("user_id").as(p + "user"), to_date(col("ts")).as(p + "day"))
           .agg(min(col("ts")).as(p + "start"), max(col("ts")).as(p + "end"))
-        // SELF overlap -> the symmetric variant: canonical l_user < r_user
-        // pairs enumerated ONCE, each feeding both endpoints' top-k
-        // buffers through a narrow generate — the join output, overlap
-        // predicate survivors, and endpoint arithmetic are all halved vs
-        // the r9 `=!=` form (which paid every unordered pair twice).
-        // Same update multiset, same oracle; TemporalOpsSpec pins
-        // equality with the asymmetric path and the window-free plan.
+        // ASYMMETRIC `=!=` routing, reinstated in round 11 after the
+        // round-10 symmetric rewrite was finally measured at sf1: the
+        // canonical l<r enumeration halves only the POST-FILTER pair
+        // stream (the bucket join probes the same pre-filter volume
+        // either way) and its generate fan-out costs more than the
+        // halved arithmetic saves — sym 112 s vs asym 59 s solo at sf1
+        // (tools/bench_overlap_ab_r11.json; PLANS.md round-11 section).
+        // bucketedOverlapTopKSym stays available and TemporalOpsSpec
+        // still pins its result equality with this path.
         graft.operators.RangeJoin
-          .bucketedOverlapTopKSym(
+          .bucketedOverlapTopK(
             spans("l_"),
             spans("r_"),
             lStart = "l_start",
@@ -755,12 +757,9 @@ object TemporalQueries {
             rEnd = "r_end",
             bucketSeconds = 21600L,
             k = 5,
-            lKeys = Seq("l_user", "l_day"),
-            rKeys = Seq("r_user", "r_day"),
-            lIdCol = "l_user",
+            leftKeys = Seq("l_user", "l_day"),
             rIdCol = "r_user",
-            outKeys = Seq("l_user", "l_day"),
-            outIdCol = "r_user"
+            extraPred = col("l_user") =!= col("r_user")
           )
           .groupBy(col("l_user"))
           .agg(count(lit(1)).as("n_kept"), sum(col("ov_us")).as("sum_kept_us"))
