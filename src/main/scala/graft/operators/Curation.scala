@@ -436,8 +436,15 @@ object Curation {
       seed: Int = 11
   ): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2: got $nBuckets")
-    def features(c: Column): Column = {
-      val tk = TextFunctions.tokens(c)
+    // The token split is bound to its OWN projected column and the
+    // bigram lambda references that attribute — never the split
+    // expression itself. A higher-order-function lambda re-evaluates
+    // its subtrees per element, so splicing `split(text)` into the
+    // body re-splits the whole document for EVERY bigram — O(tokens²)
+    // work per document (the spliced shape measured 46.8 s solo at sf1;
+    // this bound-attribute form 8.3 s — tools/bench_ic_tokens_r11.json).
+    val tkCol = "__ic_tk"
+    def features(tk: Column): Column =
       when(
         size(tk) >= 2,
         transform(
@@ -449,11 +456,11 @@ object Curation {
             ) % nBuckets).cast("int")
         )
       ).otherwise(array().cast("array<int>"))
-    }
     // train: bucket -> (raw count, target count); nBuckets rows, the
     // bounded driver collect every trained-literal operator uses
     val counts = docs
-      .select(explode(features(col(textCol))).as("__b"), targetPred.cast("long").as("__t"))
+      .withColumn(tkCol, TextFunctions.tokens(col(textCol)))
+      .select(explode(features(col(tkCol))).as("__b"), targetPred.cast("long").as("__t"))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__r"), sum(col("__t")).as("__tc"))
       .collect()
@@ -464,13 +471,16 @@ object Curation {
       ((t + 1L) * 1000000L) / (r + 1L)
     }
     val table = array(contrast.map(lit): _*)
-    docs.withColumn(
-      "score_micro",
-      aggregate(
-        features(col(textCol)),
-        lit(0L),
-        (acc, b) => acc + element_at(table, b + 1)
+    docs
+      .withColumn(tkCol, TextFunctions.tokens(col(textCol)))
+      .withColumn(
+        "score_micro",
+        aggregate(
+          features(col(tkCol)),
+          lit(0L),
+          (acc, b) => acc + element_at(table, b + 1)
+        )
       )
-    )
+      .drop(tkCol)
   }
 }
