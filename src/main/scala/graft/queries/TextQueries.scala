@@ -2239,11 +2239,17 @@ object TextQueries {
       "text_novelty_score",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // token array staged in its own projection before the shingle
+        // lambda (shinglesOfTokens contract): the convenience
+        // shingles(text, n) form re-splits the document at every
+        // element_at inside the transform — measured 39.9 s solo at
+        // sf1 vs 6.2 s staged (tools/bench_novelty_r11.json)
         val sh = docs
           .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), split(col("text"), " ").as("__tk"))
           .select(
             col("doc_id"),
-            explode(ApproxDedup.shingles(col("text"), 3)).as("sh")
+            explode(ApproxDedup.shinglesOfTokens(col("__tk"), 3)).as("sh")
           )
           .distinct()
         val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
