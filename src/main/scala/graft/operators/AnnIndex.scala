@@ -78,12 +78,18 @@ object AnnIndex {
 
   /** Append one encoded batch to the store after the layout guard.
     * insertInto matches columns BY POSITION, so the frame is projected
-    * to the table's column order first.
+    * to the table's column order first. Auto-compaction policy
+    * (round-12): after the append, if any bucket has accumulated more
+    * than `maxFilesPerBucket` files, the store is compacted in place —
+    * the store stays bounded without anyone remembering the manual
+    * [[compactStoreBucketed]] call. Pass `maxFilesPerBucket = 0` to
+    * disable (caller owns compaction scheduling).
     */
   def appendToStoreBucketed(
       encoded: DataFrame,
       table: String,
-      expectedBuckets: Int
+      expectedBuckets: Int,
+      maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
   ): Unit = {
     requireStoreBucketed(encoded.sparkSession, table, expectedBuckets)
     val order = encoded.sparkSession.table(table).columns.toSeq
@@ -93,6 +99,9 @@ object AnnIndex {
       .mode("append")
       .format("parquet")
       .insertInto(table)
+    if (maxFilesPerBucket > 0)
+      BucketedStores.compactIfNeeded(encoded.sparkSession, table, maxFilesPerBucket)
+    ()
   }
 
   /** Compact the store in place: every [[appendToStoreBucketed]] adds

@@ -24,6 +24,59 @@ import org.apache.spark.sql.functions.col
   */
 private[operators] object BucketedStores {
 
+  /** Default auto-compaction trigger for the incremental stores'
+    * append paths: compact when any bucket accumulates more than this
+    * many files. At one file per bucket per append, 16 bounds a
+    * bucket's read amplification to 16 small files between rewrites
+    * while amortizing each full-table rewrite over 16 appends — a year
+    * of daily appends compacts ~23 times instead of reading 365 files
+    * per posting-list bucket (or zero times, when nobody remembers the
+    * manual call — the round-11 gap this policy closes).
+    */
+  val AutoCompactMaxFilesPerBucket = 16
+
+  private val BucketIdInName = raw"_(\d{5})(?:\.|_)".r
+
+  /** Max data-file count in any single bucket of `table`, parsed from
+    * the bucketed writer's file names (`part-NNNNN-<uuid>_BBBBB.c000…`
+    * — BBBBB is the bucket id). Non-data files (_SUCCESS, markers) do
+    * not carry a bucket id and are ignored. A driver-side listing of
+    * one directory — cheap relative to the append that precedes it.
+    */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else
+      fs.listStatus(path)
+        .iterator
+        .filter(_.isFile)
+        .flatMap(st => BucketIdInName.findFirstMatchIn(st.getPath.getName).map(_.group(1)))
+        .toSeq
+        .groupBy(identity)
+        .valuesIterator
+        .map(_.size)
+        .maxOption
+        .getOrElse(0)
+  }
+
+  /** The append-path policy: compact iff some bucket exceeds
+    * `maxFiles` files. Returns whether compaction ran.
+    */
+  def compactIfNeeded(
+      spark: SparkSession,
+      table: String,
+      maxFiles: Int = AutoCompactMaxFilesPerBucket
+  ): Boolean = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: got $maxFiles")
+    val trigger = maxFilesPerBucket(spark, table) > maxFiles
+    if (trigger) compact(spark, table)
+    trigger
+  }
+
   /** Rewrite `table` in place, one file per bucket. The table must be
     * bucketed; its own bucket columns and sort columns are reused, and
     * its own column order is preserved.

@@ -443,7 +443,15 @@ object Curation {
     // body re-splits the whole document for EVERY bigram — O(tokens²)
     // work per document (the spliced shape measured 46.8 s solo at sf1;
     // this bound-attribute form 8.3 s — tools/bench_ic_tokens_r11.json).
-    val tkCol = "__ic_tk"
+    // Working-column name must not collide with an input column — the
+    // operator's contract is input-preserving, and a caller column named
+    // "__ic_tk" would otherwise be silently clobbered during scoring and
+    // then dropped from the output. Derive a fresh name instead.
+    val tkCol = Iterator
+      .from(0)
+      .map(i => if (i == 0) "__ic_tk" else s"__ic_tk$i")
+      .find(n => !docs.columns.contains(n))
+      .get
     def features(tk: Column): Column =
       when(
         size(tk) >= 2,

@@ -159,8 +159,18 @@ object IncrementalDedup {
     * matches columns by POSITION, so the frame is projected to the
     * table's (id, band, sig) order first — a caller-reordered frame
     * would otherwise write sig values into the band column.
+    * Auto-compaction policy (round-12, shared with [[AnnIndex]]): after
+    * the append, if any bucket has accumulated more than
+    * `maxFilesPerBucket` files the store is compacted in place, so file
+    * count stays bounded without a manual [[compactStoreBucketed]]
+    * call. Pass `maxFilesPerBucket = 0` to disable.
     */
-  def appendToStoreBucketed(bandSigs: DataFrame, table: String, expectedBuckets: Int): Unit = {
+  def appendToStoreBucketed(
+      bandSigs: DataFrame,
+      table: String,
+      expectedBuckets: Int,
+      maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
+  ): Unit = {
     requireStoreBucketed(bandSigs.sparkSession, table, expectedBuckets)
     bandSigs
       .select(col("id"), col("band"), col("sig"))
@@ -168,6 +178,9 @@ object IncrementalDedup {
       .mode("append")
       .format("parquet")
       .insertInto(table)
+    if (maxFilesPerBucket > 0)
+      BucketedStores.compactIfNeeded(bandSigs.sparkSession, table, maxFilesPerBucket)
+    ()
   }
 
   def readStoreTable(spark: SparkSession, table: String): DataFrame =

@@ -86,7 +86,12 @@ object JdbcScd2Sink {
   private def tableEmpty(conn: Connection, table: String): Boolean = {
     val st = conn.createStatement()
     try {
-      val rs = st.executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY")
+      // No FETCH FIRST / LIMIT clause: SQLite parses neither Derby's
+      // FETCH syntax nor would Derby parse LIMIT, and the scaladoc
+      // promises a no-code-change swap of the JDBC URL. A bare SELECT
+      // streams lazily — rs.next() is called exactly once, so the
+      // database materializes at most one row either way.
+      val rs = st.executeQuery(s"SELECT 1 FROM $table")
       try !rs.next()
       finally rs.close()
     } finally st.close()

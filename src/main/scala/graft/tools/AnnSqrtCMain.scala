@@ -67,8 +67,13 @@ import org.apache.spark.sql.functions._
   *   - `recall_floor_eqfrac_ok`: nodup(sqrtc @ nProbe scaled to the
   *     SAME cell fraction as c16, nProbe = C·base/16) >= nodup(c16) −
   *     0.05 — the index-soundness control. At equal probed fraction a
-  *     sound C-cell quantizer must match the 16-cell one on any data;
-  *     a failure here IS an index defect. This is the floor a
+  *     sound C-cell quantizer should roughly match the 16-cell one on
+  *     any data; a failure here is a STRONG signal of an index defect,
+  *     not proof — finer partitions can split a query's true neighbors
+  *     across more cell boundaries on clustered data, so equal probed
+  *     fraction does not strictly guarantee recall parity. Triage a
+  *     false reading by checking boundary-split mass before blaming
+  *     the index. This is still the floor a
   *     structureless fixture can still falsify, so it is the one
   *     asserted at both scales. The eqfrac configs are recall-only
   *     diagnostics (never timed — their candidate mass is corpus-linear

@@ -127,6 +127,60 @@ class AnnIndexSpec extends SparkSpec {
       Pq.ivfPqEncode(emb.limit(0), "vec_id", "embedding", Cells, Books), table, expectedBuckets = 4)
   }
 
+  /** Round-12 policy pin: appends alone keep the store's file count
+    * bounded — no one has to remember the manual compaction call. With
+    * maxFilesPerBucket = 3, post-append counts cycle 2, 3, 1 (an append
+    * that lands a 4th file in any bucket triggers the in-place
+    * rewrite), so 9 appends never exceed 3 files per bucket; rows and
+    * search results stay identical to an uncompacted twin store.
+    */
+  test("auto-compaction policy bounds files per bucket across many appends, search identical") {
+    val maxFiles = 3
+    val table    = "graft_ann_index_autocompact"
+    val plain    = "graft_ann_index_autocompact_ref"
+    val dir      = tempDir("graft_ann_index_autocompact")
+    val batches  = (0 until 10).map(i => emb.where(col("vec_id") % 10 === i))
+    def enc(b: DataFrame) = Pq.ivfPqEncode(b, "vec_id", "embedding", Cells, Books)
+    AnnIndex.writeStoreBucketed(enc(batches(0)), table, s"$dir/store", nBuckets = 4)
+    AnnIndex.writeStoreBucketed(enc(batches(0)), plain, s"$dir/ref", nBuckets = 4)
+
+    def filesPerBucket(t: String): Map[String, Int] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.toString))
+      val bucketRe = "_(\\d{5})\\.".r
+      loc.listFiles().toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+        .groupBy(f => bucketRe.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+        .view.mapValues(_.size).toMap
+    }
+
+    var compactionsSeen = 0
+    batches.tail.foreach { b =>
+      AnnIndex.appendToStoreBucketed(enc(b), table, expectedBuckets = 4, maxFilesPerBucket = maxFiles)
+      AnnIndex.appendToStoreBucketed(enc(b), plain, expectedBuckets = 4, maxFilesPerBucket = 0)
+      val fpb = filesPerBucket(table)
+      assert(fpb.values.forall(_ <= maxFiles),
+        s"policy violated: a bucket exceeds $maxFiles files after an append: $fpb")
+      if (fpb.values.max == 1) compactionsSeen += 1
+    }
+    // the trigger actually fired (not vacuously bounded by batch count)
+    assert(compactionsSeen >= 2, s"expected >=2 policy-triggered compactions, saw $compactionsSeen")
+    // and the uncompacted twin really accumulated more files (the
+    // policy, not the writer, is what bounded the store)
+    assert(filesPerBucket(plain).values.max > maxFiles)
+
+    assert(encodedRows(AnnIndex.readStore(spark, table)) ==
+      encodedRows(AnnIndex.readStore(spark, plain)))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    def search(t: String) = knnRows(Pq.ivfPqTopKEncoded(
+      AnnIndex.readStore(spark, t), "vec_id", queries, "embedding", k = 5,
+      centroids = Cells, codebooks = Books, nProbe = 8, shortlist = 50))
+    assert(search(table) == search(plain))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+  }
+
   test("layout guard fails loudly on bucket-spec drift") {
     val table = "graft_ann_index_guard"
     val path  = tempDir("graft_ann_index_guard") + "/store"

@@ -6,34 +6,52 @@ import org.scalatest.funsuite.AnyFunSuite
   * function lambda in src/main.
   *
   * A Spark HOF lambda (`transform`/`aggregate`/`filter`/`exists`/
-  * `zip_with`) re-evaluates any expression subtree referenced in its
-  * BODY once per element. Splicing `split(text)` / `tokens(text)` /
-  * `md5(...)` into the body therefore re-runs it for every element —
-  * O(n²) per document for shingling/n-gram shapes. This bit the repo
-  * three times: round 2 (jaccard/minhash, ~100×, fixed by
-  * `ApproxDedup.shinglesOfTokens`), and twice in round 11 when
-  * rounds-9/10 operators skipped the discipline
-  * (`Curation.importanceContrast` 46.8→8.3 s solo sf1,
+  * `forall`/`zip_with`/`map_filter`/`transform_keys`/
+  * `transform_values`/`map_zip_with`) re-evaluates any expression
+  * subtree referenced in its BODY once per element. Splicing
+  * `split(text)` / `tokens(text)` / `md5(...)` into the body therefore
+  * re-runs it for every element — O(n²) per document for
+  * shingling/n-gram shapes. This bit the repo three times: round 2
+  * (jaccard/minhash, ~100×, fixed by `ApproxDedup.shinglesOfTokens`),
+  * and twice in round 11 when rounds-9/10 operators skipped the
+  * discipline (`Curation.importanceContrast` 46.8→8.3 s solo sf1,
   * `text_novelty_score` 39.9→6.15 s — tools/bench_ic_tokens_r11.json,
   * bench_novelty_r11.json). The rule: stage the array in its own
   * projected column and lambda over the ATTRIBUTE.
   *
   * Mechanics: scan every src/main .scala file for a HOF call whose
-  * following 450 chars contain a lambda arrow and then one of the
-  * expensive calls. Each hit must match a known-benign allowlisted
-  * shape (whitespace-normalized prefix): hashing a LAMBDA-DERIVED
-  * value is fine (the per-element work is intended), as is an
-  * expensive expression in the HOF's ARRAY argument (evaluated once
-  * per row, before the arrow). New hits fail with a pointer to the
-  * staging discipline.
+  * following 450 chars contain a qualifying lambda arrow and then one
+  * of the expensive calls. `filter`/`forall`/`exists` collide with
+  * Scala collection / Dataset methods, so for those the arrow must be
+  * preceded by a top-level comma inside the call (the Spark HOF is the
+  * two-argument `filter(arr, x => …)` form; the one-argument
+  * `xs.filter(x => …)` closure runs per ROW, not per element, and is
+  * out of scope). Every expensive call after the arrow is checked
+  * INDIVIDUALLY: an allowlisted shape excuses only the expensive calls
+  * inside its own matched span, so a new splice appended after a benign
+  * one in the same window still fails (round-11 advice: startsWith on
+  * the whole segment silently masked the remainder). New hits fail
+  * with a pointer to the staging discipline.
   */
 class LambdaSpliceLintSpec extends AnyFunSuite {
 
-  private val HofStart  = raw"(transform|aggregate|zip_with|exists)\(".r
-  private val Expensive =
-    raw"(?s)=>.{0,350}?(split\(|TextFunctions\.tokens\(|md5\(|seededLongHash\()".r
+  /** HOFs whose name is unambiguous — any following lambda arrow is a
+    * Spark HOF lambda. */
+  private val HofUnambiguous =
+    raw"(transform|aggregate|zip_with|map_filter|transform_keys|transform_values|map_zip_with)\(".r
 
-  /** Benign shapes, whitespace-normalized. Each entry documents WHY. */
+  /** HOFs sharing a name with Scala collection / Dataset methods — only
+    * the two-argument form (top-level comma before the arrow) is the
+    * Spark HOF. */
+  private val HofAmbiguous = raw"(filter|forall|exists)\(".r
+
+  private val ExpensiveCall =
+    raw"(split\(|TextFunctions\.tokens\(|md5\(|seededLongHash\()".r
+
+  /** Benign shapes, whitespace-normalized. Each entry documents WHY.
+    * A shape excuses ONLY the expensive calls inside its matched span,
+    * anchored at the HOF start — anything after the span is judged on
+    * its own. */
   private val Allowed: Seq[(String, String)] = Seq(
     // Curation.importanceContrast: seededLongHash of the bigram built
     // from the LAMBDA-BOUND token attribute — one hash per bigram is
@@ -53,31 +71,78 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
 
   private def norm(s: String): String = s.replaceAll("\\s+", " ")
 
-  test("src/main has no new expensive-expression splice inside a HOF lambda") {
-    val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val files = {
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
-      } finally stream.close()
+  /** Regex matching an allowlisted shape with flexible whitespace. */
+  private def shapeRegex(prefix: String): scala.util.matching.Regex =
+    norm(prefix).split(' ').map(java.util.regex.Pattern.quote).mkString("\\s*").r
+
+  /** True iff the call starting at `open` (index of '(') has a
+    * top-level comma before the first `=>` — the Spark two-argument
+    * HOF form, as opposed to a one-argument Scala closure. */
+  private def topLevelCommaBeforeArrow(seg: String, open: Int): Boolean = {
+    var i     = open + 1
+    var depth = 0
+    var comma = false
+    while (i < seg.length - 1) {
+      seg.charAt(i) match {
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' =>
+          if (depth == 0) return false // call closed before any arrow
+          depth -= 1
+        case ',' if depth == 0 => comma = true
+        case '=' if seg.charAt(i + 1) == '>' => return comma
+        case _ => ()
+      }
+      i += 1
     }
-    assert(files.nonEmpty, s"no sources found under $root — lint is scanning the wrong place")
+    false
+  }
+
+  private def mainSources: List[java.nio.file.Path] = {
+    val root   = java.nio.file.Paths.get("src/main/scala/graft")
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+    } finally stream.close()
+  }
+
+  /** All splice offences in one source string, as `line: context`. */
+  private def scanSource(src: String): List[String] = {
+    val hofStarts =
+      HofUnambiguous.findAllMatchIn(src).map(m => (m.start, m.end - 1, false)) ++
+        HofAmbiguous.findAllMatchIn(src).map(m => (m.start, m.end - 1, true))
+    hofStarts.flatMap { case (start, open, ambiguous) =>
+      val seg = src.substring(start, math.min(src.length, start + 450))
+      val arrowIdx = seg.indexOf("=>")
+      val qualifies =
+        arrowIdx >= 0 && (!ambiguous || topLevelCommaBeforeArrow(seg, open - start))
+      if (!qualifies) Nil
+      else {
+        // Span excused by an allowlisted shape anchored at the HOF start.
+        val excusedEnd = Allowed.iterator
+          .flatMap { case (prefix, _) =>
+            shapeRegex(prefix).findPrefixMatchOf(seg).map(_.end)
+          }
+          .foldLeft(0)(math.max)
+        ExpensiveCall
+          .findAllMatchIn(seg)
+          .filter(em => em.start > arrowIdx && em.start >= excusedEnd)
+          .map { em =>
+            val line = src.substring(0, start).count(_ == '\n') + 1
+            s"$line  …${norm(seg.substring(math.max(0, em.start - 60), math.min(seg.length, em.end + 40)))}…"
+          }
+          .toList
+      }
+    }.toList.distinct
+  }
+
+  test("src/main has no new expensive-expression splice inside a HOF lambda") {
+    val files = mainSources
+    assert(files.nonEmpty, "no sources found under src/main/scala/graft — lint is scanning the wrong place")
 
     val offenders = files.flatMap { p =>
       val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      HofStart.findAllMatchIn(src).flatMap { m =>
-        val seg = src.substring(m.start, math.min(src.length, m.start + 450))
-        if (Expensive.findFirstIn(seg).isEmpty) None
-        else {
-          val n = norm(seg)
-          if (Allowed.exists { case (prefix, _) => n.startsWith(norm(prefix)) }) None
-          else {
-            val line = src.substring(0, m.start).count(_ == '\n') + 1
-            Some(s"$p:$line  ${n.take(120)}")
-          }
-        }
-      }
+      scanSource(src).map(o => s"$p:$o")
     }
     assert(
       offenders.isEmpty,
@@ -86,6 +151,48 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
         "lambda over the attribute, see ApproxDedup.shinglesOfTokens / " +
         "PLANS.md round-11 DSIR section):\n" + offenders.mkString("\n")
     )
+  }
+
+  /** Self-test: the scanner must catch the historical offender shapes
+    * and each widening target — a vacuously-green lint is worse than
+    * none (a rewrite bug here would silently disarm the whole check). */
+  test("scanner detects synthetic offenders and passes synthetic benign shapes") {
+    // The round-11 regression shape: split() spliced into a transform body.
+    assert(
+      scanSource("""transform(sequence(lit(0), size(split(col("t"), " ")) - 2), i => element_at(split(col("t"), " "), i))""").nonEmpty,
+      "transform-body splice not caught"
+    )
+    // Widening targets: two-argument Spark filter / forall / map HOFs.
+    assert(scanSource("""filter(col("arr"), x => md5(concat(col("t"), x)) === lit("a"))""").nonEmpty, "filter HOF splice not caught")
+    assert(scanSource("""forall(col("arr"), x => x === element_at(TextFunctions.tokens(col("t")), 1))""").nonEmpty, "forall HOF splice not caught")
+    assert(scanSource("""map_filter(col("m"), (k, v) => v === md5(col("t")))""").nonEmpty, "map_filter splice not caught")
+    assert(scanSource("""transform_values(col("m"), (k, v) => seededLongHash(col("t"), 7))""").nonEmpty, "transform_values splice not caught")
+    assert(scanSource("""map_zip_with(a, b, (k, v1, v2) => v1 + hexToLong(md5(col("t"))))""").nonEmpty, "map_zip_with splice not caught")
+    // The round-11 advice masking bug: a NEW splice appended right after
+    // an allowlisted shape in the same window must still fail.
+    assert(
+      scanSource(
+        """transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0)).plus(md5(col("t")))"""
+      ).nonEmpty,
+      "splice after an allowlisted shape was masked"
+    )
+    // Benign: one-argument Scala closure forms are per-ROW, out of scope.
+    assert(scanSource("""ds.filter(r => r.getString(0).split(",").length > 2)""").isEmpty, "one-arg Scala filter false positive")
+    assert(scanSource("""xs.forall(s => s.split(" ").nonEmpty)""").isEmpty, "one-arg Scala forall false positive")
+    assert(scanSource("""opt.exists(v => v.split("/").length > 1)""").isEmpty, "one-arg Option.exists false positive")
+    // Benign: expensive call in the ARRAY argument (before the arrow).
+    assert(scanSource("""transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))""").isEmpty, "allowlisted array-arg shape flagged")
+    // Benign: no expensive call at all.
+    assert(scanSource("""transform(col("arr"), x => x + lit(1))""").isEmpty, "clean transform flagged")
+  }
+
+  test("allowlisted shapes still exist in src/main (no stale entries)") {
+    val srcs = mainSources.map(p => norm(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    val stale = Allowed.collect {
+      case (prefix, why) if !srcs.exists(s => shapeRegex(prefix).findFirstIn(s).isDefined) =>
+        s"$why: ${norm(prefix).take(80)}"
+    }
+    assert(stale.isEmpty, "allowlist entries no longer matching any source (remove them):\n" + stale.mkString("\n"))
   }
 
   /** The textual scan above cannot see a splice hidden behind a helper
@@ -98,15 +205,7 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
     * convenience form on tiny fixtures (its documented purpose).
     */
   test("src/main never calls the convenience shingles(text, n) form") {
-    val root = java.nio.file.Paths.get("src/main/scala/graft")
-    val files = {
-      val stream = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.iterator().asScala.filter(_.toString.endsWith(".scala")).toList
-      } finally stream.close()
-    }
-    val offenders = files
+    val offenders = mainSources
       .filterNot(_.toString.endsWith("operators/ApproxDedup.scala"))
       .flatMap { p =>
         val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")

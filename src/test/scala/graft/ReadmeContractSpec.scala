@@ -24,4 +24,46 @@ class ReadmeContractSpec extends AnyFunSuite {
       assert(m2.group(1).toInt == n,
         s"README claims ${m2.group(1)} query programs; SparkEntry.queries has $n"))
   }
+
+  /** Round-11 verdict item 8: the module map must index only files that
+    * exist (the same doc-drift class the round-10 phantom PLANS manifest
+    * rows were). Parses the fenced tree under "## Module map": 2-space
+    * entries are roots of `src/main/scala/graft/`, `dir/` headers set
+    * context for deeper entries, and slash-qualified names resolve
+    * directly.
+    */
+  test("README module map names only files that exist") {
+    val block = {
+      val start = readme.indexOf("## Module map")
+      assert(start >= 0, "README.md no longer has a '## Module map' section")
+      val open  = readme.indexOf("```", start)
+      val close = readme.indexOf("```", open + 3)
+      assert(open >= 0 && close > open, "module map fenced block missing")
+      readme.substring(open + 3, close)
+    }
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    var currentDir = ""
+    var parsed = 0
+    val missing = block.linesIterator.flatMap { line =>
+      val indent = line.takeWhile(_ == ' ').length
+      val token  = line.trim.split("\\s+").headOption.getOrElse("")
+      if (token == "graft/" || token.isEmpty) None
+      else if (token.endsWith("/")) {
+        if (indent == 2) currentDir = token
+        parsed += 1
+        Option.when(!java.nio.file.Files.isDirectory(root.resolve(token.stripSuffix("/"))))(token)
+      } else if (token.endsWith(".scala")) {
+        val rel =
+          if (token.contains("/")) token
+          else if (indent == 2) token
+          else currentDir + token
+        parsed += 1
+        Option.when(!java.nio.file.Files.isRegularFile(root.resolve(rel)))(rel)
+      } else None
+    }.toList
+    assert(parsed >= 50,
+      s"module-map parser resolved only $parsed entries — README layout changed, fix the parser")
+    assert(missing.isEmpty,
+      s"README module map names files absent from src/main/scala/graft: ${missing.mkString(", ")}")
+  }
 }
