@@ -44,26 +44,26 @@ import org.apache.spark.sql.functions._
   * the JSON: a sublinear search that lost its recall would be an empty
   * claim. TWO recall blocks: `recall_at_k` (raw, comparable to the r10
   * artifact) and `recall_at_k_nodup`, which excludes each query's own
-  * fixture copies from both the truth set and the candidates. The raw
-  * block is VACUOUS at the scaled fixture (tools/sf1 is the sf0.1
-  * corpus ×10 with an epsilon on embedding[0] — MakeScaleMain — so
-  * each query's exact top-5 are its own near-identical copies in the
-  * same cell and every config reads 1.0); the nodup block is the
-  * informative number at that scale.
+  * fixture copies from both the truth set and the candidates. On the
+  * scaled fixtures each query still carries `factor` jittered copies of
+  * itself (MakeScaleMain draws copies at half the base corpus's median
+  * 5-NN distance — round 12; the pre-r12 dim-0-epsilon fixture made
+  * them byte-near twins), so the raw block stays inflated by the copy
+  * family; the nodup block is the informative number at those scales.
   *
   * TWO recall floors, because they test different claims:
   *
   *   - `recall_floor_sqrtprobe_ok`: nodup(sqrtc @ nProbe ∝ sqrt(C)) >=
   *     nodup(c16) − 0.05 per family — the FAISS-regime claim that
-  *     sublinear probing holds the recall class. On REAL embeddings
-  *     this holds because neighbors concentrate in few cells; on the
-  *     ×10-copy scaled fixture the cross-id neighbor structure is
-  *     destroyed by construction (copies cluster, distinct base ids
-  *     spread near-uniformly), so nodup recall there degrades to
-  *     ~probed-cell-fraction and the sqrt-probe config (which probes a
-  *     SMALLER fraction by design: nProbe/C ∝ 1/sqrt(C)) fails it.
-  *     Expect true at sf0.1 (the real corpus), false at tools/sf1 —
-  *     a fixture property, not an index defect.
+  *     sublinear probing holds the recall class, which needs neighbors
+  *     to concentrate in few cells. Holds at sf0.1 (the real corpus)
+  *     AND, since round 12, on the jittered scale fixtures: sf1 reads
+  *     nodup 0.61-vs-0.51 (ivf) / 0.70-vs-0.56 (ivfpq) at HALF the
+  *     probed candidates (bench_ann_sqrtc_sf1_r12.json). Under the
+  *     pre-r12 epsilon fixture this floor read FALSE at sf1 (0.35 vs
+  *     0.50) because ×10 byte-near copies destroyed cross-base-id
+  *     neighbor structure — a fixture artifact, adjudicated in round
+  *     11 and FIXED by the jittered generator rather than re-waived.
   *   - `recall_floor_eqfrac_ok`: nodup(sqrtc @ nProbe scaled to the
   *     SAME cell fraction as c16, nProbe = C·base/16) >= nodup(c16) −
   *     0.05 — the index-soundness control. At equal probed fraction a
@@ -241,12 +241,13 @@ object AnnSqrtCMain {
     }
 
     // ---- copy-aware recall (untimed): scaled fixtures carry `factor`
-    //      near-identical copies of every query (MakeScaleMain: vec_id
-    //      shifted by copy*BaseIds, epsilon on embedding[0]); they pack
-    //      the raw truth set and make raw recall read 1.0 for any
-    //      config. Exclude each query's own copies from truth AND
-    //      candidates: search padded to k + copies, drop same-base-id
-    //      neighbors, keep the top KnnK by the search's own rank. ----
+    //      jittered copies of every query (MakeScaleMain: vec_id
+    //      shifted by copy*BaseIds, full-dim jitter at half the median
+    //      5-NN distance); the copy family still packs the raw truth
+    //      set and inflates raw recall for any config. Exclude each
+    //      query's own copies from truth AND candidates: search padded
+    //      to k + copies, drop same-base-id neighbors, keep the top
+    //      KnnK by the search's own rank. ----
     val copiesPerQuery = math.max(0, (n / BaseIds).toInt - 1)
     val kPad = KnnK + copiesPerQuery
     def noDupTop(df: DataFrame): Set[(Long, Long)] = {

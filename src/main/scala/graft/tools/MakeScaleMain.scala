@@ -20,9 +20,24 @@ import org.apache.spark.sql.functions._
   *   - `documents.text` gets a short per-copy suffix so cross-copy pairs
   *     are near-dups, not byte-identical (exercises MinHash/SimHash at
   *     realistic, non-tied hash distributions);
-  *   - `embeddings.embedding[0]` gets a tiny per-copy epsilon so ANN
-  *     top-k has no cross-copy cosine ties (tie order under exact
-  *     duplication is comparator-dependent and would flap the oracle).
+  *   - `embeddings.embedding` copies get FULL-DIMENSION deterministic
+  *     jitter calibrated to the base corpus's own neighbor scale
+  *     (round-12, replacing round-9's dim-0 epsilon). The epsilon made
+  *     every copy a byte-near-identical twin of its base vector, which
+  *     destroyed cross-base-id neighbor structure by construction:
+  *     each base's entire copy family was mutually tied at ~0 distance,
+  *     so raw recall@k read 1.0 for ANY config and the nodup metric
+  *     degraded toward probed-cell-fraction — the sqrt-probe recall
+  *     floor failure at sf1 was a fixture artifact, not an index
+  *     property (round-11 verdict item 2). Jitter instead draws each
+  *     copy as a NEW sample at half the base corpus's median 5-NN
+  *     distance from its source vector: far enough that distances to
+  *     neighbors genuinely reshuffle (ties break in all 64 dims), near
+  *     enough that the copy stays inside its source's cluster (half the
+  *     gap to the nearest neighbor), so coarse-quantizer geometry —
+  *     and with it every IVF/PQ recall claim — carries over from the
+  *     base corpus. Noise is hash-derived per (vec_id, dim), so the
+  *     fixture stays bit-reproducible across sessions.
   *
   * Usage: MakeScaleMain <srcSfDir> <outDir> <factor>
   */
@@ -146,18 +161,63 @@ object MakeScaleMain {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .drop("__copy"),
       "documents")
-    // epsilon on dim 0 breaks cosine ties between copies; magnitude is
-    // far below inter-point distances so cluster structure is unchanged
+    // full-dimension jitter at half the base corpus's median 5-NN
+    // distance (see scaladoc): copies become genuine new cluster
+    // samples instead of byte-near twins, so neighbor structure — and
+    // the ANN recall floors measured on the scaled fixture — stay
+    // informative. Copy 0 is bit-identical to the base corpus.
+    val h = jitterHalfWidth(spark, read("embeddings"))
+    System.err.println(f"[make-scale] embedding jitter half-width per dim: $h%.6f")
     write(
       copies(read("embeddings"))
         .withColumn("vec_id", shift("vec_id", vecOff))
         .withColumn(
           "embedding",
-          concat(
-            array((col("embedding")(0) +
-              col("__copy").cast("float") * lit(1e-3f)).cast("float")),
-            slice(col("embedding"), 2, 100000)))
+          when(col("__copy") === 0, col("embedding")).otherwise(
+            // hash-derived uniform noise in [-h, h] per (vec_id, dim):
+            // vec_id is already copy-shifted, so every copy of every
+            // base vector draws its own independent stream; xxhash64 is
+            // cheap per element and deterministic across sessions
+            transform(
+              col("embedding"),
+              (x, i) =>
+                (x + (pmod(xxhash64(col("vec_id"), i), lit(2000001L)) / lit(1000000.0) - lit(1.0))
+                  * lit(h)).cast("float"))))
         .drop("__copy"),
       "embeddings")
+  }
+
+  /** Per-dimension half-width of the uniform jitter: targets a total
+    * L2 perturbation of HALF the base corpus's median distance to the
+    * 5th nearest neighbor. Uniform[-h, h] per dim has variance h²/3,
+    * so E‖noise‖² = dim·h²/3 = (nn5/2)² → h = (nn5/2)·sqrt(3/dim).
+    * Estimated from a ~100-query exact scan of the base corpus —
+    * driver-cheap at fixture scale, and deterministic.
+    */
+  def jitterHalfWidth(spark: SparkSession, emb: DataFrame): Double = {
+    import graft.functions.VectorFunctions.dotHof
+    import org.apache.spark.sql.expressions.Window
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val n   = emb.count()
+    val step = math.max(1L, n / 100L)
+    val q = emb.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc)
+    val nn5d2 = q.crossJoin(c)
+      .where(col("qid") =!= col("cid"))
+      .select(
+        col("qid"),
+        (dotHof(col("qe"), col("qe")) + dotHof(col("ce"), col("ce"))
+          - lit(2.0) * dotHof(col("qe"), col("ce"))).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 5)
+      .select(col("d2"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect()
+      .sorted
+    require(nn5d2.nonEmpty, "jitter calibration found no neighbors — empty embeddings table?")
+    val nn5 = math.sqrt(math.max(0.0, nn5d2(nn5d2.length / 2)))
+    (nn5 / 2.0) * math.sqrt(3.0 / dim)
   }
 }
