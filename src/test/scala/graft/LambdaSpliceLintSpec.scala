@@ -38,12 +38,14 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
   /** HOFs whose name is unambiguous — any following lambda arrow is a
     * Spark HOF lambda. */
   private val HofUnambiguous =
-    raw"(transform|aggregate|zip_with|map_filter|transform_keys|transform_values|map_zip_with)\(".r
+    raw"(transform|aggregate|zip_with|map_filter|transform_keys|transform_values|map_zip_with|array_sort)\(".r
 
   /** HOFs sharing a name with Scala collection / Dataset methods — only
     * the two-argument form (top-level comma before the arrow) is the
-    * Spark HOF. */
-  private val HofAmbiguous = raw"(filter|forall|exists)\(".r
+    * Spark HOF. `reduce` is SQL's alias of aggregate; Scala's
+    * one-argument `xs.reduce((a, b) => …)` keeps its parameter-list
+    * comma at paren depth 1, so the top-level-comma test excludes it. */
+  private val HofAmbiguous = raw"(filter|forall|exists|reduce)\(".r
 
   private val ExpensiveCall =
     raw"(split\(|TextFunctions\.tokens\(|md5\(|seededLongHash\()".r
@@ -66,7 +68,17 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
     // TextFunctions.withRollingFingerprint: scaladoc COMMENT citing the
     // equivalent Column form the native kernel replaces.
     "transform(tokens, t => hexToLong(md5(t)) % RollMod) (Md5LongsSpec)" ->
-      "scaladoc comment, not code"
+      "scaladoc comment, not code",
+    // Md5LongsExpr: scaladoc COMMENT citing the Column form the native
+    // kernel replaces (and the md5 hashes the lambda element anyway).
+    "transform(arr, s -> conv(substring(md5(concat(prefix, s)),1,15),16,10) % mod)" ->
+      "scaladoc comment citing the replaced form; hash of the element",
+    // DuckDB oracle SQL (text_fingerprint family): md5 of the lambda
+    // ELEMENT over a staged toks column — per-element work is the
+    // operator's intent, mirrored on the Spark side by the native
+    // graft_md5_longs kernel.
+    "transform(toks, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)" ->
+      "oracle SQL hashes the lambda element over a staged column"
   )
 
   private def norm(s: String): String = s.replaceAll("\\s+", " ")
@@ -75,9 +87,21 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
   private def shapeRegex(prefix: String): scala.util.matching.Regex =
     norm(prefix).split(' ').map(java.util.regex.Pattern.quote).mkString("\\s*").r
 
+  /** Index of the first lambda arrow in `seg` — Scala's `=>` or SQL's
+    * `->` (HOFs inside expr("…") strings use the SQL form and are just
+    * as spliceable); -1 if none. */
+  private def firstArrow(seg: String): Int = {
+    val scala_ = seg.indexOf("=>")
+    val sql    = seg.indexOf("->")
+    if (scala_ < 0) sql
+    else if (sql < 0) scala_
+    else math.min(scala_, sql)
+  }
+
   /** True iff the call starting at `open` (index of '(') has a
-    * top-level comma before the first `=>` — the Spark two-argument
-    * HOF form, as opposed to a one-argument Scala closure. */
+    * top-level comma before the first lambda arrow — the Spark
+    * two-argument HOF form, as opposed to a one-argument Scala
+    * closure (whose parameter-list comma sits at paren depth 1). */
   private def topLevelCommaBeforeArrow(seg: String, open: Int): Boolean = {
     var i     = open + 1
     var depth = 0
@@ -90,11 +114,32 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
           depth -= 1
         case ',' if depth == 0 => comma = true
         case '=' if seg.charAt(i + 1) == '>' => return comma
+        case '-' if seg.charAt(i + 1) == '>' => return comma
         case _ => ()
       }
       i += 1
     }
     false
+  }
+
+  /** Index just past the ')' that closes the call whose '(' is at
+    * `open`, or `seg.length` if the call does not close inside the
+    * window — expensive calls AFTER the close belong to the enclosing
+    * expression, not the lambda body, and must not be flagged. */
+  private def callCloseIdx(seg: String, open: Int): Int = {
+    var i     = open + 1
+    var depth = 0
+    while (i < seg.length) {
+      seg.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          if (depth == 0) return i + 1
+          depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    seg.length
   }
 
   private def mainSources: List[java.nio.file.Path] = {
@@ -113,7 +158,7 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
         HofAmbiguous.findAllMatchIn(src).map(m => (m.start, m.end - 1, true))
     hofStarts.flatMap { case (start, open, ambiguous) =>
       val seg = src.substring(start, math.min(src.length, start + 450))
-      val arrowIdx = seg.indexOf("=>")
+      val arrowIdx = firstArrow(seg)
       val qualifies =
         arrowIdx >= 0 && (!ambiguous || topLevelCommaBeforeArrow(seg, open - start))
       if (!qualifies) Nil
@@ -124,9 +169,10 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
             shapeRegex(prefix).findPrefixMatchOf(seg).map(_.end)
           }
           .foldLeft(0)(math.max)
+        val closeIdx = callCloseIdx(seg, open - start)
         ExpensiveCall
           .findAllMatchIn(seg)
-          .filter(em => em.start > arrowIdx && em.start >= excusedEnd)
+          .filter(em => em.start > arrowIdx && em.start < closeIdx && em.start >= excusedEnd)
           .map { em =>
             val line = src.substring(0, start).count(_ == '\n') + 1
             s"$line  …${norm(seg.substring(math.max(0, em.start - 60), math.min(seg.length, em.end + 40)))}…"
@@ -168,18 +214,29 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
     assert(scanSource("""map_filter(col("m"), (k, v) => v === md5(col("t")))""").nonEmpty, "map_filter splice not caught")
     assert(scanSource("""transform_values(col("m"), (k, v) => seededLongHash(col("t"), 7))""").nonEmpty, "transform_values splice not caught")
     assert(scanSource("""map_zip_with(a, b, (k, v1, v2) => v1 + hexToLong(md5(col("t"))))""").nonEmpty, "map_zip_with splice not caught")
-    // The round-11 advice masking bug: a NEW splice appended right after
-    // an allowlisted shape in the same window must still fail.
+    // The round-11 advice masking bug: a NEW splice added inside the
+    // same call right after an allowlisted body must still fail (the
+    // old startsWith-on-segment check silently excused the whole
+    // window).
     assert(
       scanSource(
-        """transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0)).plus(md5(col("t")))"""
+        """transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0) + hexToLong(md5(col("t"))))"""
       ).nonEmpty,
       "splice after an allowlisted shape was masked"
     )
+    // Round-12 additions: SQL reduce (aggregate alias) and array_sort
+    // comparator lambdas.
+    assert(scanSource("""expr("reduce(arr, 0L, (acc, x) -> acc + length(split(t, ' ')))")""").nonEmpty, "reduce splice not caught")
+    assert(scanSource("""array_sort(col("arr"), (a, b) => when(md5(col("t")) === a, lit(-1)).otherwise(lit(1)))""").nonEmpty, "array_sort comparator splice not caught")
     // Benign: one-argument Scala closure forms are per-ROW, out of scope.
+    assert(scanSource("""xs.reduce((a, b) => a.split(",").length - b.split(",").length)""").isEmpty, "one-arg Scala reduce false positive")
     assert(scanSource("""ds.filter(r => r.getString(0).split(",").length > 2)""").isEmpty, "one-arg Scala filter false positive")
     assert(scanSource("""xs.forall(s => s.split(" ").nonEmpty)""").isEmpty, "one-arg Scala forall false positive")
     assert(scanSource("""opt.exists(v => v.split("/").length > 1)""").isEmpty, "one-arg Option.exists false positive")
+    // Benign: expensive call AFTER the HOF call closed — it belongs to
+    // the enclosing expression, evaluated once per row.
+    assert(scanSource("""transform(col("a"), x => x + 1)).withColumn("h", md5(col("t")))""").isEmpty, "post-close expensive call false positive")
+    assert(scanSource("""filter(string_split(text, ' '), x -> cond)) / len(string_split(text, ' '))""").isEmpty, "SQL post-close false positive")
     // Benign: expensive call in the ARRAY argument (before the arrow).
     assert(scanSource("""transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))""").isEmpty, "allowlisted array-arg shape flagged")
     // Benign: no expensive call at all.
