@@ -84,13 +84,27 @@ object AnnIndex {
     * the store stays bounded without anyone remembering the manual
     * [[compactStoreBucketed]] call. Pass `maxFilesPerBucket = 0` to
     * disable (caller owns compaction scheduling).
+    *
+    * CALLER CONTRACT (round-13, the auto-compaction trade-off made
+    * explicit): a triggered compaction REWRITES the table — its data
+    * path changes, so a DataFrame or cached scan resolved over the
+    * store BEFORE this call can fail with FileNotFoundException after
+    * it. Re-resolve via `spark.table(table)` (or [[readStore]]) after
+    * every append. Same-JVM appenders to one table are serialized by a
+    * per-table lock (two driver threads cannot interleave an append
+    * with the compaction swap and lose a batch — AnnIndexSpec pins it);
+    * writers in SEPARATE processes are outside the store's contract:
+    * single writer per table at any instant. A crash INSIDE the
+    * compaction can transiently leave the table only under
+    * `<table>__old` — recoverable by a rename, never silently dropped
+    * (see [[BucketedStores]] crash discipline).
     */
   def appendToStoreBucketed(
       encoded: DataFrame,
       table: String,
       expectedBuckets: Int,
       maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
-  ): Unit = {
+  ): Unit = BucketedStores.lockFor(table).synchronized {
     requireStoreBucketed(encoded.sparkSession, table, expectedBuckets)
     val order = encoded.sparkSession.table(table).columns.toSeq
     encoded

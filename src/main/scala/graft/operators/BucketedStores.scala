@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions.col
   */
 private[operators] object BucketedStores {
 
+  /** Per-table append/compaction serialization for same-JVM writers.
+    * The compaction swap (write staging → rename aside → rename in →
+    * delete old path) is NOT safe to interleave with a concurrent
+    * append: an append that resolves the table location before the swap
+    * writes its files into the old path, which the swap then deletes —
+    * a silently lost batch. Holding one lock object per table name
+    * around the whole append+compact sequence makes same-JVM appenders
+    * (the Spark driver is the only writer in a normal deployment)
+    * strictly serial per store. CROSS-PROCESS writers are outside this
+    * lock's reach and outside the store's contract: the store API is
+    * single-writer-per-table at any instant (standard for
+    * non-transactional catalog tables; lakehouse-format log protocols
+    * are what lifts it, not this sink).
+    */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+
   /** Default auto-compaction trigger for the incremental stores'
     * append paths: compact when any bucket accumulates more than this
     * many files. At one file per bucket per append, 16 bounds a

@@ -164,13 +164,22 @@ object IncrementalDedup {
     * `maxFilesPerBucket` files the store is compacted in place, so file
     * count stays bounded without a manual [[compactStoreBucketed]]
     * call. Pass `maxFilesPerBucket = 0` to disable.
+    *
+    * CALLER CONTRACT (round-13, shared with
+    * [[AnnIndex.appendToStoreBucketed]]): a triggered compaction
+    * rewrites the table — DataFrames or cached scans resolved over the
+    * store before this call must be re-resolved via `spark.table` after
+    * it returns. Same-JVM appenders are serialized per table (a
+    * concurrent append can no longer write into a path the compaction
+    * swap deletes); cross-process writers are outside the contract —
+    * single writer per table at any instant.
     */
   def appendToStoreBucketed(
       bandSigs: DataFrame,
       table: String,
       expectedBuckets: Int,
       maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
-  ): Unit = {
+  ): Unit = BucketedStores.lockFor(table).synchronized {
     requireStoreBucketed(bandSigs.sparkSession, table, expectedBuckets)
     bandSigs
       .select(col("id"), col("band"), col("sig"))

@@ -53,8 +53,25 @@ object Triangles {
     *
     * `wedgePartitions` overrides the data-driven wedge-join shuffle
     * width (0 = size from the edge count).
+    *
+    * `wedgePasses` bounds the PEAK materialized wedge intermediate — the
+    * operator's capacity contract. The O(m^1.5) wedge set can exceed a
+    * node's spill disk even when every per-stage partition fits in
+    * memory (measured: the 100x fixture's 4.1 B wedges ≈ 100 GB of
+    * shuffle overflow a 78 GB scratch volume). With K passes the wedge
+    * set is split into K DISJOINT chunks by hash of the wedge's first
+    * endpoint `b` (every wedge has exactly one b, so the chunks
+    * partition the wedge set and the per-pass triangle counts sum to
+    * the single-pass result — TrianglesSpec pins the equality). Each
+    * pass filters e1 by `hash(dst) % K == k` BEFORE the wedge join, so
+    * only ~1/K of the wedges is ever generated, shuffled, or sorted at
+    * once; the oriented edge list (tiny next to the wedges) is
+    * materialized once and rescanned per pass. Cost: K extra scans of
+    * the edge list + K join plans — noise against the wedge volume the
+    * passes bound. 1 = single pass (identical to the round-11 plan).
     */
-  def perNode(edges: DataFrame, wedgePartitions: Int = 0): DataFrame = {
+  def perNode(edges: DataFrame, wedgePartitions: Int = 0, wedgePasses: Int = 1): DataFrame = {
+    require(wedgePasses >= 1, s"wedgePasses must be >= 1, got $wedgePasses")
     val nWedge =
       if (wedgePartitions > 0) wedgePartitions else wedgeShuffleWidth(edges)
     val und = edges
@@ -86,29 +103,57 @@ object Triangles {
         // same d — so greatest(du, dv) is exact in every case
         greatest(col("du"), col("dv")).as("ddst")
       )
-    val o = oriented
-    val wedges = o
-      .as("e1")
-      .join(o.as("e2"), col("e1.src") === col("e2.src"))
-      .where(
-        struct(col("e1.ddst"), col("e1.dst")) < struct(col("e2.ddst"), col("e2.dst"))
-      )
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    // co-partition both sides of the closing join at the data-sized
+    // one pass's wedge-generate + close + per-node partial counts.
+    // Co-partition both sides of the closing join at the pass-sized
     // width: each side's explicit hash partitioning satisfies the join's
     // distribution, so no further exchange is inserted and the SMJ sorts
-    // run over nWedge-way splits of the wedge intermediate
-    val tri = wedges
-      .repartition(nWedge, col("b"), col("c"))
-      .join(
-        o.repartition(nWedge, col("src"), col("dst")).as("e3"),
-        col("b") === col("e3.src") && col("c") === col("e3.dst"),
-        "left_semi"
-      )
-    tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tri"))
+    // run over nPass-way splits of the pass's wedge chunk.
+    def passCounts(o: DataFrame, e1: DataFrame, nPass: Int): DataFrame = {
+      val wedges = e1
+        .as("e1")
+        .join(o.as("e2"), col("e1.src") === col("e2.src"))
+        .where(
+          struct(col("e1.ddst"), col("e1.dst")) < struct(col("e2.ddst"), col("e2.dst"))
+        )
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      wedges
+        .repartition(nPass, col("b"), col("c"))
+        .join(
+          o.repartition(nPass, col("src"), col("dst")).as("e3"),
+          col("b") === col("e3.src") && col("c") === col("e3.dst"),
+          "left_semi"
+        )
+        .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tri"))
+    }
+    val counts =
+      if (wedgePasses == 1) passCounts(oriented, oriented, nWedge)
+      else {
+        // materialize the oriented edges ONCE (tiny next to the wedges),
+        // then run the passes sequentially: each pass's small per-node
+        // partial is eagerly materialized (localCheckpoint truncates its
+        // lineage), so the pass's wedge shuffle becomes unreachable and
+        // the context cleaner can reclaim its spill before the next pass
+        // materializes — the explicit gc() is the driver-side nudge that
+        // makes the reclaim prompt, not a correctness dependency. The
+        // per-pass width is the full-wedge-set width split across passes
+        // (each chunk is ~1/K of the wedges).
+        val par   = edges.sparkSession.sparkContext.defaultParallelism
+        val nPass = math.max(par, nWedge / wedgePasses)
+        val o     = oriented.localCheckpoint()
+        val partials = (0 until wedgePasses).map { k =>
+          val e1 = o.where(pmod(xxhash64(col("dst")), lit(wedgePasses.toLong)) === k)
+          val p  = passCounts(o, e1, nPass).localCheckpoint()
+          System.gc()
+          p
+        }
+        partials
+          .reduce(_.unionByName(_))
+          .groupBy(col("id"))
+          .agg(sum(col("n_tri")).as("n_tri"))
+      }
+    counts
       .join(nodes, Seq("id"), "right")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }

@@ -154,7 +154,13 @@ object GraphQueries {
           .as("a")
           .join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("src"), col("b.p").as("dst"))
-        graft.operators.Triangles.perNode(edges)
+        // capacity lever, not a semantics lever: K>1 bounds the peak
+        // materialized wedge intermediate to ~1/K (the result is pass-
+        // count-invariant — TrianglesSpec pins it), so the O(m^1.5)
+        // wedge set can be walked within a fixed scratch-disk budget.
+        val passes =
+          sys.env.get("SPARK_GRAFT_TRIANGLES_PASSES").map(_.toInt).getOrElse(1)
+        graft.operators.Triangles.perNode(edges, wedgePasses = passes)
       },
       Some("""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |e AS (SELECT DISTINCT a.p AS u, b.p AS v

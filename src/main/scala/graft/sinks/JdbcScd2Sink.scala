@@ -88,14 +88,35 @@ object JdbcScd2Sink {
     try {
       // No FETCH FIRST / LIMIT clause: SQLite parses neither Derby's
       // FETCH syntax nor would Derby parse LIMIT, and the scaladoc
-      // promises a no-code-change swap of the JDBC URL. A bare SELECT
-      // streams lazily — rs.next() is called exactly once, so the
-      // database materializes at most one row either way.
+      // promises a no-code-change swap of the JDBC URL. setMaxRows(1)
+      // bounds materialization instead — JDBC-standard and
+      // dialect-independent, which matters for drivers that buffer the
+      // whole result set client-side (MySQL Connector/J, Postgres in
+      // autocommit) where a bare SELECT would pull the full table.
+      st.setMaxRows(1)
       val rs = st.executeQuery(s"SELECT 1 FROM $table")
       try !rs.next()
       finally rs.close()
     } finally st.close()
   }
+
+  /** Env-gated phase timing (`SPARK_GRAFT_JDBC_TIMING`): one stderr
+    * line per merge phase, tagging each as the DISTRIBUTED tier (Spark
+    * stages) or the SERIAL embedded-database tier. The split is the
+    * scale diagnosis for the sf10 per-decade growth: the distributed
+    * phases scale with the cluster, the serial tier with the single
+    * target database — exactly the split a real deployment changes by
+    * swapping the embedded target for a warehouse-grade one.
+    */
+  private val phaseTiming = sys.env.contains("SPARK_GRAFT_JDBC_TIMING")
+  private def timedPhase[A](phase: String, tier: String)(f: => A): A =
+    if (!phaseTiming) f
+    else {
+      val t0 = System.nanoTime()
+      try f
+      finally System.err.println(
+        f"[jdbc-scd2] phase=$phase tier=$tier sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
 
   private def indexExists(conn: Connection, table: String, index: String): Boolean = {
     val rs = conn.getMetaData.getIndexInfo(null, null, table.toUpperCase, false, false)
@@ -187,14 +208,14 @@ object JdbcScd2Sink {
     // (tools/bench_jdbc_bulkidx_r11.json, solo sf1): 108.0 s with
     // indexes at create time, 90.7 s with staging deferred, 80.9 s with
     // the empty-target seed deferral below as well; sf0.1 9.6 -> 8.1 s.
-    withConnection(url) { conn =>
+    timedPhase("staging_ddl", "serial") { withConnection(url) { conn =>
       dropIfExists(conn, staging)
       val cols = payload.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}") :+
         s"${q(CdcRouter.RouterCol)} VARCHAR(16)"
       val st = conn.createStatement()
       try { st.executeUpdate(s"CREATE TABLE $staging (${cols.mkString(", ")})"); () }
       finally st.close()
-    }
+    } }
 
     // distributed append of the non-DUPLICATE batch into staging: a
     // batched PreparedStatement per partition rather than the stock JDBC
@@ -209,7 +230,7 @@ object JdbcScd2Sink {
     }
     val insertSql =
       s"INSERT INTO $staging (${outCols.map(q).mkString(", ")}) VALUES (${outCols.map(_ => "?").mkString(", ")})"
-    toLoad
+    timedPhase("staging_append", "distributed") { toLoad
       .select(outCols.map(col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
@@ -260,7 +281,7 @@ object JdbcScd2Sink {
             } finally ps.close()
           } finally conn.close()
         }
-      }
+      } }
 
     // index both sides of the close-out IN-subquery now that staging is
     // populated (see ensureIndex: without these the UPDATE nested-loops
@@ -271,17 +292,17 @@ object JdbcScd2Sink {
     // the insert-all (bottom of this method): the seed rows then arrive
     // index-free and the index is sort-built once over the loaded table
     // instead of B-tree-maintained per row.
-    withConnection(url) { conn =>
+    timedPhase("index_build", "serial") { withConnection(url) { conn =>
       ensureIndex(conn, staging, s"${staging}_IX_GRP_KEY", Seq(CdcRouter.RouterCol, key))
       if (!tableEmpty(conn, table))
         ensureIndex(conn, table, targetIndexName(table), Seq(key, Scd2.ActiveFlag))
-    }
+    } }
 
     // one transaction: audit counts off the MATERIALIZED staging rows
     // (re-evaluating the lazy routed plan after the merge would re-probe
     // the already-updated target and route everything DUPLICATE), then
     // set-based close-out + insert-all, then drop staging
-    val mergedCounts = withConnection(url) { conn =>
+    val mergedCounts = timedPhase("closeout_txn", "serial") { withConnection(url) { conn =>
       conn.setAutoCommit(false)
       try {
         val st = conn.createStatement()
@@ -315,12 +336,12 @@ object JdbcScd2Sink {
           conn.rollback()
           throw e
       }
-    }
+    } }
     // seed-load completion of the deferred target index (no-op when it
     // already exists): every later merge's close-out finds it in place
-    withConnection(url) { conn =>
+    timedPhase("seed_index", "serial") { withConnection(url) { conn =>
       ensureIndex(conn, table, targetIndexName(table), Seq(key, Scd2.ActiveFlag))
-    }
+    } }
     mergedCounts
   }
 

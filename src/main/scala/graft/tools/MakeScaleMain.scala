@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   *     degraded toward probed-cell-fraction — the sqrt-probe recall
   *     floor failure at sf1 was a fixture artifact, not an index
   *     property (round-11 verdict item 2). Jitter instead draws each
-  *     copy as a NEW sample at half the base corpus's median 5-NN
-  *     distance from its source vector: far enough that distances to
-  *     neighbors genuinely reshuffle (ties break in all 64 dims), near
-  *     enough that the copy stays inside its source's cluster (half the
-  *     gap to the nearest neighbor), so coarse-quantizer geometry —
+  *     copy as a NEW sample at half the base corpus's median ANGULAR
+  *     5-NN gap from its source vector (normalized-space calibration
+  *     scaled by each vector's own norm — round-13; cosine is the
+  *     geometry the recall floors measure, and a fixed absolute L2
+  *     radius was a much larger angular move for low-norm vectors):
+  *     far enough that distances to neighbors genuinely reshuffle
+  *     (ties break in all 64 dims), near enough that the copy stays
+  *     inside its source's cluster (half the angular gap to the nearest
+  *     neighbor), so coarse-quantizer geometry —
   *     and with it every IVF/PQ recall claim — carries over from the
   *     base corpus. Noise is hash-derived per (vec_id, dim), so the
   *     fixture stays bit-reproducible across sessions.
@@ -161,38 +165,59 @@ object MakeScaleMain {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .drop("__copy"),
       "documents")
-    // full-dimension jitter at half the base corpus's median 5-NN
-    // distance (see scaladoc): copies become genuine new cluster
+    // full-dimension jitter at half the base corpus's median ANGULAR
+    // 5-NN gap (see scaladoc): copies become genuine new cluster
     // samples instead of byte-near twins, so neighbor structure — and
     // the ANN recall floors measured on the scaled fixture — stay
-    // informative. Copy 0 is bit-identical to the base corpus.
+    // informative. The half-width is RELATIVE (calibrated on normalized
+    // vectors, round-13) and scaled by each vector's own norm, so the
+    // angular perturbation is uniform across the corpus's norm spread —
+    // an absolute L2 half-width was a proportionally much larger
+    // angular move for below-median-norm vectors, which could eject
+    // those copies from their source's cosine neighborhood while the
+    // recall floors measure cosine. Copy 0 is bit-identical to the
+    // base corpus.
     val h = jitterHalfWidth(spark, read("embeddings"))
-    System.err.println(f"[make-scale] embedding jitter half-width per dim: $h%.6f")
-    write(
-      copies(read("embeddings"))
-        .withColumn("vec_id", shift("vec_id", vecOff))
-        .withColumn(
-          "embedding",
-          when(col("__copy") === 0, col("embedding")).otherwise(
-            // hash-derived uniform noise in [-h, h] per (vec_id, dim):
-            // vec_id is already copy-shifted, so every copy of every
-            // base vector draws its own independent stream; xxhash64 is
-            // cheap per element and deterministic across sessions
-            transform(
-              col("embedding"),
-              (x, i) =>
-                (x + (pmod(xxhash64(col("vec_id"), i), lit(2000001L)) / lit(1000000.0) - lit(1.0))
-                  * lit(h)).cast("float"))))
-        .drop("__copy"),
-      "embeddings")
+    System.err.println(f"[make-scale] embedding jitter relative half-width per dim: $h%.6f")
+    locally {
+      import graft.functions.VectorFunctions.dotHof
+      write(
+        copies(read("embeddings"))
+          .withColumn("vec_id", shift("vec_id", vecOff))
+          // the vector's own norm, STAGED in its column (never spliced
+          // into the lambda body — it would re-evaluate per element)
+          .withColumn("__vn", sqrt(dotHof(col("embedding"), col("embedding"))))
+          .withColumn(
+            "embedding",
+            when(col("__copy") === 0, col("embedding")).otherwise(
+              // hash-derived uniform noise in [-h·‖v‖, h·‖v‖] per
+              // (vec_id, dim): vec_id is already copy-shifted, so every
+              // copy of every base vector draws its own independent
+              // stream; xxhash64 is cheap per element and deterministic
+              // across sessions
+              transform(
+                col("embedding"),
+                (x, i) =>
+                  (x + (pmod(xxhash64(col("vec_id"), i), lit(2000001L)) / lit(1000000.0) - lit(1.0))
+                    * lit(h) * col("__vn")).cast("float"))))
+          .drop("__copy", "__vn"),
+        "embeddings")
+    }
   }
 
-  /** Per-dimension half-width of the uniform jitter: targets a total
-    * L2 perturbation of HALF the base corpus's median distance to the
-    * 5th nearest neighbor. Uniform[-h, h] per dim has variance h²/3,
-    * so E‖noise‖² = dim·h²/3 = (nn5/2)² → h = (nn5/2)·sqrt(3/dim).
-    * Estimated from a ~100-query exact scan of the base corpus —
-    * driver-cheap at fixture scale, and deterministic.
+  /** RELATIVE per-dimension half-width of the uniform jitter: targets
+    * an ANGULAR perturbation of half the base corpus's median
+    * NORMALIZED-space distance to the 5th nearest neighbor — the
+    * geometry the ANN families and recall floors actually measure is
+    * cosine, so the gap is computed on unit-normalized vectors
+    * (round-13; the raw-L2 calibration was a proportionally much larger
+    * angular move for low-norm vectors). Uniform[-h·‖v‖, h·‖v‖] per dim
+    * has variance (h·‖v‖)²/3, so E‖noise‖²/‖v‖² = dim·h²/3 = (nn5/2)²
+    * → h = (nn5/2)·sqrt(3/dim), with nn5 the normalized-space gap —
+    * every vector's copies land at the same relative (angular) radius
+    * regardless of its norm. Estimated from a ~100-query exact scan of
+    * the base corpus — driver-cheap at fixture scale, and
+    * deterministic.
     */
   def jitterHalfWidth(spark: SparkSession, emb: DataFrame): Double = {
     import graft.functions.VectorFunctions.dotHof
@@ -200,9 +225,16 @@ object MakeScaleMain {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val n   = emb.count()
     val step = math.max(1L, n / 100L)
-    val q = emb.where(col("vec_id") % step === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // unit-normalize once, staged (never inside a per-element lambda)
+    def unit(e: org.apache.spark.sql.Column, vn: org.apache.spark.sql.Column) =
+      transform(e, x => x / vn)
+    val base = emb
+      .withColumn("__vn", sqrt(dotHof(col("embedding"), col("embedding"))))
+      .where(col("__vn") > 0)
+      .select(col("vec_id"), unit(col("embedding"), col("__vn")).as("ue"))
+    val q = base.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("qid"), col("ue").as("qe"))
+    val c = base.select(col("vec_id").as("cid"), col("ue").as("ce"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc)
     val nn5d2 = q.crossJoin(c)
       .where(col("qid") =!= col("cid"))

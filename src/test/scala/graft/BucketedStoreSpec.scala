@@ -179,4 +179,48 @@ class BucketedStoreSpec extends SparkSpec {
       table, expectedBuckets = NB)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("concurrent same-JVM appenders with mid-sequence auto-compaction lose no batch") {
+    // round-13 (verdict item 7): the store's claim is "incremental at
+    // production scale", where appends overlap. The dangerous interleave
+    // is append-resolves-location / compaction-swaps-and-deletes-path —
+    // a silently lost batch. maxFilesPerBucket = 1 forces a compaction
+    // on essentially EVERY append, so two threads racing their append
+    // sequences hit the window constantly; the per-table lock must make
+    // the sequences strictly serial. Cross-PROCESS writers stay outside
+    // the contract (documented single-writer on the append API).
+    val corpus = Seq((1L, "seed corpus document with its own words")).toDF("id", "text")
+    val dir    = tempDir("bucketed-concurrent")
+    val table  = "graft_sig_store_concurrent_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val NB = 4
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = NB)
+    val perThread = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try
+          for (i <- 0 until perThread) {
+            val id = 100L + t * 10 + i
+            val b  = Seq((id, s"thread $t batch $i carries distinct vocabulary $id"))
+              .toDF("id", "text")
+            IncrementalDedup.appendToStoreBucketed(
+              bands(b), table, expectedBuckets = NB, maxFilesPerBucket = 1)
+          }
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.toArray.mkString("; ")}")
+    val ids = IncrementalDedup.readStoreTable(spark, table)
+      .select(col("id")).distinct().as[Long].collect().toSet
+    val expected =
+      Set(1L) ++ (for { t <- 0 until 2; i <- 0 until perThread } yield 100L + t * 10 + i)
+    assert(ids == expected,
+      s"batches lost under concurrent append: missing ${expected -- ids}, extra ${ids -- expected}")
+    // layout (and with it the no-reshuffle plan) survived the races
+    assert(IncrementalDedup.storeBucketSpec(spark, table).contains((NB, Seq("band", "sig"))))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -36,16 +36,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class LambdaSpliceLintSpec extends AnyFunSuite {
 
   /** HOFs whose name is unambiguous — any following lambda arrow is a
-    * Spark HOF lambda. */
+    * Spark HOF lambda. The `(?<!\w)` guard pins the STANDALONE call
+    * name: without it an identifier merely containing a HOF name
+    * (`applyTransform(`) enters the scan as a false-positive candidate.
+    * Dotted calls (`functions.transform(`) stay in scope — they are the
+    * same Spark HOF, just qualified. */
   private val HofUnambiguous =
-    raw"(transform|aggregate|zip_with|map_filter|transform_keys|transform_values|map_zip_with|array_sort)\(".r
+    raw"(?<!\w)(transform|aggregate|zip_with|map_filter|transform_keys|transform_values|map_zip_with|array_sort)\(".r
 
   /** HOFs sharing a name with Scala collection / Dataset methods — only
     * the two-argument form (top-level comma before the arrow) is the
     * Spark HOF. `reduce` is SQL's alias of aggregate; Scala's
     * one-argument `xs.reduce((a, b) => …)` keeps its parameter-list
-    * comma at paren depth 1, so the top-level-comma test excludes it. */
-  private val HofAmbiguous = raw"(filter|forall|exists|reduce)\(".r
+    * comma at paren depth 1, so the top-level-comma test excludes it.
+    * The `(?<!\w)` guard also stops `map_filter(` matching BOTH regexes
+    * (underscore is \w) — each call is scanned exactly once. */
+  private val HofAmbiguous = raw"(?<!\w)(filter|forall|exists|reduce)\(".r
 
   private val ExpensiveCall =
     raw"(split\(|TextFunctions\.tokens\(|md5\(|seededLongHash\()".r
@@ -212,6 +218,24 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
     assert(scanSource("""filter(col("arr"), x => md5(concat(col("t"), x)) === lit("a"))""").nonEmpty, "filter HOF splice not caught")
     assert(scanSource("""forall(col("arr"), x => x === element_at(TextFunctions.tokens(col("t")), 1))""").nonEmpty, "forall HOF splice not caught")
     assert(scanSource("""map_filter(col("m"), (k, v) => v === md5(col("t")))""").nonEmpty, "map_filter splice not caught")
+    // Round-13 guard: map_filter must be scanned ONCE (the unguarded
+    // ambiguous regex used to also match its trailing `filter(`,
+    // yielding a near-duplicate offender at a shifted offset).
+    assert(
+      scanSource("""map_filter(col("m"), (k, v) => v === md5(col("t")))""").size == 1,
+      "map_filter scanned by both regexes — word-boundary guard regressed"
+    )
+    // Round-13 guard: identifiers merely containing a HOF name stay out.
+    assert(
+      scanSource("""applyTransform(col("a"), x => md5(col("t")))""").isEmpty,
+      "identifier containing a HOF name false positive"
+    )
+    // Qualified Spark HOF calls stay IN scope (the guard excludes only
+    // word characters, not the qualifying dot).
+    assert(
+      scanSource("""functions.transform(col("a"), x => md5(col("t")) === x)""").nonEmpty,
+      "qualified functions.transform splice not caught"
+    )
     assert(scanSource("""transform_values(col("m"), (k, v) => seededLongHash(col("t"), 7))""").nonEmpty, "transform_values splice not caught")
     assert(scanSource("""map_zip_with(a, b, (k, v1, v2) => v1 + hexToLong(md5(col("t"))))""").nonEmpty, "map_zip_with splice not caught")
     // The round-11 advice masking bug: a NEW splice added inside the
@@ -241,6 +265,18 @@ class LambdaSpliceLintSpec extends AnyFunSuite {
     assert(scanSource("""transform(TextFunctions.tokens(text), t => Fingerprint.seededLongHash(t, 0))""").isEmpty, "allowlisted array-arg shape flagged")
     // Benign: no expensive call at all.
     assert(scanSource("""transform(col("arr"), x => x + lit(1))""").isEmpty, "clean transform flagged")
+  }
+
+  /** Ratchet (round-12 verdict item 8): the allowlist may shrink but
+    * never silently grow — every new benign-shape entry must consciously
+    * raise this bound in the same change that adds it, with the WHY
+    * documented next to the shape. 5 is the round-12 size. */
+  test("allowlist does not silently grow") {
+    assert(
+      Allowed.size <= 5,
+      s"allowlist grew to ${Allowed.size} entries — a new benign shape must raise this " +
+        "bound deliberately (and document WHY next to the entry), not slip past the lint"
+    )
   }
 
   test("allowlisted shapes still exist in src/main (no stale entries)") {

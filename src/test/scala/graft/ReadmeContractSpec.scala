@@ -49,6 +49,12 @@ class ReadmeContractSpec extends AnyFunSuite {
       val token  = line.trim.split("\\s+").headOption.getOrElse("")
       if (token == "graft/" || token.isEmpty) None
       else if (token.endsWith("/")) {
+        // the parser's layout assumption made explicit: directory
+        // headers live only at indent 2 (a deeper one would be resolved
+        // against the wrong base and its children silently mis-checked)
+        assert(indent <= 2,
+          s"module-map directory '$token' at indent $indent — the parser only tracks " +
+            "one directory level; flatten the tree or teach the parser a dir stack")
         if (indent == 2) currentDir = token
         parsed += 1
         Option.when(!java.nio.file.Files.isDirectory(root.resolve(token.stripSuffix("/"))))(token)

@@ -63,6 +63,25 @@ class TrianglesSpec extends SparkSpec {
     assert(res(7) == res(1))
   }
 
+  test("chunked wedge passes are result-identical to the single pass") {
+    import spark.implicits._
+    // the capacity contract (round-13): K passes partition the wedge
+    // set by hash(b) — disjoint and exhaustive — so summed per-pass
+    // counts must equal the single-pass result on any graph, here a
+    // random graph + hub (triangle-rich, wedge-heavy)
+    val r = new java.util.Random(23)
+    val rand = (1 to 500).map(_ => (r.nextInt(40).toLong + 1, r.nextInt(40).toLong + 1))
+    val hub  = (1L to 40L).map(i => (99L, i))
+    val es   = (rand ++ hub).toDF("src", "dst")
+    def res(passes: Int) =
+      Triangles.perNode(es, wedgePasses = passes).as[(Long, Long)].collect().toMap
+    val single = res(1)
+    assert(res(4) == single)
+    assert(res(7) == single)
+    // degenerate: more passes than distinct b values still partitions
+    assert(res(64) == single)
+  }
+
   test("closing join runs at the requested width with no extra exchange") {
     import spark.implicits._
     val es = (1L to 50L).map(i => (i, i % 7)).toDF("src", "dst")
