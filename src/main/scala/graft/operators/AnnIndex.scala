@@ -104,7 +104,7 @@ object AnnIndex {
       table: String,
       expectedBuckets: Int,
       maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
-  ): Unit = BucketedStores.lockFor(table).synchronized {
+  ): Unit = BucketedStores.lockFor(encoded.sparkSession, table).synchronized {
     requireStoreBucketed(encoded.sparkSession, table, expectedBuckets)
     val order = encoded.sparkSession.table(table).columns.toSeq
     encoded

@@ -29,18 +29,33 @@ private[operators] object BucketedStores {
     * delete old path) is NOT safe to interleave with a concurrent
     * append: an append that resolves the table location before the swap
     * writes its files into the old path, which the swap then deletes —
-    * a silently lost batch. Holding one lock object per table name
-    * around the whole append+compact sequence makes same-JVM appenders
+    * a silently lost batch. Holding one lock object per table around
+    * the whole append+compact sequence makes same-JVM appenders
     * (the Spark driver is the only writer in a normal deployment)
-    * strictly serial per store. CROSS-PROCESS writers are outside this
-    * lock's reach and outside the store's contract: the store API is
-    * single-writer-per-table at any instant (standard for
+    * strictly serial per store. [[compact]] itself takes the same lock
+    * (reentrant from the append paths' enclosing `synchronized`), so a
+    * caller-scheduled manual compaction — the `maxFilesPerBucket = 0`
+    * mode where the caller owns scheduling — serializes against
+    * concurrent appends too, instead of re-opening the lost-batch
+    * hazard through the side door. CROSS-PROCESS writers are outside
+    * this lock's reach and outside the store's contract: the store API
+    * is single-writer-per-table at any instant (standard for
     * non-transactional catalog tables; lakehouse-format log protocols
     * are what lifts it, not this sink).
+    *
+    * The key is the CATALOG identity, not the raw string: Spark's
+    * catalog is case-insensitive and accepts qualified names, so
+    * `MyStore`, `mystore`, and `default.mystore` must map to ONE lock
+    * object — the name is parsed, qualified against the session's
+    * current database, and lowercased before the map lookup.
     */
   private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  def lockFor(table: String): Object =
-    tableLocks.computeIfAbsent(table, _ => new Object)
+  def lockFor(spark: SparkSession, table: String): Object = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val db    = ident.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    val key   = s"${db.toLowerCase}.${ident.table.toLowerCase}"
+    tableLocks.computeIfAbsent(key, _ => new Object)
+  }
 
   /** Default auto-compaction trigger for the incremental stores'
     * append paths: compact when any bucket accumulates more than this
@@ -97,9 +112,11 @@ private[operators] object BucketedStores {
 
   /** Rewrite `table` in place, one file per bucket. The table must be
     * bucketed; its own bucket columns and sort columns are reused, and
-    * its own column order is preserved.
+    * its own column order is preserved. Serialized against same-JVM
+    * appends via [[lockFor]] (reentrant when called from inside an
+    * append's own lock scope).
     */
-  def compact(spark: SparkSession, table: String): Unit = {
+  def compact(spark: SparkSession, table: String): Unit = lockFor(spark, table).synchronized {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(

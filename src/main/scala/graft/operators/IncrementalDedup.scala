@@ -179,7 +179,7 @@ object IncrementalDedup {
       table: String,
       expectedBuckets: Int,
       maxFilesPerBucket: Int = BucketedStores.AutoCompactMaxFilesPerBucket
-  ): Unit = BucketedStores.lockFor(table).synchronized {
+  ): Unit = BucketedStores.lockFor(bandSigs.sparkSession, table).synchronized {
     requireStoreBucketed(bandSigs.sparkSession, table, expectedBuckets)
     bandSigs
       .select(col("id"), col("band"), col("sig"))

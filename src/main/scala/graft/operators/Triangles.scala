@@ -47,6 +47,54 @@ object Triangles {
   private[operators] def wedgeShuffleWidth(edges: DataFrame): Int =
     graft.plans.InputSizing.widthFor(edges)
 
+  /** Measured shuffle footprint per materialized wedge, for the
+    * auto-pass capacity arithmetic: the 100× fixture's 4.109 B wedges
+    * produced ~100 GB of shuffle overflow (round-12/13 sf10 runs) —
+    * 24.3 bytes per (a, b, c) long-triple row through the closing
+    * join's exchange + sort. Rounded down so the estimate errs toward
+    * MORE passes (the safe direction for a disk budget).
+    */
+  val BytesPerWedge = 24L
+
+  /** Default per-run scratch budget for the wedge intermediate when
+    * `wedgePasses = 0` (auto): at the measured 24 B/wedge, 16 GiB
+    * auto-selects 1 pass through the 10× fixture (~10 GB of wedges)
+    * and 7 passes at the 100× fixture (~99 GB) — the regime the
+    * round-13 manual K=8 run completed in on a 78 GB volume with
+    * ~10 GB observed high-water. A deployment sets this from its
+    * per-node scratch allocation.
+    */
+  val DefaultWedgeDiskBudgetBytes = 16L << 30
+
+  /** The analytic wedge count Σ C(outdeg, 2) over the degree-ordered
+    * orientation of `edges` — the EXACT number of wedge rows the
+    * closing join materializes, computable by a node-scale aggregation
+    * without generating a single wedge (the round-12 width pin used
+    * this same identity to prove the 100× fixture's wedge set scales
+    * ×10.00 per decade). One small Spark job; drives [[autoPasses]].
+    */
+  def analyticWedgeCount(edges: DataFrame): Long =
+    wedgeCountOf(orient(dedupUndirected(edges)))
+
+  private def wedgeCountOf(oriented: DataFrame): Long = {
+    val n = oriented
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+      .agg(sum((col("d") * (col("d") - lit(1L))).cast("long") / lit(2L)).cast("long").as("w"))
+      .head()
+    if (n.isNullAt(0)) 0L else n.getLong(0)
+  }
+
+  /** Pass count for a wedge set of `wedgeCount` rows under a
+    * `budgetBytes` scratch budget: K = ceil(wedge bytes / budget),
+    * clamped to [1, 4096]. Pure arithmetic, spec-pinned.
+    */
+  def autoPasses(wedgeCount: Long, budgetBytes: Long): Int = {
+    require(budgetBytes >= 1, s"budgetBytes must be >= 1, got $budgetBytes")
+    val k = (BigInt(wedgeCount) * BytesPerWedge + budgetBytes - 1) / budgetBytes
+    k.max(1).min(4096).toInt
+  }
+
   /** Per-node triangle participation counts over the UNDIRECTED graph
     * induced by `edges` (direction and duplicates ignored, self-loops
     * dropped). Returns (id, n_tri) for every node, zeros included.
@@ -68,27 +116,32 @@ object Triangles {
     * once; the oriented edge list (tiny next to the wedges) is
     * materialized once and rescanned per pass. Cost: K extra scans of
     * the edge list + K join plans — noise against the wedge volume the
-    * passes bound. 1 = single pass (identical to the round-11 plan).
+    * passes bound. 1 = single pass (identical to the round-11 plan);
+    * 0 = AUTO: K is sized from the data as
+    * ceil([[analyticWedgeCount]] × [[BytesPerWedge]] /
+    * `wedgeDiskBudgetBytes`) — the exact wedge count costs one
+    * node-scale aggregation over the (already-checkpointed) oriented
+    * list before the first pass, so a deployment states its scratch
+    * budget once instead of hand-picking K per input (TrianglesSpec
+    * pins auto == explicit).
     */
-  def perNode(edges: DataFrame, wedgePartitions: Int = 0, wedgePasses: Int = 1): DataFrame = {
-    require(wedgePasses >= 1, s"wedgePasses must be >= 1, got $wedgePasses")
-    val nWedge =
-      if (wedgePartitions > 0) wedgePartitions else wedgeShuffleWidth(edges)
-    val und = edges
+  private def dedupUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")
       )
       .where(col("u") =!= col("v"))
       .distinct()
-    val nodes = und.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+
+  // orient low-pi -> high-pi where pi = (degree, id); carry dst's pi
+  // degree for the wedge ordering
+  private def orient(und: DataFrame): DataFrame = {
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("d"))
-    // orient low-pi -> high-pi where pi = (degree, id); carry dst's pi
-    // degree for the wedge ordering
-    val oriented = und
+    und
       .join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("d", "dv"), "v")
       .select(
@@ -103,6 +156,20 @@ object Triangles {
         // same d — so greatest(du, dv) is exact in every case
         greatest(col("du"), col("dv")).as("ddst")
       )
+  }
+
+  def perNode(
+      edges: DataFrame,
+      wedgePartitions: Int = 0,
+      wedgePasses: Int = 1,
+      wedgeDiskBudgetBytes: Long = DefaultWedgeDiskBudgetBytes
+  ): DataFrame = {
+    require(wedgePasses >= 0, s"wedgePasses must be >= 0 (0 = auto), got $wedgePasses")
+    val nWedge =
+      if (wedgePartitions > 0) wedgePartitions else wedgeShuffleWidth(edges)
+    val und      = dedupUndirected(edges)
+    val nodes    = und.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    val oriented = orient(und)
     // one pass's wedge-generate + close + per-node partial counts.
     // Co-partition both sides of the closing join at the pass-sized
     // width: each side's explicit hash partitioning satisfies the join's
@@ -139,19 +206,35 @@ object Triangles {
         // makes the reclaim prompt, not a correctness dependency. The
         // per-pass width is the full-wedge-set width split across passes
         // (each chunk is ~1/K of the wedges).
-        val par   = edges.sparkSession.sparkContext.defaultParallelism
-        val nPass = math.max(par, nWedge / wedgePasses)
-        val o     = oriented.localCheckpoint()
-        val partials = (0 until wedgePasses).map { k =>
-          val e1 = o.where(pmod(xxhash64(col("dst")), lit(wedgePasses.toLong)) === k)
-          val p  = passCounts(o, e1, nPass).localCheckpoint()
-          System.gc()
-          p
+        val o = oriented.localCheckpoint()
+        // auto mode (wedgePasses = 0): size K from the analytic wedge
+        // count — exact, node-scale, computed off the already-
+        // checkpointed oriented list — against the disk budget
+        val passes =
+          if (wedgePasses > 0) wedgePasses
+          else {
+            val w = wedgeCountOf(o)
+            val k = autoPasses(w, wedgeDiskBudgetBytes)
+            System.err.println(
+              s"[triangles] auto wedgePasses=$k (wedges=$w, " +
+                s"bytes≈${w * BytesPerWedge}, budget=$wedgeDiskBudgetBytes)")
+            k
+          }
+        if (passes == 1) passCounts(o, o, nWedge)
+        else {
+          val par   = edges.sparkSession.sparkContext.defaultParallelism
+          val nPass = math.max(par, nWedge / passes)
+          val partials = (0 until passes).map { k =>
+            val e1 = o.where(pmod(xxhash64(col("dst")), lit(passes.toLong)) === k)
+            val p  = passCounts(o, e1, nPass).localCheckpoint()
+            System.gc()
+            p
+          }
+          partials
+            .reduce(_.unionByName(_))
+            .groupBy(col("id"))
+            .agg(sum(col("n_tri")).as("n_tri"))
         }
-        partials
-          .reduce(_.unionByName(_))
-          .groupBy(col("id"))
-          .agg(sum(col("n_tri")).as("n_tri"))
       }
     counts
       .join(nodes, Seq("id"), "right")

@@ -240,9 +240,23 @@ object CdcQueries {
           col("hhash").as("src_hash"),
           lit(CdcRouter.Insert).as(CdcRouter.RouterCol)
         )
-        JdbcScd2Sink.merge(s, url, table, seed, "ssi", InitialTs, EndOfTime)
+        // staging-append parallelism A/B lever (round-14): N connections
+        // against the target; on embedded Derby every value serializes
+        // on the single-writer page latch (the tier-split proof), on a
+        // parallel warehouse it is the scale lever. Validated here so a
+        // typo is a named config error.
+        val stagingParts = sys.env.get("SPARK_GRAFT_JDBC_STAGING_PARTITIONS") match {
+          case None => 0
+          case Some(v) =>
+            v.toIntOption.filter(_ >= 1).getOrElse(
+              throw new IllegalArgumentException(
+                s"SPARK_GRAFT_JDBC_STAGING_PARTITIONS must be a positive integer, got '$v'"))
+        }
+        JdbcScd2Sink.merge(s, url, table, seed, "ssi", InitialTs, EndOfTime,
+          stagingPartitions = stagingParts)
         val batch = routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol)
-        JdbcScd2Sink.merge(s, url, table, batch, "ssi", LoadTs, EndOfTime)
+        JdbcScd2Sink.merge(s, url, table, batch, "ssi", LoadTs, EndOfTime,
+          stagingPartitions = stagingParts)
         // materialize the mart to parquet BEFORE shutting the db down
         // (the JDBC read is lazy — returning it directly would probe a
         // closed database when the caller consumes the frame), then

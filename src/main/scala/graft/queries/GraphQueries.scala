@@ -158,9 +158,28 @@ object GraphQueries {
         // materialized wedge intermediate to ~1/K (the result is pass-
         // count-invariant — TrianglesSpec pins it), so the O(m^1.5)
         // wedge set can be walked within a fixed scratch-disk budget.
-        val passes =
-          sys.env.get("SPARK_GRAFT_TRIANGLES_PASSES").map(_.toInt).getOrElse(1)
-        graft.operators.Triangles.perNode(edges, wedgePasses = passes)
+        // "auto" sizes K from the analytic wedge count against the
+        // budget (SPARK_GRAFT_TRIANGLES_DISK_BUDGET_GB, default 16).
+        // Both values are validated HERE so a typo surfaces as a named
+        // config error, not a NumberFormatException mid-query.
+        def envFail(name: String, got: String, want: String): Nothing =
+          throw new IllegalArgumentException(
+            s"$name must be $want, got '$got'")
+        val passes = sys.env.get("SPARK_GRAFT_TRIANGLES_PASSES") match {
+          case None         => 1
+          case Some("auto") => 0
+          case Some(v) =>
+            v.toIntOption.filter(_ >= 1).getOrElse(
+              envFail("SPARK_GRAFT_TRIANGLES_PASSES", v, "a positive integer or 'auto'"))
+        }
+        val budget = sys.env.get("SPARK_GRAFT_TRIANGLES_DISK_BUDGET_GB") match {
+          case None => graft.operators.Triangles.DefaultWedgeDiskBudgetBytes
+          case Some(v) =>
+            v.toLongOption.filter(_ >= 1).map(_ << 30).getOrElse(
+              envFail("SPARK_GRAFT_TRIANGLES_DISK_BUDGET_GB", v, "a positive integer (GiB)"))
+        }
+        graft.operators.Triangles
+          .perNode(edges, wedgePasses = passes, wedgeDiskBudgetBytes = budget)
       },
       Some("""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |e AS (SELECT DISTINCT a.p AS u, b.p AS v
@@ -242,7 +261,20 @@ object GraphQueries {
           .as("a")
           .join(pp.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("src"), col("b.p").as("dst"))
-        graft.operators.KCore.peel(edges, k = 80L, maxRounds = Some(4))
+        // degree-plan A/B lever (round-14): 'reaggregate' replays the
+        // r13 per-round full-degree plan so the incremental cut's win
+        // is measurable same-session from one HEAD. Validated here so
+        // a typo is a named config error, not a silent default.
+        val kcorePlan = sys.env.get("SPARK_GRAFT_KCORE_PLAN") match {
+          case None => graft.operators.KCore.Plan.Incremental
+          case Some(v)
+              if v == graft.operators.KCore.Plan.Incremental ||
+                v == graft.operators.KCore.Plan.Reaggregate => v
+          case Some(v) =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_KCORE_PLAN must be 'incremental' or 'reaggregate', got '$v'")
+        }
+        graft.operators.KCore.peel(edges, k = 80L, maxRounds = Some(4), plan = kcorePlan)
       },
       Some {
         // every a_r is referenced several times by round r+1; DuckDB

@@ -182,6 +182,21 @@ object JdbcScd2Sink {
 
   /** Merge one routed batch into the JDBC SCD2 target. `routed` carries
     * the payload columns plus CdcRouter.RouterCol.
+    *
+    * `stagingPartitions` is the staging-append parallelism contract
+    * (round-14): the append runs one batched-INSERT connection PER
+    * PARTITION of the routed frame, so this knob sets the number of
+    * concurrent writers the target database sees — 0 keeps the frame's
+    * own partitioning (the distributed default: parallelism = the
+    * upstream plan's width = the cluster), N > 0 repartitions to
+    * exactly N connections. The knob matters per TARGET TIER: a
+    * warehouse-grade parallel target absorbs N writers and the append
+    * scales with them; EMBEDDED Derby serializes every writer on its
+    * single-process page latch, so N > 1 buys nothing there — the
+    * round-13 tier split (~74% of the sf10 wall in the serial Derby
+    * tier, PLANS.md) is a property of the target, not of this plan,
+    * and this parameter is the mechanical seam that proves it
+    * (measured A/B at sf1: tools/bench_jdbc_staging_ab_r14.json).
     */
   def merge(
       spark: SparkSession,
@@ -191,8 +206,11 @@ object JdbcScd2Sink {
       key: String,
       loadTs: String,
       endOfTime: String,
-      validCol: Option[String] = None
+      validCol: Option[String] = None,
+      stagingPartitions: Int = 0
   ): AuditCounts = {
+    require(stagingPartitions >= 0,
+      s"stagingPartitions must be >= 0 (0 = keep the frame's partitioning), got $stagingPartitions")
     val staging     = s"${table}_STAGING"
     val payload     = StructType(routed.drop(CdcRouter.RouterCol).schema.fields)
     val payloadCols = payload.fieldNames.toSeq
@@ -232,6 +250,7 @@ object JdbcScd2Sink {
       s"INSERT INTO $staging (${outCols.map(q).mkString(", ")}) VALUES (${outCols.map(_ => "?").mkString(", ")})"
     timedPhase("staging_append", "distributed") { toLoad
       .select(outCols.map(col): _*)
+      .transform(df => if (stagingPartitions > 0) df.repartition(stagingPartitions) else df)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)

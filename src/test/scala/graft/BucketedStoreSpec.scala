@@ -180,6 +180,53 @@ class BucketedStoreSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("manual compaction racing appends under case-variant names loses no batch") {
+    // round-14 (advice items 1+3): the maxFilesPerBucket = 0 mode hands
+    // compaction scheduling to the caller, so the caller's
+    // compactStoreBucketed must take the SAME per-table lock as the
+    // appends — and the lock key must be the catalog identity, not the
+    // raw string (the catalog is case-insensitive: an appender saying
+    // "MYSTORE" and a compactor saying "mystore" write the same table
+    // and must share one lock). The appender here uses the upper-case
+    // spelling while the compactor hammers the lower-case one; without
+    // either fix the compaction swap deletes the path an in-flight
+    // append already resolved — a silently lost batch.
+    val corpus = Seq((1L, "seed corpus document with its own words")).toDF("id", "text")
+    val dir    = tempDir("bucketed-manual-compact")
+    val table  = "graft_sig_store_manualcompact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val NB = 4
+    IncrementalDedup.writeStoreBucketed(bands(corpus), table, s"$dir/t", nBuckets = NB)
+    val nAppends = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val appender = new Thread(() => {
+      try
+        for (i <- 0 until nAppends) {
+          val b = Seq((100L + i, s"appended batch $i carries distinct vocabulary"))
+            .toDF("id", "text")
+          IncrementalDedup.appendToStoreBucketed(
+            bands(b), table.toUpperCase, expectedBuckets = NB, maxFilesPerBucket = 0)
+        }
+      catch { case e: Throwable => errs.add(e) }
+      finally stop.set(true)
+    })
+    val compactor = new Thread(() => {
+      try while (!stop.get()) IncrementalDedup.compactStoreBucketed(spark, table)
+      catch { case e: Throwable => errs.add(e) }
+    })
+    appender.start(); compactor.start()
+    appender.join(); compactor.join()
+    assert(errs.isEmpty, s"race failed: ${errs.toArray.mkString("; ")}")
+    val ids = IncrementalDedup.readStoreTable(spark, table)
+      .select(col("id")).distinct().as[Long].collect().toSet
+    val expected = Set(1L) ++ (0 until nAppends).map(100L + _)
+    assert(ids == expected,
+      s"batches lost under manual compaction race: missing ${expected -- ids}")
+    assert(IncrementalDedup.storeBucketSpec(spark, table).contains((NB, Seq("band", "sig"))))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("concurrent same-JVM appenders with mid-sequence auto-compaction lose no batch") {
     // round-13 (verdict item 7): the store's claim is "incremental at
     // production scale", where appends overlap. The dangerous interleave

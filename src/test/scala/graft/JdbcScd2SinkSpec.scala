@@ -95,6 +95,34 @@ class JdbcScd2SinkSpec extends SparkSpec {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("explicit staging-append parallelism is a pure physical knob") {
+    // round-14: stagingPartitions sets how many batched-INSERT
+    // connections the target sees (the parallel-target contract seam);
+    // it must never change WHAT lands. Same two increments through
+    // 1-way and 4-way staging appends -> byte-identical snapshots.
+    def load(parts: Int): Set[(Long, String, Int, String, String)] = {
+      val url   = s"jdbc:derby:${tempDir(s"graft_derby_p$parts")}/db;create=true"
+      val table = "CSD_MART_PARTS"
+      for ((feed, ts) <- Seq(
+          Seq((1L, 1, "alpha", "OPEN"), (2L, 1, "beta", "OPEN")) -> "2024-01-01 00:00:00",
+          Seq((1L, 2, "alpha-v2", "CLOSED"), (3L, 1, "gamma", "OPEN")) -> "2024-02-01 00:00:00")) {
+        val conformed = BatchPipeline.conformFeed(
+          feed.toDF("id", "version", "name", "status"), spec)
+        val snapshot = JdbcScd2Sink.readSnapshot(spark, url, table, conformed.schema)
+        val routed   = BatchPipeline.route(conformed, snapshot)
+        JdbcScd2Sink.merge(spark, url, table, routed, BatchPipeline.SsiCol, ts, Eot,
+          stagingPartitions = parts)
+      }
+      snap(url, table)
+        .select("id", "name", Scd2.ActiveFlag, Scd2.StartDate, Scd2.EndDate)
+        .as[(Long, String, Int, String, String)].collect().toSet
+    }
+    val one = load(1)
+    assert(one == load(4))
+    assert(one.size == 4)
+    assert(one.count(_._3 == 1) == 3)
+  }
+
   test("merge indexes the target's close-out probe columns") {
     // the round-10 driver bench timed out on an UNINDEXED Derby
     // nested-loop close-out (8.4e9 row compares at sf0.1) — this pins

@@ -71,6 +71,33 @@ class KCoreSpec extends SparkSpec {
     assert(run(edges, 2) === naive(edges, 2))
   }
 
+  test("incremental and reaggregate degree plans are result-identical") {
+    // the round-14 A/B lever: same peel, two physical degree
+    // strategies — every (k, cap) combination must agree exactly
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("src", "dst")
+    for ((k, cap) <- Seq((2L, None), (5L, None), (80L, Some(4)))) {
+      val inc = KCore.peel(df, k, cap).as[(Long, Int)].collect().toMap
+      val re  = KCore.peel(df, k, cap, plan = KCore.Plan.Reaggregate)
+        .as[(Long, Int)].collect().toMap
+      assert(inc === re, s"k=$k cap=$cap")
+      assert(inc === naive(edges, k.toInt, cap.getOrElse(Int.MaxValue)), s"k=$k cap=$cap vs naive")
+    }
+  }
+
+  test("deep peel with a tiny collapse threshold equals the naive peel") {
+    // a path graph at k=2 peels from both ends — ~n/2 rounds, the
+    // pathological depth the deferred-union collapse exists for.
+    // collapseEvery=3 forces many collapses; the balanced union and
+    // the collapse are capacity knobs, never semantics knobs.
+    val path = (1L until 24L).map(i => (i, i + 1))
+    val got = KCore.peel(path.toDF("src", "dst"), 2, collapseEvery = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === naive(path, 2))
+    assert(got.values.max === 12) // genuinely deep: 12 peel rounds
+  }
+
   test("reliable checkpoint variant returns identical rounds") {
     val rnd = new scala.util.Random(3)
     val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
