@@ -59,10 +59,11 @@ object Triangles {
   /** Default per-run scratch budget for the wedge intermediate when
     * `wedgePasses = 0` (auto): at the measured 24 B/wedge, 16 GiB
     * auto-selects 1 pass through the 10× fixture (~10 GB of wedges)
-    * and 7 passes at the 100× fixture (~99 GB) — the regime the
-    * round-13 manual K=8 run completed in on a 78 GB volume with
-    * ~10 GB observed high-water. A deployment sets this from its
-    * per-node scratch allocation.
+    * and 6 passes at the 100× fixture (98.6 GB / 16 GiB = 5.74 →
+    * ceil 6, measured: tools/bench_sf10_triangles_auto_r14.json
+    * completed at that auto K in the regime the round-13 manual K=8
+    * run needed on a 78 GB volume with ~10 GB observed high-water).
+    * A deployment sets this from its per-node scratch allocation.
     */
   val DefaultWedgeDiskBudgetBytes = 16L << 30
 
