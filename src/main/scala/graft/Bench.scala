@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sized with the adjacency-broadcast budget (Triangles
+      // .DefaultAdjBroadcastBytes = 2 GiB): broadcast builds collect
+      // through the driver, and the 1g default would veto the exact
+      // plan the budget admits. A deployment sizes these two together.
+      .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink forces full evaluation of every column — count() would let

@@ -54,6 +54,59 @@ object LangProfile {
       .select(col("lang"), col("tg"), col("pr"))
   }
 
+  /** Train on the labeled corpus AND classify that same corpus in one
+    * fused plan (round 14). [[train]] followed by [[classify]] over
+    * the same docs evaluates the corpus trigram explode — the
+    * dominant phase: one substr per character of every document —
+    * TWICE, because the two branches shuffle on different keys
+    * ((lang, tg) vs (id, tg)) and share no exchange Catalyst could
+    * reuse. This path stages the per-(doc, lang, trigram) counts
+    * once (`localCheckpoint` — the language totals are exactly the
+    * per-doc counts re-summed, since each doc carries one language)
+    * and derives BOTH the rank profiles and the doc profiles from the
+    * staged frame. Result-identical to train-then-classify on the
+    * same corpus — LangProfileSpec pins it; the self-classification
+    * query shape (fit + transform on the training corpus, the
+    * standard seed-corpus evaluation) is the only caller that can
+    * fuse, so [[train]]/[[classify]] stay for the serve path.
+    */
+  def trainAndClassifySelf(
+      docs: DataFrame,
+      langCol: String,
+      idCol: String,
+      textCol: String,
+      topN: Int
+  ): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val dtc = docs
+      .select(col(idCol), col(langCol).as("lang"), explode(trigrams(col(textCol))).as("tg"))
+      .groupBy(col(idCol), col("lang"), col("tg"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pw = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tg").asc)
+    val profiles = dtc
+      .groupBy(col("lang"), col("tg"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("pr", row_number().over(pw))
+      .where(col("pr") <= topN)
+      .select(col("lang"), col("tg"), col("pr"))
+    val dw = Window.partitionBy(col(idCol)).orderBy(col("n").desc, col("tg").asc)
+    val docProf = dtc
+      .withColumn("dr", row_number().over(dw))
+      .where(col("dr") <= topN)
+      .select(col(idCol), col("tg"), col("dr"))
+    val langs = profiles.select(col("lang")).distinct()
+    val aw    = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("lang").asc)
+    docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "tg"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("dr") - col("pr")), lit(topN.toLong))).as("dist"))
+      .withColumn("__rn", row_number().over(aw))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("dist"))
+  }
+
   /** Classify each doc against the learned `profiles`: returns
     * (idCol, pred_lang, dist) — the argmin out-of-place distance, ties
     * by language code. `topN` must match training (it is both the doc

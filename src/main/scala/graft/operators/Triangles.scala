@@ -20,8 +20,27 @@ import org.apache.spark.sql.functions._
   * b->c, so closing is ONE equi-join on (b, c) — no OR-condition, no
   * post-dedup.
   *
+  * TWO physical plans compute that same oriented-triangle set, chosen
+  * by an adjacency-size budget (round 14):
+  *
+  *  - **Adjacency-broadcast** (the default when it fits): build each
+  *    node's out-neighbor list — total payload = one id per oriented
+  *    edge, i.e. 8m bytes, NOT the O(m^1.5) wedge volume — broadcast
+  *    it, and per oriented edge (u, v) intersect adj(u) with adj(v)
+  *    in-place (`array_intersect`, codegen). No wedge row is ever
+  *    materialized, shuffled, or sorted: the only shuffles are the
+  *    adjacency build (m rows) and the node-scale count agg, whose
+  *    explode input collapses in the map-side partial agg. The
+  *    per-edge intersection cost is bounded by the orientation's
+  *    out-degree cap O(sqrt(m)) exactly like the wedge fan-out.
+  *  - **Chunked wedge join** (the capacity fallback): when the
+  *    adjacency exceeds the broadcast budget (graphs with m over
+  *    ~200M edges at the default 2 GiB), the round-13 wedge-pass plan
+  *    runs unchanged — its scratch-disk contract bounds the peak
+  *    intermediate instead.
+  *
   * All plain equi-joins + aggs on integer ids: exact, order-free,
-  * engine-portable.
+  * engine-portable; TrianglesSpec pins the two plans equal.
   */
 object Triangles {
 
@@ -66,6 +85,26 @@ object Triangles {
     * A deployment sets this from its per-node scratch allocation.
     */
   val DefaultWedgeDiskBudgetBytes = 16L << 30
+
+  /** Estimated broadcast footprint per oriented edge for the adjacency
+    * plan's fit test: each edge contributes one 8-byte id to exactly
+    * one out-neighbor array, plus amortized per-node row/array
+    * overhead (measured at the 10x co-purchase fixture: ~12 MB
+    * broadcast for 1.2M edges). Rounded UP so the estimate errs toward
+    * the wedge fallback — the safe direction for executor memory.
+    */
+  val BytesPerAdjEdge = 12L
+
+  /** Default adjacency-broadcast budget: the whole out-adjacency (8m
+    * bytes of ids + overhead) must fit comfortably in every executor
+    * next to its task memory. 2 GiB admits graphs to ~180M edges —
+    * the 100x co-purchase fixture (120M edges, ~1.2 GB measured) sits
+    * inside it, and at that size the plan replaces a ~100 GB wedge
+    * shuffle with one torrent broadcast. A deployment sets this from
+    * its executor memory allocation; 0 disables the adjacency plan
+    * outright (every input takes the wedge-pass path).
+    */
+  val DefaultAdjBroadcastBytes = 2L << 30
 
   /** The analytic wedge count Σ C(outdeg, 2) over the degree-ordered
     * orientation of `edges` — the EXACT number of wedge rows the
@@ -159,13 +198,62 @@ object Triangles {
       )
   }
 
+  /** The adjacency-broadcast plan: per-node triangle partials off one
+    * in-place intersection per oriented edge. For edge (u, v) the
+    * witnesses are adj+(u) ∩ adj+(v) — the w with u->w AND v->w; by
+    * the orientation argument in the scaladoc every triangle shows up
+    * at exactly one edge (its two lowest-pi endpoints), so each edge
+    * contributes |wits| triangles to u and to v and one to every
+    * witness. The neighbor arrays are sets (edges are deduped), so
+    * the set-semantics of `array_intersect` are exact, and only the
+    * intersection's SIZE and MEMBERSHIP are consumed — collect_list
+    * order never shows.
+    *
+    * The witness array is staged in its own projection and referenced
+    * three times downstream (two sizes + the transform input), which
+    * keeps CollapseProject from re-splicing the intersection into the
+    * explode (the repo's staged-array discipline); the explode output
+    * is two-long rows feeding a hash agg, so the map-side partial
+    * collapses it to node scale before the only shuffle.
+    */
+  private def adjCounts(o: DataFrame): DataFrame = {
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val staged = o
+      .select(col("src"), col("dst"))
+      .join(
+        broadcast(adj.select(col("src").as("a_id"), col("nbrs").as("a_nbrs"))),
+        col("src") === col("a_id"))
+      .join(
+        broadcast(adj.select(col("src").as("b_id"), col("nbrs").as("b_nbrs"))),
+        col("dst") === col("b_id"))
+      .select(
+        col("src"),
+        col("dst"),
+        array_intersect(col("a_nbrs"), col("b_nbrs")).as("wits"))
+    staged
+      .select(
+        explode(
+          concat(
+            array(
+              struct(col("src").as("id"), size(col("wits")).cast("long").as("c")),
+              struct(col("dst").as("id"), size(col("wits")).cast("long").as("c"))),
+            transform(col("wits"), w => struct(w.as("id"), lit(1L).as("c")))
+          )).as("x"))
+      .select(col("x.id").as("id"), col("x.c").as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tri"))
+      .where(col("n_tri") > 0)
+  }
+
   def perNode(
       edges: DataFrame,
       wedgePartitions: Int = 0,
       wedgePasses: Int = 1,
-      wedgeDiskBudgetBytes: Long = DefaultWedgeDiskBudgetBytes
+      wedgeDiskBudgetBytes: Long = DefaultWedgeDiskBudgetBytes,
+      adjBroadcastBytes: Long = DefaultAdjBroadcastBytes
   ): DataFrame = {
     require(wedgePasses >= 0, s"wedgePasses must be >= 0 (0 = auto), got $wedgePasses")
+    require(adjBroadcastBytes >= 0, s"adjBroadcastBytes must be >= 0 (0 = wedge plan), got $adjBroadcastBytes")
     val nWedge =
       if (wedgePartitions > 0) wedgePartitions else wedgeShuffleWidth(edges)
     val und      = dedupUndirected(edges)
@@ -195,47 +283,68 @@ object Triangles {
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_tri"))
     }
-    val counts =
-      if (wedgePasses == 1) passCounts(oriented, oriented, nWedge)
-      else {
-        // materialize the oriented edges ONCE (tiny next to the wedges),
-        // then run the passes sequentially: each pass's small per-node
-        // partial is eagerly materialized (localCheckpoint truncates its
-        // lineage), so the pass's wedge shuffle becomes unreachable and
-        // the context cleaner can reclaim its spill before the next pass
-        // materializes — the explicit gc() is the driver-side nudge that
-        // makes the reclaim prompt, not a correctness dependency. The
-        // per-pass width is the full-wedge-set width split across passes
-        // (each chunk is ~1/K of the wedges).
-        val o = oriented.localCheckpoint()
-        // auto mode (wedgePasses = 0): size K from the analytic wedge
-        // count — exact, node-scale, computed off the already-
-        // checkpointed oriented list — against the disk budget
-        val passes =
-          if (wedgePasses > 0) wedgePasses
-          else {
-            val w = wedgeCountOf(o)
-            val k = autoPasses(w, wedgeDiskBudgetBytes)
-            System.err.println(
-              s"[triangles] auto wedgePasses=$k (wedges=$w, " +
-                s"bytes≈${w * BytesPerWedge}, budget=$wedgeDiskBudgetBytes)")
-            k
-          }
-        if (passes == 1) passCounts(o, o, nWedge)
+    // Plan choice needs the oriented edge COUNT (the adjacency payload
+    // is m ids); the checkpoint that makes the count cheap is also the
+    // materialize-once both plans want (the adjacency plan scans o
+    // three times, the wedge plan's passes rescan it). A zero budget
+    // skips both and runs the legacy wedge path byte-for-byte — the
+    // forced-wedge A/B arm.
+    // The wedge-pass fallback over an already-checkpointed oriented
+    // list: each pass's small per-node partial is eagerly materialized
+    // (localCheckpoint truncates its lineage), so the pass's wedge
+    // shuffle becomes unreachable and the context cleaner can reclaim
+    // its spill before the next pass materializes — the explicit gc()
+    // is the driver-side nudge that makes the reclaim prompt, not a
+    // correctness dependency. The per-pass width is the full-wedge-set
+    // width split across passes (each chunk is ~1/K of the wedges).
+    def wedgeCounts(o: DataFrame): DataFrame = {
+      // auto mode (wedgePasses = 0): size K from the analytic wedge
+      // count — exact, node-scale, computed off the already-
+      // checkpointed oriented list — against the disk budget
+      val passes =
+        if (wedgePasses > 0) wedgePasses
         else {
-          val par   = edges.sparkSession.sparkContext.defaultParallelism
-          val nPass = math.max(par, nWedge / passes)
-          val partials = (0 until passes).map { k =>
-            val e1 = o.where(pmod(xxhash64(col("dst")), lit(passes.toLong)) === k)
-            val p  = passCounts(o, e1, nPass).localCheckpoint()
-            System.gc()
-            p
-          }
-          partials
-            .reduce(_.unionByName(_))
-            .groupBy(col("id"))
-            .agg(sum(col("n_tri")).as("n_tri"))
+          val w = wedgeCountOf(o)
+          val k = autoPasses(w, wedgeDiskBudgetBytes)
+          System.err.println(
+            s"[triangles] auto wedgePasses=$k (wedges=$w, " +
+              s"bytes≈${w * BytesPerWedge}, budget=$wedgeDiskBudgetBytes)")
+          k
         }
+      if (passes == 1) passCounts(o, o, nWedge)
+      else {
+        val par   = edges.sparkSession.sparkContext.defaultParallelism
+        val nPass = math.max(par, nWedge / passes)
+        val partials = (0 until passes).map { k =>
+          val e1 = o.where(pmod(xxhash64(col("dst")), lit(passes.toLong)) === k)
+          val p  = passCounts(o, e1, nPass).localCheckpoint()
+          System.gc()
+          p
+        }
+        partials
+          .reduce(_.unionByName(_))
+          .groupBy(col("id"))
+          .agg(sum(col("n_tri")).as("n_tri"))
+      }
+    }
+    val counts =
+      if (adjBroadcastBytes == 0 && wedgePasses == 1)
+        // legacy single-pass wedge path byte-for-byte (no checkpoint,
+        // no count job) — the forced-wedge A/B arm
+        passCounts(oriented, oriented, nWedge)
+      else {
+        // materialize the oriented edges ONCE (tiny next to the wedges
+        // either plan avoids): the count that drives the plan choice is
+        // then a block scan, and every downstream rescan (the adjacency
+        // plan reads o three times, the wedge passes K+1 times) hits
+        // the checkpoint instead of re-deriving the edge expression.
+        val o = oriented.localCheckpoint()
+        if (adjBroadcastBytes > 0 && o.count() <= adjBroadcastBytes / BytesPerAdjEdge) {
+          System.err.println(
+            s"[triangles] adjacency-broadcast plan (~${BytesPerAdjEdge} B/edge " +
+              s"within budget=$adjBroadcastBytes)")
+          adjCounts(o)
+        } else wedgeCounts(o)
       }
     counts
       .join(nodes, Seq("id"), "right")

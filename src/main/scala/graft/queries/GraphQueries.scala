@@ -178,8 +178,20 @@ object GraphQueries {
             v.toLongOption.filter(_ >= 1).map(_ << 30).getOrElse(
               envFail("SPARK_GRAFT_TRIANGLES_DISK_BUDGET_GB", v, "a positive integer (GiB)"))
         }
+        // plan lever (round 14): "auto" picks adjacency-broadcast when
+        // the out-adjacency fits the budget (no wedge intermediate at
+        // all), else the chunked wedge join; "adj"/"wedge" force one
+        // arm for A/Bs. Result-identical — TrianglesSpec pins it.
+        val adjBudget = sys.env.get("SPARK_GRAFT_TRIANGLES_PLAN") match {
+          case None | Some("auto") => graft.operators.Triangles.DefaultAdjBroadcastBytes
+          case Some("adj")         => Long.MaxValue
+          case Some("wedge")       => 0L
+          case Some(v) =>
+            envFail("SPARK_GRAFT_TRIANGLES_PLAN", v, "'auto', 'adj', or 'wedge'")
+        }
         graft.operators.Triangles
-          .perNode(edges, wedgePasses = passes, wedgeDiskBudgetBytes = budget)
+          .perNode(edges, wedgePasses = passes, wedgeDiskBudgetBytes = budget,
+            adjBroadcastBytes = adjBudget)
       },
       Some("""WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
              |e AS (SELECT DISTINCT a.p AS u, b.p AS v

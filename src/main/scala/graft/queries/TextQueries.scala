@@ -423,10 +423,13 @@ object TextQueries {
       "text_langid_trained",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val profiles = graft.operators.LangProfile
-          .train(docs, langCol = "lang", textCol = "text", topN = LangProfTopN)
+        // fused fit+transform on the seed corpus: one trigram explode
+        // feeds both the language profiles and the doc profiles
+        // (train-then-classify pays it twice; LangProfileSpec pins
+        // the fused path equal)
         graft.operators.LangProfile
-          .classify(docs, profiles, idCol = "doc_id", textCol = "text", topN = LangProfTopN)
+          .trainAndClassifySelf(docs, langCol = "lang", idCol = "doc_id",
+            textCol = "text", topN = LangProfTopN)
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
           .select(
             col("doc_id"),

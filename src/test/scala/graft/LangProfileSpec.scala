@@ -71,6 +71,25 @@ class LangProfileSpec extends SparkSpec {
     assert(out._3 % 30 === 0, s"all-miss distance must be a multiple of the penalty: $out")
   }
 
+  test("fused trainAndClassifySelf equals train-then-classify, row for row") {
+    // the round-14 single-explode path: same corpus fit + transform
+    // must reproduce the two-pass result exactly — prediction, DISTANCE,
+    // and row set — on a corpus with duplicate keys, ties, and a
+    // sub-trigram doc (dropped by both paths identically)
+    val docs = corpus(0, 6)
+      .union(Seq((200L, "aa", "ab"), (201L, "bb", sentence(wordsB, 3, 12))).toDF("doc_id", "lang", "text"))
+    val profiles = LangProfile.train(docs, "lang", "text", topN = 25)
+    val twoPass = LangProfile
+      .classify(docs, profiles, "doc_id", "text", topN = 25)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val fused = LangProfile
+      .trainAndClassifySelf(docs, "lang", "doc_id", "text", topN = 25)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(fused === twoPass)
+    // the sub-trigram doc has no profile rows in either path
+    assert(!fused.exists(_._1 == 200L))
+  }
+
   test("profiles broadcast at classify time; classification is doc-keyed") {
     val docs = Tables.documents(spark, Sf)
     val profiles = LangProfile.train(docs, "lang", "text", topN = 40)

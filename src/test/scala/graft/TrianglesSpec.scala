@@ -57,10 +57,39 @@ class TrianglesSpec extends SparkSpec {
     import spark.implicits._
     val r = new java.util.Random(7)
     val es = (1 to 300).map(_ => (r.nextInt(30).toLong, r.nextInt(30).toLong)).toDF("src", "dst")
+    // adjBroadcastBytes = 0 forces the wedge arm — the knob under test
     def res(wp: Int) =
-      Triangles.perNode(es, wedgePartitions = wp).as[(Long, Long)].collect().toMap
+      Triangles.perNode(es, wedgePartitions = wp, adjBroadcastBytes = 0L)
+        .as[(Long, Long)].collect().toMap
     assert(res(0) == res(7))
     assert(res(7) == res(1))
+  }
+
+  test("adjacency-broadcast plan is result-identical to the wedge plan") {
+    import spark.implicits._
+    // round-14 plan pin: the same oriented-triangle set through the
+    // in-place adjacency intersection (no wedge intermediate) must
+    // match the wedge join on a triangle-rich random graph + hub —
+    // and the default budget must actually SELECT the adjacency plan
+    // on a small graph (no wedge semi-join in the executed plan),
+    // while budget 0 must select the wedge plan
+    val r = new java.util.Random(31)
+    val rand = (1 to 500).map(_ => (r.nextInt(40).toLong + 1, r.nextInt(40).toLong + 1))
+    val hub  = (1L to 40L).map(i => (99L, i))
+    val es   = (rand ++ hub).toDF("src", "dst")
+    def res(budget: Long) =
+      Triangles.perNode(es, adjBroadcastBytes = budget).as[(Long, Long)].collect().toMap
+    val adj   = res(Long.MaxValue)
+    val wedge = res(0L)
+    assert(adj == wedge)
+    assert(res(Triangles.DefaultAdjBroadcastBytes) == wedge)
+    assert(adj == naive(rand ++ hub))
+    val adjPlan = Triangles.perNode(es).queryExecution.executedPlan.toString
+    assert(!adjPlan.contains("LeftSemi"), adjPlan)
+    assert(adjPlan.contains("array_intersect"), adjPlan)
+    val wedgePlan =
+      Triangles.perNode(es, adjBroadcastBytes = 0L).queryExecution.executedPlan.toString
+    assert(wedgePlan.contains("LeftSemi"), wedgePlan)
   }
 
   test("chunked wedge passes are result-identical to the single pass") {
@@ -74,7 +103,8 @@ class TrianglesSpec extends SparkSpec {
     val hub  = (1L to 40L).map(i => (99L, i))
     val es   = (rand ++ hub).toDF("src", "dst")
     def res(passes: Int) =
-      Triangles.perNode(es, wedgePasses = passes).as[(Long, Long)].collect().toMap
+      Triangles.perNode(es, wedgePasses = passes, adjBroadcastBytes = 0L)
+        .as[(Long, Long)].collect().toMap
     val single = res(1)
     assert(res(4) == single)
     assert(res(7) == single)
@@ -98,7 +128,8 @@ class TrianglesSpec extends SparkSpec {
     val wedges = Triangles.analyticWedgeCount(es)
     assert(wedges > 0)
     def res(passes: Int, budget: Long) =
-      Triangles.perNode(es, wedgePasses = passes, wedgeDiskBudgetBytes = budget)
+      Triangles.perNode(es, wedgePasses = passes, wedgeDiskBudgetBytes = budget,
+        adjBroadcastBytes = 0L)
         .as[(Long, Long)].collect().toMap
     val single = res(1, Triangles.DefaultWedgeDiskBudgetBytes)
     // huge budget: auto selects K=1
@@ -113,7 +144,8 @@ class TrianglesSpec extends SparkSpec {
   test("closing join runs at the requested width with no extra exchange") {
     import spark.implicits._
     val es = (1L to 50L).map(i => (i, i % 7)).toDF("src", "dst")
-    val plan = Triangles.perNode(es, wedgePartitions = 7).queryExecution.executedPlan.toString
+    val plan = Triangles.perNode(es, wedgePartitions = 7, adjBroadcastBytes = 0L)
+      .queryExecution.executedPlan.toString
     // both sides of the semi join carry the explicit 7-way hash
     // partitioning; the join itself inserts none of its own
     assert(plan.split(", 7\\), REPARTITION_BY_NUM").length - 1 == 2,
