@@ -123,9 +123,16 @@ class PlanSpec extends SparkSpec {
     // the prefix filter degenerated
     val ap = plan("dedup_allpairs_exact")
     assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
-    // triangles: the wedge close is a LeftSemi equi-join, no OR-join
+    // triangles: either plan arm is equi-join-only — the adjacency-
+    // broadcast default intersects neighbor arrays inside a projection
+    // fed by broadcast joins (no wedge join at all); the wedge fallback
+    // closes with a LeftSemi equi-join. Never an OR-join or cartesian.
     val tr = plan("graph_triangles")
-    assert(tr.contains("LeftSemi") && !tr.contains("CartesianProduct"), tr)
+    assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoop"), tr)
+    assert(
+      (tr.contains("array_intersect") && tr.contains("BroadcastHashJoin")) ||
+        tr.contains("LeftSemi"),
+      tr)
   }
 
   test("r7 additions: containment never cross-joins; temperature/lm_train shuffle once per level") {
