@@ -190,7 +190,7 @@ object StreamingE2e {
     val w1 = ArchiveStream.recoverWatermark(spark, archiveDir)
     require(w1 == -1L, s"fresh archive must bootstrap watermark -1, got $w1")
     val q1 = ArchiveStream.start(
-      unpack(stream1.toDF()), archiveDir, s"$workDir/ckpt1", w1, intervalSeconds = 1)
+      unpack(stream1.toDF()), archiveDir, s"$workDir/ckpt1", w1, intervalSeconds = 0)
     try {
       chunkedPolls(slice(events, lo && col("event_id") % 3 === 0, "v1"), MaxRecordsPerPoll)(poll1)
       q1.processAllAvailable()
@@ -213,7 +213,7 @@ object StreamingE2e {
     val (stream2, poll2) = PollSource.create(spark)
     val w2 = ArchiveStream.recoverWatermark(spark, archiveDir)
     val q2 = ArchiveStream.start(
-      unpack(stream2.toDF()), archiveDir, s"$workDir/ckpt2", w2, intervalSeconds = 1)
+      unpack(stream2.toDF()), archiveDir, s"$workDir/ckpt2", w2, intervalSeconds = 0)
     try {
       chunkedPolls(
         slice(events, hi, "v1") ++

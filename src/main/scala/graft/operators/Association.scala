@@ -46,9 +46,16 @@ object Association {
       minSupport: Long
   ): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // the deduplicated basket-item set feeds every downstream branch
+    // (the basket count, the support agg reached through three separate
+    // joins, and both sides of the per-basket pair self-join) —
+    // materialize it ONCE so the caller's scan + distinct is evaluated
+    // once instead of once per branch; rows are two longs, so the
+    // checkpoint is narrow (round 14)
     val items = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("i"))
       .distinct()
+      .localCheckpoint()
     val n = items.select(countDistinct(col("b")).as("n_baskets"))
     val supp = items.groupBy(col("i")).agg(count(lit(1)).as("s"))
     val freq = supp.where(col("s") >= minSupport)

@@ -44,7 +44,14 @@ object LabelPropagation {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e = materialize(edges.select(col("src"), col("dst")))
+    // the edge list is pre-partitioned ONCE on the per-round join key
+    // (the checkpoint preserves the hash partitioning), so each round's
+    // label join reads the edge side with no exchange and shuffles only
+    // the node-scale label frame — the edge bytes cross the wire once
+    // per run, not once per round (round 14; same shape as
+    // [[PageRank.ranks]])
+    val e = materialize(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
     val nodes = materialize(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
 

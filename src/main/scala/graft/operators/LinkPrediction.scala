@@ -57,6 +57,12 @@ object LinkPrediction {
     val nWedge =
       if (wedgePartitions > 0) wedgePartitions
       else Triangles.wedgeShuffleWidth(edges)
+    // the undirected edge set feeds FOUR otherwise-independent plan
+    // branches (the capped adjacency, the existing-edge anti-join, and
+    // both degree broadcasts) — materialize it ONCE so the caller's
+    // edge derivation (often a multi-join + distinct) is evaluated once
+    // instead of once per branch (round 14; the narrow two-long rows
+    // make the checkpoint cheap, unlike the fat-array AllPairs case)
     val und = edges
       .select(
         least(col("src"), col("dst")).as("eu"),
@@ -64,12 +70,16 @@ object LinkPrediction {
       )
       .where(col("eu") =!= col("ev"))
       .distinct()
+      .localCheckpoint()
     // directed adjacency (both orientations): one row per (center, nbr)
     val adj = und.select(
       explode(array(struct(col("eu").as("w"), col("ev").as("n")),
         struct(col("ev").as("w"), col("eu").as("n")))).as("e")
     ).select(col("e.w").as("w"), col("e.n").as("n"))
+    // node-scale true degrees, consumed by TWO broadcast builds —
+    // materialized so the adjacency agg runs once, not per build
     val deg = adj.groupBy(col("w").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val cw  = Window.partitionBy(col("w")).orderBy(col("n").asc)
     val capped = adj
       .withColumn("__rn", row_number().over(cw))

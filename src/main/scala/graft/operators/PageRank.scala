@@ -49,6 +49,16 @@ object PageRank {
     * iterative jobs at cluster scale (same contract as
     * [[ClusterDedup.connectedComponents]]). Ranks are integer-exact, so
     * the results are bit-identical either way (PageRankSpec pins it).
+    *
+    * Per-iteration shuffle shape (round 14): the edge⋈outdeg join is
+    * loop-INVARIANT, so it is taken once, hash-partitioned on `src` at
+    * the session shuffle width, and materialized — the checkpoint
+    * preserves that partitioning, so every iteration's rank join reads
+    * the edge side with NO exchange and shuffles only the node-scale
+    * rank frame. Per iteration: one rank exchange (n rows), one
+    * map-side-combined contribution agg (exchange keyed on dst), and
+    * the node-scale rank update — the 8m-byte edge list crosses the
+    * wire exactly once per RUN instead of once per iteration.
     */
   def ranks(
       edges: DataFrame,
@@ -62,14 +72,19 @@ object PageRank {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e   = materialize(edges.select(col("src"), col("dst")))
-    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = materialize(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+    // loop-invariant (src, dst, outdeg): the degree join's own output is
+    // already hash-partitioned on `src` (and projection preserves it),
+    // so the checkpoint hands every iteration an edge side whose join
+    // distribution is pre-satisfied — no extra repartition needed
+    val edeg = materialize(
+      e.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
 
     var r = nodes.withColumn("r", lit(InitMicro))
     for (i <- 1 to iterations) {
-      val contrib = e
-        .join(deg, "src")
+      val contrib = edeg
         .join(r.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r div outdeg").as("c"))
         .groupBy(col("id"))

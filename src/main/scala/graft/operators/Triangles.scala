@@ -217,7 +217,12 @@ object Triangles {
     * collapses it to node scale before the only shuffle.
     */
   private def adjCounts(o: DataFrame): DataFrame = {
+    // the out-adjacency feeds TWO broadcast builds (the u side and the
+    // v side differ by alias, so exchange reuse never fires) —
+    // materialize it once so the collect_list agg runs once, and each
+    // broadcast build is a node-scale block scan (round 14)
     val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .localCheckpoint()
     val staged = o
       .select(col("src"), col("dst"))
       .join(
@@ -256,7 +261,15 @@ object Triangles {
     require(adjBroadcastBytes >= 0, s"adjBroadcastBytes must be >= 0 (0 = wedge plan), got $adjBroadcastBytes")
     val nWedge =
       if (wedgePartitions > 0) wedgePartitions else wedgeShuffleWidth(edges)
-    val und      = dedupUndirected(edges)
+    val legacyWedgeArm = adjBroadcastBytes == 0 && wedgePasses == 1
+    // the undirected edge set feeds the node set, the orientation's edge
+    // side, AND the orientation's degree agg — materialize it once so
+    // the caller's edge derivation (a multi-join + distinct for the
+    // co-purchase graphs) is evaluated once, not once per branch
+    // (round 14). The legacy A/B arm stays byte-for-byte un-materialized.
+    val und =
+      if (legacyWedgeArm) dedupUndirected(edges)
+      else dedupUndirected(edges).localCheckpoint()
     val nodes    = und.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     val oriented = orient(und)
     // one pass's wedge-generate + close + per-node partial counts.
@@ -328,7 +341,7 @@ object Triangles {
       }
     }
     val counts =
-      if (adjBroadcastBytes == 0 && wedgePasses == 1)
+      if (legacyWedgeArm)
         // legacy single-pass wedge path byte-for-byte (no checkpoint,
         // no count job) — the forced-wedge A/B arm
         passCounts(oriented, oriented, nWedge)

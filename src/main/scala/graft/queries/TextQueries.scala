@@ -1056,17 +1056,24 @@ object TextQueries {
     Q(
       "text_heavy_hitters",
       (s, dir) => {
-        val t = TextFunctions.tokens(col("text"))
+        // staged-token-array discipline (the HOF splice pitfall): the
+        // old shape spliced tokens(text) into the transform lambda, so
+        // split() re-ran PER BIGRAM ELEMENT; __t stages it once per doc.
+        // The parallelism repartition moves to DOC rows (before the
+        // explode) so the exchange carries |docs| text rows, never the
+        // exploded occurrence stream — at scale the CMS build/probe then
+        // see occurrences only map-side (round 14).
+        val staged = Tables
+          .documents(s, dir)
+          .where(size(TextFunctions.tokens(col("text"))) >= 2)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(TextFunctions.tokens(col("text")).as("__t"))
         val bigrams = transform(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-          (x, i) => concat_ws(" ", x, element_at(t, i + 2))
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          (x, i) => concat_ws(" ", x, element_at(col("__t"), i + 2))
         )
         graft.operators.HeavyHitters.exact(
-          Tables
-            .documents(s, dir)
-            .where(size(t) >= 2)
-            .select(explode(bigrams).as("bigram"))
-            .repartition(s.sparkContext.defaultParallelism),
+          staged.select(explode(bigrams).as("bigram")),
           col("bigram"),
           threshold = 25L
         )

@@ -91,7 +91,11 @@ object ArchiveStream {
   }
 
   /** Start the archive query: filter past-watermark rows, stamp archive
-    * ids, append to parquet every `intervalSeconds`.
+    * ids, append to parquet every `intervalSeconds` (0 = trigger
+    * back-to-back as data arrives — the drain-a-bounded-feed mode; the
+    * batch boundaries a caller establishes with `processAllAvailable`
+    * barriers are identical either way, only the idle wait between
+    * micro-batches goes away).
     */
   def start(
       input: DataFrame,
