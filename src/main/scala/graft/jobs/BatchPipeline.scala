@@ -118,15 +118,20 @@ object BatchPipeline {
     // the mart's persisted bucket count outranks the parameter (see
     // SnapshotSink.BucketCountMarker) — probe prune and merge must agree
     val effBuckets = SnapshotSink.bucketCountOf(spark, snapshotPath).getOrElse(numBuckets)
-    val probeBuckets = conformed
+    // the conformed feed is consumed TWICE — the touched-bucket probe
+    // below and the routed delta write inside upsertBucketed — and its
+    // chain (feed build + dedup window + fingerprints) would re-run for
+    // each; materialize it once so both consumers read blocks (round 14)
+    val conformedM = conformed.localCheckpoint()
+    val probeBuckets = conformedM
       .select(SnapshotSink.bucketOf(col(SsiCol), effBuckets).as("__b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
       .toSeq
     val snapshot = SnapshotSink.readSnapshotBucketed(
-      spark, snapshotPath, snapshotSchema(conformed), Some(probeBuckets))
-    val routed = route(conformed, snapshot)
+      spark, snapshotPath, snapshotSchema(conformedM), Some(probeBuckets))
+    val routed = route(conformedM, snapshot)
     SnapshotSink.upsertBucketed(
       spark, snapshotPath, routed, SsiCol, lit(loadTs), lit(endOfTime), validCol, effBuckets)
   }

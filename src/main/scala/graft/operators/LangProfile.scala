@@ -95,7 +95,11 @@ object LangProfile {
       .withColumn("dr", row_number().over(dw))
       .where(col("dr") <= topN)
       .select(col(idCol), col("tg"), col("dr"))
-    val langs = profiles.select(col("lang")).distinct()
+    // identical lang set to profiles' (any lang with >= 1 trigram row in
+    // dtc survives the per-lang topN rank filter), but read off the
+    // CHECKPOINTED frame — deriving it from `profiles` would replay the
+    // profile agg + rank window just to list the languages
+    val langs = dtc.select(col("lang")).distinct()
     val aw    = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("lang").asc)
     docProf
       .crossJoin(broadcast(langs))
