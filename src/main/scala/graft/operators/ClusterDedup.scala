@@ -68,6 +68,13 @@ object ClusterDedup {
       )
       .select(col("se.src").as("src"), col("se.dst").as("dst"))
       .distinct()
+      // pre-partition on the per-round join key: the distinct leaves the
+      // frame hash-partitioned on (src, dst), which does NOT satisfy the
+      // label join's src distribution — without this the edge list
+      // reshuffles EVERY round; with it (the checkpoint preserves the
+      // partitioning) only the node-scale label frame moves per round
+      // (round 14; same shape as LabelPropagation/PageRank)
+      .repartition(col("src"))
     val edges = save(e)
 
     var labels = save(
