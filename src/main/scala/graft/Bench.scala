@@ -112,6 +112,13 @@ object Bench {
       // truncation insurance with no trace
       case e: Throwable => System.err.println(s"[bench] result file backstop failed: $e")
     }
+    // truncation insurance, part 2 (round 15): print the line IMMEDIATELY
+    // too — r13's round-over-round comparison was lost to a capture that
+    // truncated the tail mid-object; an early copy survives a tail-side
+    // cut, the final copy survives a head-side cut, and a parser taking
+    // the last parseable {"metric": …} line reads identical JSON either way
+    println(line)
+    System.out.flush()
     // stop Spark FIRST so its shutdown logging cannot land after the result
     // line — the driver tail-captures stdout and must see this line last
     spark.stop()

@@ -113,7 +113,8 @@ object BatchPipeline {
       loadTs: String,
       endOfTime: String = "2099-12-31 00:00:00",
       validCol: Option[String] = Some(ValidCol),
-      numBuckets: Int = 32
+      numBuckets: Int = 32,
+      checkpointDir: Option[String] = None
   ): AuditCounts = {
     // the mart's persisted bucket count outranks the parameter (see
     // SnapshotSink.BucketCountMarker) — probe prune and merge must agree
@@ -121,8 +122,12 @@ object BatchPipeline {
     // the conformed feed is consumed TWICE — the touched-bucket probe
     // below and the routed delta write inside upsertBucketed — and its
     // chain (feed build + dedup window + fingerprints) would re-run for
-    // each; materialize it once so both consumers read blocks (round 14)
-    val conformedM = conformed.localCheckpoint()
+    // each; materialize it once so both consumers read blocks (round 14).
+    // This is a PRODUCTION write path: `checkpointDir` selects a RELIABLE
+    // checkpoint so one lost executor mid-load recovers instead of
+    // failing the load (graft.operators.Materialize contract); the
+    // executor-local default is the single-node/bench configuration.
+    val conformedM = graft.operators.Materialize.frame(conformed, checkpointDir)
     val probeBuckets = conformedM
       .select(SnapshotSink.bucketOf(col(SsiCol), effBuckets).as("__b"))
       .distinct()

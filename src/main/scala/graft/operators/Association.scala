@@ -38,12 +38,17 @@ object Association {
   /** `baskets`: rows of (basketCol, itemCol), duplicates tolerated.
     * Returns (ante, cons, s_pair, s_ante, s_cons, conf_micro,
     * lift_micro) — one row per direction per qualifying pair.
+    *
+    * EAGER: construction materializes the deduplicated basket-item set
+    * immediately ([[Materialize.frame]]); `checkpointDir` makes that
+    * checkpoint RELIABLE for cluster-scale fault tolerance.
     */
   def pairRules(
       baskets: DataFrame,
       basketCol: String,
       itemCol: String,
-      minSupport: Long
+      minSupport: Long,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     // the deduplicated basket-item set feeds every downstream branch
@@ -52,10 +57,11 @@ object Association {
     // materialize it ONCE so the caller's scan + distinct is evaluated
     // once instead of once per branch; rows are two longs, so the
     // checkpoint is narrow (round 14)
-    val items = baskets
-      .select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-      .localCheckpoint()
+    val items = Materialize.frame(
+      baskets
+        .select(col(basketCol).as("b"), col(itemCol).as("i"))
+        .distinct(),
+      checkpointDir)
     val n = items.select(countDistinct(col("b")).as("n_baskets"))
     val supp = items.groupBy(col("i")).agg(count(lit(1)).as("s"))
     val freq = supp.where(col("s") >= minSupport)

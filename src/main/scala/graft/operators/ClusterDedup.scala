@@ -39,12 +39,21 @@ object ClusterDedup {
     * the component's min id, which makes results deterministic and
     * engine-portable).
     */
+  /** `checkpointMinimized` materializes each round's min-label
+    * aggregation BEFORE the pointer-jump self-join: exchange reuse
+    * covers the agg's shuffle but not the final hash agg, so the
+    * default plan evaluates that agg twice per round; the checkpoint
+    * trades one extra per-round barrier for the second evaluation.
+    * Default OFF — the round-15 deep-peel A/B (22-round path graph,
+    * tools/bench_r15_ccpeel_ab.jsonl) adjudicates which arm ships.
+    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      checkpointMinimized: Boolean = false
   ): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // reliable checkpoint survives executor loss; both variants are
@@ -94,11 +103,13 @@ object ClusterDedup {
       val msgs = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"), lit(null).cast(idType).as("__self"))
-      val minimized = labels
+      val minimizedAgg = labels
         .select(col("id"), col("label"), col("label").as("__self"))
         .union(msgs)
         .groupBy("id")
         .agg(min("label").as("label"), min("__self").as("__old"))
+      val minimized =
+        if (checkpointMinimized) save(minimizedAgg) else minimizedAgg
       // pointer jump: label := label(label) — every label IS a vertex id
       // (the min is always some member's id), so the self-join hits
       val next = minimized

@@ -40,6 +40,15 @@ object HybridSearch {
     * cross-multiplied — no FP boundary). Self-matches are excluded.
     * Returns (query_id, neighbor_id, rank), rank 1..k by
     * (overlap DESC, neighbor_id ASC).
+    *
+    * EAGER: construction materializes the posting list and the
+    * stop-token-filtered index immediately ([[Materialize.frame]]) —
+    * the posting set feeds the df aggregation AND the gate join's probe
+    * side, and the filtered index feeds both the query semi-join and
+    * the overlap join, so without the two cuts the doc scan + tokenize
+    * is planted four times in one plan (round 15: search_hybrid_rrf
+    * read 10 parquet scans / 50 Exchanges). `checkpointDir` selects
+    * RELIABLE checkpoints; the default is executor-local.
     */
   def lexicalTopK(
       docs: DataFrame,
@@ -47,18 +56,23 @@ object HybridSearch {
       textCol: Column,
       queryIds: DataFrame,
       k: Int,
-      maxDfPpm: Long
+      maxDfPpm: Long,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
-    val pairs = docs
-      .select(col(idCol).as("__id"), explode(array_distinct(split(textCol, " "))).as("token"))
+    val pairs = Materialize.frame(
+      docs
+        .select(col(idCol).as("__id"), explode(array_distinct(split(textCol, " "))).as("token")),
+      checkpointDir)
     val n  = docs.select(count(lit(1)).as("__n"))
     val df = pairs.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     // stop-token gate: df·10^6 <= maxDfPpm·N, exact in integers
-    val kept = pairs
-      .join(df, "token")
-      .crossJoin(broadcast(n))
-      .where(col("__df") * lit(1000000L) <= lit(maxDfPpm) * col("__n"))
-      .select(col("__id"), col("token"))
+    val kept = Materialize.frame(
+      pairs
+        .join(df, "token")
+        .crossJoin(broadcast(n))
+        .where(col("__df") * lit(1000000L) <= lit(maxDfPpm) * col("__n"))
+        .select(col("__id"), col("token")),
+      checkpointDir)
     val q = kept
       .join(broadcast(queryIds.select(col(idCol).as("__qid"))), col("__id") === col("__qid"), "left_semi")
       .select(col("__id").as("query_id"), col("token"))

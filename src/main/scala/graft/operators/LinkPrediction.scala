@@ -40,13 +40,20 @@ object LinkPrediction {
   /** Top-`topK` predicted links per node over the undirected graph
     * induced by `edges` (direction/duplicates ignored, self-loops
     * dropped). Returns (node, candidate, cn, du, dv, jac_micro, rnk).
+    *
+    * EAGER: construction materializes the undirected edge set and the
+    * degree frame immediately ([[Materialize.frame]]) — building the
+    * returned DataFrame runs those upstream jobs even if the caller only
+    * explains the plan. `checkpointDir` selects RELIABLE checkpoints for
+    * both (cluster-scale fault tolerance); the default is executor-local.
     */
   def predictLinks(
       edges: DataFrame,
       capDeg: Int,
       minCommon: Long,
       topK: Int,
-      wedgePartitions: Int = 0
+      wedgePartitions: Int = 0,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(capDeg >= 2, s"capDeg must be >= 2, got $capDeg")
     require(topK >= 1 && minCommon >= 1, s"topK/minCommon must be >= 1")
@@ -63,14 +70,15 @@ object LinkPrediction {
     // edge derivation (often a multi-join + distinct) is evaluated once
     // instead of once per branch (round 14; the narrow two-long rows
     // make the checkpoint cheap, unlike the fat-array AllPairs case)
-    val und = edges
-      .select(
-        least(col("src"), col("dst")).as("eu"),
-        greatest(col("src"), col("dst")).as("ev")
-      )
-      .where(col("eu") =!= col("ev"))
-      .distinct()
-      .localCheckpoint()
+    val und = Materialize.frame(
+      edges
+        .select(
+          least(col("src"), col("dst")).as("eu"),
+          greatest(col("src"), col("dst")).as("ev")
+        )
+        .where(col("eu") =!= col("ev"))
+        .distinct(),
+      checkpointDir)
     // directed adjacency (both orientations): one row per (center, nbr)
     val adj = und.select(
       explode(array(struct(col("eu").as("w"), col("ev").as("n")),
@@ -78,8 +86,9 @@ object LinkPrediction {
     ).select(col("e.w").as("w"), col("e.n").as("n"))
     // node-scale true degrees, consumed by TWO broadcast builds —
     // materialized so the adjacency agg runs once, not per build
-    val deg = adj.groupBy(col("w").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+    val deg = Materialize.frame(
+      adj.groupBy(col("w").as("id")).agg(count(lit(1)).as("d")),
+      checkpointDir)
     val cw  = Window.partitionBy(col("w")).orderBy(col("n").asc)
     val capped = adj
       .withColumn("__rn", row_number().over(cw))

@@ -75,12 +75,23 @@ object PageRank {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = materialize(
       e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
-    // loop-invariant (src, dst, outdeg): the degree join's own output is
-    // already hash-partitioned on `src` (and projection preserves it),
-    // so the checkpoint hands every iteration an edge side whose join
-    // distribution is pre-satisfied — no extra repartition needed
+    // loop-invariant (src, dst, outdeg), hash-partitioned on `src`
+    // EXPLICITLY before the degree join: when Catalyst broadcasts the
+    // node-scale degree side (the common case) the join output would
+    // otherwise carry NO src distribution (round-14 comment wrongly
+    // assumed the join provided it — the committed iter-1 plan showed
+    // UnknownPartitioning), and at cluster scale, where ranks exceed
+    // the broadcast threshold, the edge list would reshuffle every
+    // iteration. Partitioning e BEFORE the join costs nothing extra
+    // under a sort-merge plan (it is the join's own requirement) and
+    // one edge-scale exchange per RUN under a broadcast plan; the
+    // checkpoint preserves it either way, so iterations shuffle only
+    // the node-scale rank frame (same shape as LabelPropagation /
+    // ClusterDedup).
     val edeg = materialize(
-      e.join(deg, "src").select(col("src"), col("dst"), col("outdeg")))
+      e.repartition(col("src"))
+        .join(deg, "src")
+        .select(col("src"), col("dst"), col("outdeg")))
 
     var r = nodes.withColumn("r", lit(InitMicro))
     for (i <- 1 to iterations) {

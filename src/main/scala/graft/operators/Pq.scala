@@ -311,7 +311,8 @@ object Pq {
       centroids: Seq[Array[Double]],
       codebooks: Seq[Seq[Array[Double]]],
       nProbe: Int,
-      shortlist: Int
+      shortlist: Int,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size, "nProbe must be in [1, centroids.size]")
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
@@ -321,13 +322,17 @@ object Pq {
     def cellDots(v: Column): Column =
       VectorFunctions.cellDots(v, centroids)
 
-    val encoded = withResidualCodes(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
-      "__vec",
-      centroids,
-      codebooks,
-      vnCol = "c_vn"
-    )
+    // materialized once for the same two-consumer reason as ivfPqTopK
+    // (round 15); EAGER — construction runs the residual encode
+    val encoded = Materialize.frame(
+      withResidualCodes(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vec")),
+        "__vec",
+        centroids,
+        codebooks,
+        vnCol = "c_vn"
+      ),
+      checkpointDir)
     val codes   = encoded.select(
       col("neighbor_id") +: col("cell") +: (0 until m).map(i => col(s"pq$i")): _*
     )
@@ -508,10 +513,19 @@ object Pq {
       centroids: Seq[Array[Double]],
       codebooks: Seq[Seq[Array[Double]]],
       nProbe: Int,
-      shortlist: Int
+      shortlist: Int,
+      checkpointDir: Option[String] = None
   ): DataFrame =
+    // the IN-QUERY composition materializes the encode output once —
+    // exactly the frame the store path persists — so the search half's
+    // two consumers (codes shortlist + vector rerank) read blocks
+    // instead of scanning and normalizing the corpus twice (round 15).
+    // EAGER: construction runs the encode. The store path
+    // (ivfPqTopKEncoded over AnnIndex.readStore) is untouched: its
+    // encoded frame is already persisted and must never be re-copied.
     ivfPqTopKEncoded(
-      ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks),
+      Materialize.frame(
+        ivfPqEncode(corpus, idCol, vecCol, centroids, codebooks), checkpointDir),
       idCol, queries, vecCol, k, centroids, codebooks, nProbe, shortlist)
 
   /** The ENCODE half of [[ivfPqTopK]] on its own: assign every vector

@@ -177,7 +177,11 @@ object RangeJoin {
     // over the UNION's epochs (markers contribute __c = 0), so a marker
     // in a probe-free epoch still finds its prefix row. |epochs| rows:
     // the unpartitioned prefix window runs over bounded data by
-    // construction (one row per epoch, never per record).
+    // construction (one row per epoch, never per record). Its WindowExec
+    // no-partition warning is structural: Spark 4's
+    // EliminateWindowPartitions folds any constant partition key away
+    // (round-15 audit), so the warning cannot be silenced without a
+    // real key — and none exists for a global prefix sum.
     val offsets = u
       .groupBy(epoch(col("__ts")).as("__ep"))
       .agg(sum(col("__c")).as("__n"))

@@ -164,6 +164,13 @@ object Triangles {
     * list before the first pass, so a deployment states its scratch
     * budget once instead of hand-picking K per input (TrianglesSpec
     * pins auto == explicit).
+    *
+    * EAGER (non-legacy arms): construction materializes the undirected
+    * and oriented edge sets immediately ([[Materialize.frame]]) — the
+    * plan-choice count needs them. `checkpointDir` makes every
+    * materialization RELIABLE (cluster-scale fault tolerance); the
+    * default is executor-local. The `adjBroadcastBytes = 0,
+    * wedgePasses = 1` legacy A/B arm stays lazy and un-materialized.
     */
   private def dedupUndirected(edges: DataFrame): DataFrame =
     edges
@@ -216,13 +223,14 @@ object Triangles {
     * is two-long rows feeding a hash agg, so the map-side partial
     * collapses it to node scale before the only shuffle.
     */
-  private def adjCounts(o: DataFrame): DataFrame = {
+  private def adjCounts(o: DataFrame, checkpointDir: Option[String]): DataFrame = {
     // the out-adjacency feeds TWO broadcast builds (the u side and the
     // v side differ by alias, so exchange reuse never fires) —
     // materialize it once so the collect_list agg runs once, and each
     // broadcast build is a node-scale block scan (round 14)
-    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
-      .localCheckpoint()
+    val adj = Materialize.frame(
+      o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs")),
+      checkpointDir)
     val staged = o
       .select(col("src"), col("dst"))
       .join(
@@ -255,7 +263,8 @@ object Triangles {
       wedgePartitions: Int = 0,
       wedgePasses: Int = 1,
       wedgeDiskBudgetBytes: Long = DefaultWedgeDiskBudgetBytes,
-      adjBroadcastBytes: Long = DefaultAdjBroadcastBytes
+      adjBroadcastBytes: Long = DefaultAdjBroadcastBytes,
+      checkpointDir: Option[String] = None
   ): DataFrame = {
     require(wedgePasses >= 0, s"wedgePasses must be >= 0 (0 = auto), got $wedgePasses")
     require(adjBroadcastBytes >= 0, s"adjBroadcastBytes must be >= 0 (0 = wedge plan), got $adjBroadcastBytes")
@@ -269,7 +278,7 @@ object Triangles {
     // (round 14). The legacy A/B arm stays byte-for-byte un-materialized.
     val und =
       if (legacyWedgeArm) dedupUndirected(edges)
-      else dedupUndirected(edges).localCheckpoint()
+      else Materialize.frame(dedupUndirected(edges), checkpointDir)
     val nodes    = und.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     val oriented = orient(und)
     // one pass's wedge-generate + close + per-node partial counts.
@@ -330,7 +339,7 @@ object Triangles {
         val nPass = math.max(par, nWedge / passes)
         val partials = (0 until passes).map { k =>
           val e1 = o.where(pmod(xxhash64(col("dst")), lit(passes.toLong)) === k)
-          val p  = passCounts(o, e1, nPass).localCheckpoint()
+          val p  = Materialize.frame(passCounts(o, e1, nPass), checkpointDir)
           System.gc()
           p
         }
@@ -351,12 +360,12 @@ object Triangles {
         // then a block scan, and every downstream rescan (the adjacency
         // plan reads o three times, the wedge passes K+1 times) hits
         // the checkpoint instead of re-deriving the edge expression.
-        val o = oriented.localCheckpoint()
+        val o = Materialize.frame(oriented, checkpointDir)
         if (adjBroadcastBytes > 0 && o.count() <= adjBroadcastBytes / BytesPerAdjEdge) {
           System.err.println(
             s"[triangles] adjacency-broadcast plan (~${BytesPerAdjEdge} B/edge " +
               s"within budget=$adjBroadcastBytes)")
-          adjCounts(o)
+          adjCounts(o, checkpointDir)
         } else wedgeCounts(o)
       }
     counts

@@ -56,7 +56,17 @@ object CdcQueries {
           .as("src_hash")
       )
 
-  /** The post-merge SCD2 mart the merge/time-travel queries share. */
+  /** The post-merge SCD2 mart the merge/time-travel queries share.
+    *
+    * Scd2.merge consumes its routed side TWICE (the update-key broadcast
+    * build and the union append), so the routed pipeline — an
+    * orders-wide join + fingerprints — would run once per consumer.
+    * The REAL load path (BatchPipeline) already hands merge a
+    * materialized delta; these oracle-twin rows mirror that by
+    * checkpointing the routed frame once, so the plan evaluates the
+    * routed subtree a single time (round 15). EAGER: building the mart
+    * runs the routed pipeline immediately.
+    */
   private def mergedMart(s: SparkSession, dir: String): DataFrame = {
     val snapshot = historic(s, dir).select(
       col("hssi").as("ssi"),
@@ -67,7 +77,9 @@ object CdcQueries {
     )
     Scd2.merge(
       snapshot,
-      routed(s, dir).withColumnRenamed("router_group", CdcRouter.RouterCol),
+      routed(s, dir)
+        .withColumnRenamed("router_group", CdcRouter.RouterCol)
+        .localCheckpoint(),
       key = "ssi",
       loadTs = lit(LoadTs),
       endOfTime = lit(EndOfTime)

@@ -24,6 +24,19 @@ class ClusterDedupSpec extends SparkSpec {
     ))
   }
 
+  test("checkpointMinimized arm: identical labels on chain + clique + deep path") {
+    // the round-15 per-round-agg checkpoint lever must be invisible in
+    // results on both a shallow mixed fixture and a deep-peel path
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)) ++
+      (100L until 160L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val off = toMapOf(ClusterDedup.connectedComponents(pairs, "id_a", "id_b"))
+    val on = toMapOf(
+      ClusterDedup.connectedComponents(pairs, "id_a", "id_b", checkpointMinimized = true))
+    assert(on === off)
+  }
+
   test("connected components: a long chain converges (pointer jumping)") {
     // path 0-1-2-...-40: diameter 40, must finish inside the iteration cap
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")

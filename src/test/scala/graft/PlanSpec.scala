@@ -123,16 +123,26 @@ class PlanSpec extends SparkSpec {
     // the prefix filter degenerated
     val ap = plan("dedup_allpairs_exact")
     assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoop"), ap)
-    // triangles: either plan arm is equi-join-only — the adjacency-
-    // broadcast default intersects neighbor arrays inside a projection
-    // fed by broadcast joins (no wedge join at all); the wedge fallback
-    // closes with a LeftSemi equi-join. Never an OR-join or cartesian.
+    // triangles: each plan arm is pinned on ITS OWN plan (round 15 —
+    // the old plan-wide `contains("LeftSemi")` OR could be satisfied by
+    // any unrelated join). The adjacency-broadcast default intersects
+    // neighbor arrays inside a projection fed by broadcast joins:
+    // array_intersect is the close itself and appears nowhere else in
+    // the query, and no non-broadcast join strategy may appear at all.
     val tr = plan("graph_triangles")
     assert(!tr.contains("CartesianProduct") && !tr.contains("BroadcastNestedLoop"), tr)
-    assert(
-      (tr.contains("array_intersect") && tr.contains("BroadcastHashJoin")) ||
-        tr.contains("LeftSemi"),
-      tr)
+    assert(tr.contains("array_intersect"), tr)
+    assert(tr.contains("BroadcastHashJoin"), tr) // the adjacency builds
+    // the wedge fallback, FORCED (adjBroadcastBytes = 0, legacy lazy
+    // arm): the close is the LeftSemi equi-join on (b, c)
+    import spark.implicits._
+    val wedge = graft.operators.Triangles
+      .perNode(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"),
+        adjBroadcastBytes = 0)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(wedge.contains("LeftSemi"), wedge)
+    assert(!wedge.contains("CartesianProduct") && !wedge.contains("BroadcastNestedLoop"), wedge)
   }
 
   test("r7 additions: containment never cross-joins; temperature/lm_train shuffle once per level") {
