@@ -77,14 +77,14 @@ object ClusterDedup {
       )
       .select(col("se.src").as("src"), col("se.dst").as("dst"))
       .distinct()
-      // pre-partition on the per-round join key: the distinct leaves the
-      // frame hash-partitioned on (src, dst), which does NOT satisfy the
-      // label join's src distribution — without this the edge list
-      // reshuffles EVERY round; with it (the checkpoint preserves the
-      // partitioning) only the node-scale label frame moves per round
-      // (round 14; same shape as LabelPropagation/PageRank)
-      .repartition(col("src"))
-    val edges = save(e)
+    // edge staging (round 15): one materialization that STATES
+    // hash(src) + in-partition order on the checkpoint. The r14
+    // repartition-before-checkpoint was structurally inert — under AQE
+    // the checkpoint captures UnknownPartitioning (see
+    // Materialize.framePartitioned) — so the edge list still reshuffled
+    // every round; now only the node-scale label frame moves per round
+    // (same shape as LabelPropagation/PageRank).
+    val edges = Materialize.framePartitioned(e, Seq(col("src")), checkpointDir)
 
     var labels = save(
       edges

@@ -42,18 +42,23 @@ object LabelPropagation {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // the edge list is pre-partitioned ONCE on the per-round join key
-    // (the checkpoint preserves the hash partitioning), so each round's
-    // label join reads the edge side with no exchange and shuffles only
-    // the node-scale label frame — the edge bytes cross the wire once
-    // per run, not once per round (round 14; same shape as
-    // [[PageRank.ranks]])
-    val e = materialize(
-      edges.select(col("src"), col("dst")).repartition(col("src")))
-    val nodes = materialize(
-      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+    // edge staging (round 15, same shape as [[PageRank.ranks]]): one
+    // materialization that STATES hash(src) + in-partition order on the
+    // checkpoint (a bare repartition+checkpoint loses its partitioning
+    // under AQE — see Materialize.framePartitioned — so the r14 shape
+    // still reshuffled the edges every round). Each round's label join
+    // reads the edge side with neither an exchange nor a sort; only the
+    // node-scale label frame moves per round.
+    val e = Materialize.framePartitioned(
+      edges.select(col("src"), col("dst")), Seq(col("src")), checkpointDir)
+    // node set stays a PLAIN checkpoint — stating hash(id) pins the
+    // per-round label update into a no-exchange SMJ that AQE can never
+    // rebroadcast (measured 2x slower per round in the round-15
+    // PageRank phase probe; both sides are node-scale, so the kept
+    // exchange is never the bottleneck)
+    val nodes = Materialize.frame(
+      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct(),
+      checkpointDir)
 
     var l = nodes.withColumn("lbl", col("id"))
     for (i <- 1 to iterations) {
@@ -67,7 +72,12 @@ object LabelPropagation {
       l = l
         .join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
-      if (i % checkpointEvery == 0 || i == iterations) l = materialize(l)
+      // label checkpoints stay plain (same adjudication as PageRank's
+      // rank checkpoints: stating hash(id) here runs the update join
+      // AQE-off per checkpoint — measured slower — for a node-scale
+      // saving; the edge-scale exchange is the one `e` already removes)
+      if (i % checkpointEvery == 0 || i == iterations)
+        l = Materialize.frame(l, checkpointDir)
     }
     l
   }

@@ -30,4 +30,40 @@ object Materialize {
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
     if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
   }
+
+  /** Materialize WITH a stated hash partitioning that downstream joins
+    * can reuse (no exchange on this side).
+    *
+    * Round-15 probe: under AQE — on by default since Spark 3.2, and on
+    * in Bench/Verify — `Dataset.checkpoint` captures the ADAPTIVE
+    * plan's `outputPartitioning`, which reads as UnknownPartitioning,
+    * so a `repartition(key)` in front of a checkpoint was structurally
+    * INERT: every per-round consumer re-shuffled the checkpointed frame
+    * anyway (the r14 pre-partition family — PageRank, LabelPropagation,
+    * ClusterDedup — never skipped its iteration exchange at runtime).
+    * Disabling AQE around THIS materialization only makes the
+    * checkpoint's LogicalRDD carry hashpartitioning(keys, session
+    * shuffle width); consumer queries keep AQE and read the frame
+    * exchange-free (plans/r15/graph_pagerank_iter1_*). The
+    * materialization itself is a single explicit repartition — exactly
+    * the shape AQE would not improve.
+    *
+    * Mechanism: [[org.apache.spark.sql.execution.GraftStampedCheckpoint]]
+    * enforces the layout (explicit-count repartition AQE never
+    * coalesces, plus an in-partition sort on `keys`) and stamps
+    * HashPartitioning + SortOrder onto the checkpoint's LogicalRDD, so
+    * the upstream pipeline keeps AQE (an AQE-off materialization window
+    * measured 1.25-1.49x slower on the iterative graph operators) and a
+    * downstream sort-merge join reads this side with neither an
+    * exchange NOR a sort.
+    */
+  def framePartitioned(
+      df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      checkpointDir: Option[String]
+  ): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    org.apache.spark.sql.execution.GraftStampedCheckpoint
+      .partitionedCheckpoint(df, keys, reliable = checkpointDir.isDefined)
+  }
 }

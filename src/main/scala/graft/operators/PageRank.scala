@@ -70,28 +70,35 @@ object PageRank {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val e   = materialize(edges.select(col("src"), col("dst")))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      Materialize.frame(df, checkpointDir)
+    // edge staging (round 15): ONE materialization that STATES hash(src)
+    // + in-partition order on the checkpoint (Materialize.framePartitioned
+    // — a bare repartition+checkpoint loses its partitioning under AQE,
+    // so the r14 shape still reshuffled the edge side every iteration;
+    // the r14 comment's "the degree join's output is already
+    // hash-partitioned" was also wrong under a broadcast degree join,
+    // per the r14 advice).
+    val ep = Materialize.framePartitioned(
+      edges.select(col("src"), col("dst")), Seq(col("src")), checkpointDir)
+    // degree agg over the stated hash(src) blocks — no exchange
+    val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the node set stays a PLAIN checkpoint: stating hash(id) on it
+    // pins the per-iteration rank update into a no-exchange SMJ that
+    // AQE can never rebroadcast — measured 2x slower per iteration
+    // locally (round-15 phase probe: iters 7.7 s with plain nodes vs
+    // 14.9 s with stated nodes, edeg held constant). The update join's
+    // inputs are node-scale on both sides, so the exchange it keeps is
+    // never the scale bottleneck; the edge-scale side below is.
     val nodes = materialize(
-      e.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
-    // loop-invariant (src, dst, outdeg), hash-partitioned on `src`
-    // EXPLICITLY before the degree join: when Catalyst broadcasts the
-    // node-scale degree side (the common case) the join output would
-    // otherwise carry NO src distribution (round-14 comment wrongly
-    // assumed the join provided it — the committed iter-1 plan showed
-    // UnknownPartitioning), and at cluster scale, where ranks exceed
-    // the broadcast threshold, the edge list would reshuffle every
-    // iteration. Partitioning e BEFORE the join costs nothing extra
-    // under a sort-merge plan (it is the join's own requirement) and
-    // one edge-scale exchange per RUN under a broadcast plan; the
-    // checkpoint preserves it either way, so iterations shuffle only
-    // the node-scale rank frame (same shape as LabelPropagation /
-    // ClusterDedup).
-    val edeg = materialize(
-      e.repartition(col("src"))
-        .join(deg, "src")
-        .select(col("src"), col("dst"), col("outdeg")))
+      ep.select(explode(array(col("src"), col("dst"))).as("id")).distinct())
+    // loop-invariant (src, dst, outdeg) with stated hash(src) + order:
+    // the build join is co-partitioned (both sides read ep's blocks),
+    // and every iteration's rank join reads this side with neither an
+    // exchange NOR a sort at any scale — only the node-scale rank
+    // frame moves per iteration (plans/r15/graph_pagerank_iter1_*).
+    val edeg = Materialize.framePartitioned(
+      ep.join(deg, "src").select(col("src"), col("dst"), col("outdeg")),
+      Seq(col("src")), checkpointDir)
 
     var r = nodes.withColumn("r", lit(InitMicro))
     for (i <- 1 to iterations) {
@@ -107,6 +114,12 @@ object PageRank {
           (lit(InitMicro - DampMilli * 1000L) +
             expr(s"($DampMilli * coalesce(s, 0L)) div 1000")).as("r")
         )
+      // rank checkpoints stay plain: stating hash(id) here would run
+      // the update join AQE-off every checkpoint (measured slower —
+      // AQE's broadcast of the contribution agg is the right local
+      // plan) to save one NODE-scale exchange per iteration; the
+      // edge-scale per-iteration exchange is the one that matters and
+      // edeg's stated partitioning already removes it
       if (i % checkpointEvery == 0 || i == iterations) r = materialize(r)
     }
     r

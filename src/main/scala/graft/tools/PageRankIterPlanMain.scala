@@ -48,16 +48,20 @@ object PageRankIterPlanMain {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
 
-    // mirrors PageRank.ranks' upfront materializations (round 15: e is
-    // repartitioned on src BEFORE the degree join, so edeg's checkpoint
-    // carries hash(src) whatever join strategy planned)
-    val e   = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
-      .distinct().localCheckpoint()
-    val edeg = e.repartition(col("src"))
-      .join(deg, "src").select(col("src"), col("dst"), col("outdeg"))
+    // mirrors PageRank.ranks' upfront materializations (round 15:
+    // framePartitioned states hash(src)/hash(id) on the checkpoints —
+    // see Materialize.framePartitioned for why a bare repartition +
+    // checkpoint loses the partitioning under AQE)
+    val ep = graft.operators.Materialize.framePartitioned(
+      edges.select(col("src"), col("dst")), Seq(col("src")), None)
+    val deg = ep.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = ep
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .distinct()
       .localCheckpoint()
+    val edeg = graft.operators.Materialize.framePartitioned(
+      ep.join(deg, "src").select(col("src"), col("dst"), col("outdeg")),
+      Seq(col("src")), None)
 
     def iterPlan(): String = {
       val r = nodes.withColumn("r", lit(1000000L))

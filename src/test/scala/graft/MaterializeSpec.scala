@@ -30,6 +30,31 @@ class MaterializeSpec extends SparkSpec {
     assert(loc.collect().toSet === df.collect().toSet)
   }
 
+  test("framePartitioned: stamped layout is true — joins/aggs on the stamp equal the plain plan") {
+    import org.apache.spark.sql.functions._
+    // enough keys to hit every one of the 4 test partitions, plus nulls
+    val left = spark.range(5000)
+      .select((col("id") % 997).as("k"), col("id").as("v"))
+      .unionByName(Seq((null.asInstanceOf[java.lang.Long], 999999L)).toDF("k", "v"))
+    val right = spark.range(400).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val stamped = graft.operators.Materialize.framePartitioned(left, Seq(col("k")), None)
+    // the stamp must be visible to the planner...
+    val plan = stamped
+      .queryExecution.analyzed.toString() +
+      stamped.join(right, Seq("k")).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("hashpartitioning(k"), plan)
+    // ...and must STATE THE TRUTH: a join and an agg keyed on the stamped
+    // column (the operations that would silently misplace rows if the
+    // claimed placement were wrong) must equal the un-stamped results
+    val j1 = stamped.join(right, Seq("k")).select("k", "v", "w").collect().toSet
+    val j2 = left.join(right, Seq("k")).select("k", "v", "w").collect().toSet
+    assert(j1 === j2)
+    val a1 = stamped.groupBy("k").agg(sum("v")).collect().toSet
+    val a2 = left.groupBy("k").agg(sum("v")).collect().toSet
+    assert(a1 === a2)
+  }
+
   test("one-shot operators take the reliable path when a dir is configured") {
     val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (5L, 2L), (2L, 3L))
       .toDF("src", "dst")
